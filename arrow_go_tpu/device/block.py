@@ -1,0 +1,237 @@
+"""Device block format: the TPU-resident representation of a column.
+
+This is the core TPU-first inversion of the reference design (SURVEY.md §7):
+instead of refcounted heap buffers walked by per-span interpreted kernels
+(reference arrow/compute/exec/span.go ArraySpan), a column on device is a
+**fixed-width, bucket-padded jax array in HBM** plus a **packed uint32
+validity word array**, with the logical row count carried separately. All
+kernels compile once per (padded-shape, dtype, has-validity) signature —
+row counts enter as device scalars, so varying lengths never recompile.
+
+Variable-width data (strings/binary) is dictionary-encoded at ingest: codes
+live on device, values stay in a host-side dictionary (the reference reaches
+the same design through its memo-table-everywhere hashing layer,
+internal/hashing/xxh3_memo_table.go).
+
+Decimal128 is carried as a (lo: uint64, hi: int64) pair — reference
+semantics at arrow/decimal128/decimal128.go without native int128.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, replace
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+from ..jaxenv import jax, jnp
+from .. import dtypes as dt
+from ..array.arrays import Array, from_numpy, make_array, with_validity
+from ..array.record import RecordBatch
+from ..memory import bitutil
+
+LANE = 128
+WORD_BITS = 32
+
+
+def pad_length(n: int) -> int:
+    """Bucketed padding: next multiple of pow2ceil(n)/8, min 128.
+
+    Bounds padding overhead at 12.5% and distinct compiled shapes at 8 per
+    power of two (the recompilation-free analog of the reference executor's
+    ChunkSize chunking, compute/executor.go:47-50).
+    """
+    n = max(int(n), 1)
+    if n <= LANE:
+        return LANE
+    p = 1 << (n - 1).bit_length()          # pow2 ceiling
+    step = max(p // 8, LANE)
+    return (n + step - 1) // step * step
+
+
+def _pack_words(mask: np.ndarray, padded: int) -> np.ndarray:
+    """bool mask -> packed uint32 validity words (LSB-first), padding bits 0."""
+    full = np.zeros(padded, dtype=np.bool_)
+    full[: len(mask)] = mask
+    bits = np.packbits(full, bitorder="little")  # uint8 LSB-first
+    return bits.view(np.uint32) if bits.nbytes % 4 == 0 else np.pad(
+        bits, (0, 4 - bits.nbytes % 4)).view(np.uint32)
+
+
+def _unpack_words(words: np.ndarray, n: int) -> np.ndarray:
+    bits = np.asarray(words, dtype=np.uint32).view(np.uint8)
+    return np.unpackbits(bits, bitorder="little")[:n].astype(np.bool_)
+
+
+_DEVICE_DTYPES = {
+    dt.TypeId.BOOL: np.bool_,
+}
+
+
+@dataclass
+class DeviceColumn:
+    """One column resident in HBM.
+
+    values:   jax array, shape (padded,) (or (padded, k) for multi-word types)
+    validity: packed uint32 words, shape (padded/32,), or None (all valid)
+    length:   logical row count (python int; kernels receive it as a scalar)
+    type:     the logical arrow type
+    dictionary: host Array of dictionary values when values are codes
+    """
+
+    values: jax.Array
+    validity: Optional[jax.Array]
+    length: int
+    type: dt.DataType
+    dictionary: Optional[Array] = None
+
+    @property
+    def padded(self) -> int:
+        return self.values.shape[0]
+
+    @property
+    def null_count(self) -> int:
+        if self.validity is None:
+            return 0
+        from ..ops import bitmap
+        return self.length - int(bitmap.popcount_words(self.validity))
+
+    def validity_mask(self) -> jax.Array:
+        """Expanded bool mask over the padded domain (False beyond length)."""
+        from ..ops import bitmap
+        if self.validity is None:
+            return row_mask(self.padded, self.length)
+        return bitmap.expand_words(self.validity, self.padded) & row_mask(
+            self.padded, self.length)
+
+    def with_values(self, values: jax.Array) -> "DeviceColumn":
+        return replace(self, values=values)
+
+
+def row_mask(padded: int, length) -> jax.Array:
+    """mask[i] = i < length (length may be traced)."""
+    return jnp.arange(padded, dtype=jnp.int32) < jnp.asarray(length, jnp.int32)
+
+
+# ---------------------------------------------------------------------------
+# Host -> device
+# ---------------------------------------------------------------------------
+
+def to_device(arr: Array, pad: Optional[int] = None) -> DeviceColumn:
+    t = arr.type
+    n = len(arr)
+    P = pad if pad is not None else pad_length(n)
+
+    if t.id == dt.TypeId.NULL:
+        vals = np.zeros(P, dtype=np.int8)
+        words = _pack_words(np.zeros(n, dtype=np.bool_), P)
+        return DeviceColumn(jnp.asarray(vals), jnp.asarray(words), n, t)
+
+    mask = arr.validity_bools() if arr.null_count else None
+
+    if t.id == dt.TypeId.BOOL:
+        host = np.zeros(P, dtype=np.bool_)
+        host[:n] = arr.to_numpy()
+    elif t.id == dt.TypeId.DICTIONARY:
+        from ..array.arrays import DictionaryArray
+        assert isinstance(arr, DictionaryArray)
+        codes = np.zeros(P, dtype=np.int32)
+        codes[:n] = np.asarray(arr.indices.to_numpy(), dtype=np.int32)
+        dc = DeviceColumn(jnp.asarray(codes),
+                          None if mask is None else jnp.asarray(_pack_words(mask, P)),
+                          n, t, dictionary=arr.dictionary)
+        return dc
+    elif t.is_binary_like:
+        # dictionary-encode at ingest (TPU has no pointers; §7 hard parts)
+        from ..array.builders import DictionaryBuilder
+        b = DictionaryBuilder(dt.dictionary(dt.int32, t))
+        b.append_values(arr.to_pylist())
+        return to_device(b.finish(), pad=P)
+    elif t.id == dt.TypeId.DECIMAL128:
+        from ..array.arrays import DecimalArray
+        assert isinstance(arr, DecimalArray)
+        d = arr.data
+        raw = d.buffers[1].data[d.offset * 16:(d.offset + n) * 16]
+        words = raw.view(np.uint64).reshape(n, 2) if n else np.zeros((0, 2), np.uint64)
+        host = np.zeros((P, 2), dtype=np.uint64)
+        host[:n] = words
+    elif t.np_dtype is not None and t.np_dtype.kind in "iufb":
+        host = np.zeros(P, dtype=t.np_dtype)
+        host[:n] = arr.values
+    else:
+        raise NotImplementedError(f"to_device for {t}")
+
+    return DeviceColumn(
+        jnp.asarray(host),
+        None if mask is None else jnp.asarray(_pack_words(mask, P)),
+        n, t)
+
+
+def from_device(col: DeviceColumn) -> Array:
+    t = col.type
+    n = col.length
+    if t.id == dt.TypeId.NULL:
+        from ..array.arrays import nulls
+        return nulls(n, t)
+    vals = np.asarray(jax.device_get(col.values))[:n]
+    mask = (None if col.validity is None
+            else _unpack_words(np.asarray(jax.device_get(col.validity)), n))
+    if t.id == dt.TypeId.DICTIONARY:
+        from ..array.arrays import ArrayData
+        from ..memory.buffer import Buffer
+        codes = vals.astype(t.index_type.np_dtype)
+        nc = None if mask is None else int(n - mask.sum())
+        vb = None
+        if mask is not None and not mask.all():
+            vb = Buffer(bitutil.pack_bits(mask))
+        return make_array(ArrayData(t, n, [vb, Buffer.wrap(codes)],
+                                    dictionary=col.dictionary.data,
+                                    null_count=nc))
+    if t.id == dt.TypeId.DECIMAL128:
+        from ..array.arrays import ArrayData
+        from ..memory.buffer import Buffer
+        raw = np.ascontiguousarray(vals.astype(np.uint64)).view(np.uint8)
+        nc = None if mask is None else int(n - mask.sum())
+        vb = None
+        if mask is not None and not mask.all():
+            vb = Buffer(bitutil.pack_bits(mask))
+        return make_array(ArrayData(t, n, [vb, Buffer(raw)], null_count=nc))
+    if t.np_dtype is not None or t.id == dt.TypeId.BOOL:
+        return from_numpy(vals.astype(t.np_dtype) if t.np_dtype is not None else vals,
+                          mask, t)
+    raise NotImplementedError(f"from_device for {t}")
+
+
+@dataclass
+class DeviceBatch:
+    """Schema + device columns: the device-resident RecordBatch."""
+
+    schema: dt.Schema
+    columns: List[DeviceColumn]
+    length: int
+
+    def column(self, key) -> DeviceColumn:
+        if isinstance(key, str):
+            key = self.schema.field_index(key)
+        return self.columns[key]
+
+    @property
+    def padded(self) -> int:
+        return self.columns[0].padded if self.columns else 0
+
+
+def batch_to_device(rb: RecordBatch, pad: Optional[int] = None) -> DeviceBatch:
+    P = pad if pad is not None else pad_length(rb.num_rows)
+    cols = [to_device(c, pad=P) for c in rb.columns]
+    return DeviceBatch(rb.schema, cols, rb.num_rows)
+
+
+def batch_from_device(db: DeviceBatch) -> RecordBatch:
+    cols = [from_device(c) for c in db.columns]
+    # device strings come back dictionary-encoded; decode to declared type
+    out_cols, fields = [], []
+    for f, c in zip(db.schema.fields, cols):
+        if c.type.id == dt.TypeId.DICTIONARY and f.type.id != dt.TypeId.DICTIONARY:
+            c = c.decode()
+        out_cols.append(c)
+        fields.append(f.with_type(c.type))
+    return RecordBatch(dt.Schema(fields, db.schema.metadata), out_cols, db.length)

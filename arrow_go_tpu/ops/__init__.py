@@ -1,0 +1,1 @@
+from . import bitmap, reductions, selection  # noqa: F401

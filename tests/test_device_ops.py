@@ -1,0 +1,167 @@
+"""Device block + tier-1 kernel tests: pallas (interpret on CPU) vs XLA vs
+numpy oracle — the asm/noasm parity pattern (SURVEY.md §4)."""
+import numpy as np
+import pytest
+
+import arrow_go_tpu as agt
+from arrow_go_tpu import dtypes as dt
+from arrow_go_tpu.device import (batch_from_device, batch_to_device,
+                                 from_device, pad_length, to_device)
+from arrow_go_tpu.ops import bitmap, reductions, selection
+
+import jax.numpy as jnp
+
+
+def test_pad_length_buckets():
+    assert pad_length(1) == 128
+    assert pad_length(128) == 128
+    assert pad_length(129) == 256
+    assert pad_length(8192) == 8192
+    # overhead bounded ~12.5%
+    for n in [1000, 5000, 123457, 10**6]:
+        p = pad_length(n)
+        assert p >= n and p <= n * 1.13 + 128
+        assert p % 128 == 0
+
+
+@pytest.mark.parametrize("typ,vals", [
+    (dt.int64, [1, -2, None, 4]),
+    (dt.int32, [1, 2, 3]),
+    (dt.uint8, [0, 255, None]),
+    (dt.float32, [1.5, None, -2.5]),
+    (dt.float64, [1e300, None, 2.0]),
+    (dt.bool_, [True, None, False]),
+])
+def test_device_roundtrip(typ, vals):
+    a = agt.array(vals, typ)
+    assert from_device(to_device(a)).to_pylist() == a.to_pylist()
+
+
+def test_device_roundtrip_strings():
+    a = agt.array(["x", None, "yy", "x"])
+    back = from_device(to_device(a))
+    # strings come back dictionary-encoded; logical values equal
+    assert back.to_pylist() == a.to_pylist()
+
+
+def test_device_roundtrip_decimal():
+    import decimal
+    a = agt.array([decimal.Decimal("12.34"), None, decimal.Decimal("-99999999999999999.99")],
+                  dt.decimal128(38, 2))
+    assert from_device(to_device(a)).to_pylist() == a.to_pylist()
+
+
+def test_batch_roundtrip():
+    rb = agt.record_batch({"i": [1, None, 3], "s": ["a", "b", None],
+                           "f": [0.5, 1.5, 2.5]})
+    db = batch_to_device(rb)
+    back = batch_from_device(db)
+    assert back.to_pydict() == rb.to_pydict()
+
+
+@pytest.mark.parametrize("op", ["sum", "min", "max"])
+@pytest.mark.parametrize("npdt", [np.int32, np.int64, np.float32, np.float64,
+                                  np.uint32])
+@pytest.mark.parametrize("impl", ["xla", "pallas"])
+def test_reductions_parity(rng, op, npdt, impl):
+    n = 1000
+    vals = rng.integers(-100, 100, n).astype(npdt) if np.issubdtype(npdt, np.integer) \
+        else rng.standard_normal(n).astype(npdt)
+    if npdt == np.uint32:
+        vals = np.abs(vals.view(np.int32)).astype(np.uint32)
+    mask = rng.random(n) < 0.8
+    col = to_device(agt.from_numpy(vals, mask))
+    got = reductions.reduce(col.values, col.validity, col.length, op, impl=impl)
+    expect = {"sum": vals[mask].sum(), "min": vals[mask].min(),
+              "max": vals[mask].max()}[op]
+    if np.issubdtype(npdt, np.floating):
+        assert np.isclose(float(got), float(expect), rtol=1e-5)
+    else:
+        assert int(got) == int(expect)
+
+
+@pytest.mark.parametrize("impl", ["xla", "pallas"])
+def test_reduction_no_validity(rng, impl):
+    vals = rng.standard_normal(8192).astype(np.float32)
+    col = to_device(agt.from_numpy(vals))
+    got = reductions.reduce(col.values, None, col.length, "sum", impl=impl)
+    assert np.isclose(float(got), vals.sum(), rtol=1e-4)
+
+
+def test_count_valid(rng):
+    vals = np.arange(500, dtype=np.int64)
+    mask = rng.random(500) < 0.5
+    col = to_device(agt.from_numpy(vals, mask))
+    assert int(reductions.count_valid(col.values, col.validity, col.length)) \
+        == int(mask.sum())
+    col2 = to_device(agt.from_numpy(vals))
+    assert int(reductions.count_valid(col2.values, None, col2.length)) == 500
+
+
+def test_mean(rng):
+    vals = rng.standard_normal(300).astype(np.float64)
+    mask = rng.random(300) < 0.7
+    col = to_device(agt.from_numpy(vals, mask))
+    got = reductions.mean(col.values, col.validity, col.length)
+    assert np.isclose(float(got), vals[mask].mean())
+
+
+def test_bitmap_words_roundtrip(rng):
+    m = rng.random(256) < 0.5
+    words = bitmap.pack_mask(jnp.asarray(m))
+    back = bitmap.expand_words(words, 256)
+    assert np.array_equal(np.asarray(back), m)
+    assert int(bitmap.popcount_words(words)) == int(m.sum())
+
+
+def test_length_words():
+    w = bitmap.length_words(128, 37)
+    m = np.asarray(bitmap.expand_words(w, 128))
+    assert m[:37].all() and not m[37:].any()
+
+
+def test_filter_indices(rng):
+    n, P = 300, 384
+    m = rng.random(P) < 0.3
+    m[n:] = True  # garbage beyond n must be ignored
+    idx, cnt = selection.filter_indices(jnp.asarray(m), None, n)
+    expect = np.nonzero(m[:n])[0]
+    assert int(cnt) == len(expect)
+    assert np.array_equal(np.asarray(idx)[: len(expect)], expect)
+
+
+def test_filter_indices_with_null_mask(rng):
+    P = 128
+    m = np.zeros(P, bool)
+    m[:10] = [1, 0, 1, 1, 0, 1, 0, 0, 1, 0]
+    mv = np.ones(P, bool)
+    mv[:10] = [1, 1, 0, 1, 1, 1, 1, 0, 1, 1]  # slots 2,7 are null
+    words = bitmap.pack_mask(jnp.asarray(mv))
+    # drop: null mask slots select nothing
+    idx, cnt = selection.filter_indices(jnp.asarray(m), words, 10, "drop")
+    assert int(cnt) == 4
+    assert list(np.asarray(idx)[:4]) == [0, 3, 5, 8]
+    # emit_null: null mask slots produce null rows (-1)
+    idx2, cnt2 = selection.filter_indices(jnp.asarray(m), words, 10, "emit_null")
+    assert int(cnt2) == 6
+    assert list(np.asarray(idx2)[:6]) == [0, -1, 3, 5, -1, 8]
+
+
+def test_gather_and_take_validity(rng):
+    vals = jnp.asarray(np.arange(128, dtype=np.int64))
+    idx = jnp.asarray(np.array([5, -1, 7, 100], dtype=np.int32))
+    idx_full = jnp.concatenate([idx, jnp.zeros(124, jnp.int32)])
+    out = selection.gather(vals, idx_full)
+    assert list(np.asarray(out)[:4])[0] == 5
+    vwords = selection.take_validity(None, idx_full, 4, 128)
+    m = np.asarray(bitmap.expand_words(vwords, 128))
+    assert list(m[:4]) == [True, False, True, True]
+    assert not m[4:].any()
+
+
+def test_take_bounds_check():
+    idx = jnp.asarray(np.array([0, 5, 99, 3] + [0] * 124, dtype=np.int32))
+    bad = selection.take_indices_checked(idx, None, 4, 50)
+    assert int(bad) == 1  # 99 out of range
+    ok = selection.take_indices_checked(idx, None, 4, 100)
+    assert int(ok) == 0
