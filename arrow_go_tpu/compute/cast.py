@@ -1,0 +1,156 @@
+"""Cast kernels (reference arrow/compute/cast.go:80 + internal/kernels/
+{numeric_cast,boolean_cast,string_casts,cast_temporal}.go and the
+_lib/cast_numeric.cc SIMD casts).
+
+Device path handles numeric<->numeric, bool<->numeric, temporal rescaling
+(the constant_factor.c analog) and dictionary decode; string<->numeric casts
+run on host (strings live host-side by design).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional
+
+import numpy as np
+
+from ..jaxenv import jax, jnp
+from .. import dtypes as dt
+from ..device.block import DeviceColumn, row_mask, to_device
+from ..ops import bitmap
+from .errors import ArrowInvalid, ArrowNotImplemented
+
+
+@dataclass
+class CastOptions:
+    """Safety toggles (reference compute.CastOptions)."""
+
+    allow_int_overflow: bool = False
+    allow_time_truncate: bool = False
+    allow_float_truncate: bool = False
+    allow_invalid_utf8: bool = False
+
+    @staticmethod
+    def safe() -> "CastOptions":
+        return CastOptions()
+
+    @staticmethod
+    def unsafe() -> "CastOptions":
+        return CastOptions(True, True, True, True)
+
+
+def _j(t: dt.DataType):
+    if t.id == dt.TypeId.BOOL:
+        return jnp.bool_
+    return jnp.dtype(t.np_dtype)
+
+
+def _valid_rows(col: DeviceColumn):
+    m = row_mask(col.padded, col.length)
+    if col.validity is not None:
+        m = m & bitmap.expand_words(col.validity, col.padded)
+    return m
+
+
+def can_cast(from_t: dt.DataType, to_t: dt.DataType) -> bool:
+    if from_t == to_t:
+        return True
+    ok_src = from_t.is_numeric or from_t.id == dt.TypeId.BOOL or from_t.is_temporal
+    ok_dst = to_t.is_numeric or to_t.id == dt.TypeId.BOOL or to_t.is_temporal
+    if ok_src and ok_dst:
+        return True
+    if from_t.id == dt.TypeId.DICTIONARY:
+        return can_cast(from_t.value_type, to_t)
+    if from_t.is_binary_like and (to_t.is_binary_like or to_t.is_numeric):
+        return True
+    if to_t.is_binary_like and (from_t.is_numeric or from_t.id == dt.TypeId.BOOL):
+        return True
+    return False
+
+
+def cast_device(col: DeviceColumn, to_t: dt.DataType,
+                options: Optional[CastOptions] = None) -> DeviceColumn:
+    options = options or CastOptions()
+    from_t = col.type
+    if from_t == to_t:
+        return col
+
+    if from_t.id == dt.TypeId.DICTIONARY:
+        # decode: gather dictionary values through codes (device) — only for
+        # fixed-width dictionaries; string dicts decode host-side
+        vt = from_t.value_type
+        if vt.is_numeric or vt.id == dt.TypeId.BOOL:
+            dvals = to_device(col.dictionary, pad=max(128, col.dictionary and len(col.dictionary) or 128))
+            codes = jnp.clip(col.values, 0, max(len(col.dictionary) - 1, 0))
+            decoded = jnp.take(dvals.values, codes, axis=0)
+            dec = DeviceColumn(decoded, col.validity, col.length, vt)
+            return cast_device(dec, to_t, options)
+        raise ArrowNotImplemented(f"device cast from {from_t}")
+
+    # temporal rescale (constant factor multiply/divide,
+    # reference internal/kernels/constant_factor.go)
+    if from_t.is_temporal and to_t.is_temporal:
+        f_unit = getattr(from_t, "unit", None)
+        t_unit = getattr(to_t, "unit", None)
+        v = col.values.astype(jnp.int64)
+        if f_unit is not None and t_unit is not None:
+            fm, tm = f_unit.multiplier, t_unit.multiplier
+            if tm >= fm:
+                v = v * (tm // fm)
+            else:
+                q = fm // tm
+                if not options.allow_time_truncate:
+                    bad = (v % q != 0) & _valid_rows(col)
+                    if bool(jnp.any(bad)):
+                        raise ArrowInvalid(
+                            f"casting {from_t} -> {to_t} would lose data")
+                v = v // q
+        return DeviceColumn(v.astype(_j(to_t)), col.validity, col.length, to_t)
+
+    src_ok = from_t.is_numeric or from_t.id == dt.TypeId.BOOL or from_t.is_temporal
+    dst_ok = to_t.is_numeric or to_t.id == dt.TypeId.BOOL or to_t.is_temporal
+    if not (src_ok and dst_ok):
+        raise ArrowNotImplemented(f"device cast {from_t} -> {to_t}")
+
+    v = col.values
+    out = v.astype(_j(to_t)) if to_t.id != dt.TypeId.BOOL else (v != 0)
+
+    if to_t.id != dt.TypeId.BOOL and from_t.id != dt.TypeId.BOOL:
+        valid = _valid_rows(col)
+        if from_t.is_floating and to_t.is_integer and not options.allow_float_truncate:
+            back = out.astype(v.dtype)
+            if bool(jnp.any((back != v) & valid & ~jnp.isnan(v))):
+                raise ArrowInvalid(f"float value truncated casting to {to_t}")
+        if from_t.is_floating and to_t.is_integer:
+            if bool(jnp.any(jnp.isnan(v) & valid)) and not options.allow_invalid_utf8:
+                pass  # NaN -> undefined int; arrow errors unless unsafe
+        if not options.allow_int_overflow and _narrowing(from_t, to_t):
+            back = out.astype(v.dtype) if not from_t.is_floating else out
+            if from_t.is_floating:
+                lo, hi = _int_range(to_t)
+                bad = (v < lo) | (v > hi) | jnp.isnan(v)
+            else:
+                bad = back != v
+                if from_t.is_signed_integer and to_t.is_unsigned_integer:
+                    bad = bad | (v < 0)
+                if from_t.is_unsigned_integer and to_t.is_signed_integer:
+                    bad = bad | (out < 0)
+            if bool(jnp.any(bad & valid)):
+                raise ArrowInvalid(f"integer value out of bounds casting "
+                                   f"{from_t} -> {to_t}")
+    return DeviceColumn(out, col.validity, col.length, to_t)
+
+
+def _narrowing(a: dt.DataType, b: dt.DataType) -> bool:
+    if a.is_floating and b.is_integer:
+        return True
+    if a.is_integer and b.is_integer:
+        if a.bit_width > b.bit_width:
+            return True
+        if a.is_signed_integer != b.is_signed_integer:
+            return True
+    return False
+
+
+def _int_range(t: dt.DataType):
+    info = np.iinfo(t.np_dtype)
+    return float(info.min), float(info.max)

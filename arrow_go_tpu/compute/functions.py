@@ -1,0 +1,706 @@
+"""Default function registry contents: all kernel families.
+
+Mirrors the reference's lazily-initialized default registry which registers
+its 9 families (registry.go:47-59): scalar arithmetic, comparisons,
+boolean, cast, validity, selection (filter/take), vector hash
+(unique/value_counts/dictionary_encode), vector sort, and scalar
+aggregates.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field as dc_field
+from typing import Any, List, Optional, Sequence, Tuple, Union
+
+import numpy as np
+
+from ..jaxenv import jax, jnp
+from .. import dtypes as dt
+from ..array.arrays import Array, from_numpy, make_array, with_validity
+from ..array.record import ChunkedArray, RecordBatch, Table
+from ..device.block import (DeviceBatch, DeviceColumn, batch_to_device,
+                            from_device, pad_length, row_mask, to_device)
+from ..ops import bitmap, hashing, reductions, selection, sort as sort_ops
+from . import cast as cast_mod
+from . import kernels
+from .errors import ArrowIndexError, ArrowInvalid, ArrowNotImplemented
+from .registry import Arity, Function, FunctionKind, FunctionRegistry
+
+
+# ---------------------------------------------------------------------------
+# options
+# ---------------------------------------------------------------------------
+
+@dataclass
+class FilterOptions:
+    null_selection: str = "drop"          # 'drop' | 'emit_null'
+
+
+@dataclass
+class TakeOptions:
+    bounds_check: bool = True
+
+
+@dataclass
+class SortKey:
+    target: Union[str, int]
+    order: str = "ascending"
+
+
+@dataclass
+class SortOptions:
+    keys: List[SortKey] = dc_field(default_factory=list)
+    null_placement: str = "at_end"        # 'at_end' | 'at_start'
+
+
+@dataclass
+class SetLookupOptions:
+    value_set: Any = None
+    skip_nulls: bool = False
+
+
+@dataclass
+class VarianceOptions:
+    ddof: int = 0
+
+
+@dataclass
+class CountOptions:
+    mode: str = "only_valid"              # 'only_valid' | 'only_null' | 'all'
+
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+def _as_device(v, pad=None) -> DeviceColumn:
+    if isinstance(v, DeviceColumn):
+        return v
+    if isinstance(v, ChunkedArray):
+        v = v.combine()
+    if isinstance(v, Array):
+        return to_device(v, pad=pad)
+    raise ArrowNotImplemented(f"expected array, got {type(v)}")
+
+
+def _maybe_host(result, *inputs):
+    host = any(isinstance(i, (Array, ChunkedArray, RecordBatch, Table))
+               for i in inputs)
+    if not host:
+        return result
+    if isinstance(result, DeviceColumn):
+        return from_device(result)
+    if isinstance(result, DeviceBatch):
+        from ..device.block import batch_from_device
+        return batch_from_device(result)
+    return result
+
+
+def _trim(col: DeviceColumn, count: int) -> DeviceColumn:
+    """Shrink capacity after a filter when the waste is large."""
+    newP = pad_length(max(count, 1))
+    if newP < col.padded:
+        vals = col.values[:newP]
+        val_words = col.validity[: newP // 32] if col.validity is not None else None
+        return DeviceColumn(vals, val_words, count, col.type, col.dictionary)
+    return DeviceColumn(col.values, col.validity, count, col.type,
+                        col.dictionary)
+
+
+# ---------------------------------------------------------------------------
+# selection: filter / take (reference selection.go MetaFunctions)
+# ---------------------------------------------------------------------------
+
+def _take_device(col: DeviceColumn, idx, count: int) -> DeviceColumn:
+    P_out = idx.shape[0]
+    vals = selection.gather(col.values, idx)
+    words = selection.take_validity(col.validity, idx, count, P_out)
+    return DeviceColumn(vals, words, count, col.type, col.dictionary)
+
+
+def filter_(values, mask, options: Optional[FilterOptions] = None):
+    options = options or FilterOptions()
+    if isinstance(values, Table):
+        values = values.to_batches(None)[0] if values.num_rows else \
+            RecordBatch(values.schema, [c.combine() for c in
+                        [values.column(i) for i in range(values.num_columns)]], 0)
+    if isinstance(values, RecordBatch):
+        db = batch_to_device(values)
+        mcol = _as_device(mask, pad=db.padded)
+        if mcol.type.id != dt.TypeId.BOOL:
+            raise ArrowNotImplemented("filter mask must be boolean")
+        idx, cnt = selection.filter_indices(
+            mcol.values, mcol.validity, mcol.length, options.null_selection)
+        count = int(cnt)
+        cols = [_trim(_take_device(c, idx, count), count) for c in db.columns]
+        out = DeviceBatch(db.schema, cols, count)
+        return _maybe_host(out, values, mask)
+
+    col = _as_device(values)
+    mcol = _as_device(mask, pad=col.padded)
+    if mcol.type.id != dt.TypeId.BOOL:
+        raise ArrowNotImplemented("filter mask must be boolean")
+    idx, cnt = selection.filter_indices(
+        mcol.values, mcol.validity, mcol.length, options.null_selection)
+    count = int(cnt)
+    out = _trim(_take_device(col, idx, count), count)
+    return _maybe_host(out, values, mask)
+
+
+def take(values, indices, options: Optional[TakeOptions] = None):
+    options = options or TakeOptions()
+    if isinstance(values, Table):
+        values = RecordBatch(values.schema,
+                             [values.column(i).combine()
+                              for i in range(values.num_columns)],
+                             values.num_rows)
+    if isinstance(values, RecordBatch):
+        db = batch_to_device(values)
+        icol = _as_device(indices)
+        _check_take_bounds(icol, db.length, options)
+        idx = _take_index_vector(icol)
+        cols = [_take_device(c, idx, icol.length) for c in db.columns]
+        out = DeviceBatch(db.schema, cols, icol.length)
+        return _maybe_host(out, values, indices)
+
+    col = _as_device(values)
+    icol = _as_device(indices)
+    _check_take_bounds(icol, col.length, options)
+    idx = _take_index_vector(icol)
+    out = _take_device(col, idx, icol.length)
+    return _maybe_host(out, values, indices)
+
+
+def _take_index_vector(icol: DeviceColumn):
+    idx = icol.values.astype(jnp.int32)
+    if icol.validity is not None:
+        isnull = ~bitmap.expand_words(icol.validity, icol.padded)
+        idx = jnp.where(isnull, -1, idx)
+    return idx
+
+
+def _check_take_bounds(icol: DeviceColumn, n_src: int, options: TakeOptions):
+    if not options.bounds_check:
+        return
+    bad = selection.take_indices_checked(icol.values.astype(jnp.int32),
+                                         icol.validity, icol.length, n_src)
+    if int(bad):
+        raise ArrowIndexError(f"take index out of bounds (source length {n_src})")
+
+
+# ---------------------------------------------------------------------------
+# vector hash: unique / value_counts / dictionary_encode
+# (reference vector_hash.go)
+# ---------------------------------------------------------------------------
+
+def _encode(col: DeviceColumn):
+    return hashing.encode_codes(col.values, col.type, col.validity, col.length)
+
+
+def _unique_host_values(col: DeviceColumn, res) -> Tuple[list, List[bool]]:
+    """Unique values (host list) in first-occurrence order + validity list."""
+    P = col.padded
+    n_unique = int(res.n_unique)
+    has_null = bool(res.has_null)
+    first = np.asarray(jax.device_get(res.first_index))[:n_unique]
+    null_row = int(res.null_first_row)
+    vals = np.asarray(jax.device_get(col.values))
+    order = np.argsort(first, kind="stable")
+    entries = []  # (first_row, value_or_None)
+    for code in order:
+        entries.append((int(first[code]), vals[first[code]]))
+    if has_null:
+        entries.append((null_row, None))
+    entries.sort(key=lambda e: e[0])
+    out_vals = [e[1] for e in entries]
+    return out_vals, [v is not None for v in out_vals]
+
+
+def unique(values, options=None):
+    col = _as_device(values)
+    if col.type.id == dt.TypeId.DICTIONARY:
+        return _unique_dictionary(col, values)
+    res = _encode(col)
+    out_vals, valid = _unique_host_values(col, res)
+    arr = from_numpy(
+        np.array([0 if v is None else v for v in out_vals],
+                 dtype=col.type.np_dtype if col.type.np_dtype is not None
+                 else np.bool_),
+        np.array(valid, dtype=np.bool_), col.type)
+    return _maybe_host(to_device(arr), values)
+
+
+def _unique_dictionary(col: DeviceColumn, orig):
+    res = _encode(col)
+    n_unique = int(res.n_unique)
+    first = np.asarray(jax.device_get(res.first_index))[:n_unique]
+    codes = np.asarray(jax.device_get(col.values))
+    has_null = bool(res.has_null)
+    null_row = int(res.null_first_row)
+    entries = [(int(first[c]), col.dictionary[int(codes[first[c]])])
+               for c in np.argsort(first, kind="stable")]
+    if has_null:
+        entries.append((null_row, None))
+    entries.sort(key=lambda e: e[0])
+    from ..array.arrays import array as from_py
+    host = from_py([e[1] for e in entries], col.type.value_type)
+    if isinstance(orig, DeviceColumn):
+        return to_device(host)
+    return host
+
+
+def dictionary_encode(values, options=None):
+    col = _as_device(values)
+    if col.type.id == dt.TypeId.DICTIONARY:
+        return _maybe_host(col, values)
+    res = _encode(col)
+    # remap codes from rep-rank order to first-occurrence order
+    n_unique = int(res.n_unique)
+    first = res.first_index[: max(n_unique, 1)]
+    order = jnp.argsort(first[:n_unique]) if n_unique else jnp.zeros(0, jnp.int32)
+    # order[k] = old code of k-th first-occurrence value; invert it
+    remap = jnp.zeros(max(n_unique, 1), jnp.int32).at[order].set(
+        jnp.arange(n_unique, dtype=jnp.int32))
+    new_codes = jnp.where(res.codes >= 0,
+                          jnp.take(remap, jnp.clip(res.codes, 0, None),
+                                   mode="clip"), 0)
+    out_vals, valid = _unique_host_values(col, res)
+    non_null = [v for v in out_vals if v is not None]
+    from ..array.arrays import array as from_py
+    dict_host = from_numpy(
+        np.array(non_null, dtype=col.type.np_dtype) if col.type.np_dtype is not None
+        else np.array(non_null, dtype=np.bool_), None, col.type)
+    validity = col.validity
+    out = DeviceColumn(new_codes.astype(jnp.int32), validity, col.length,
+                       dt.dictionary(dt.int32, col.type), dictionary=dict_host)
+    return _maybe_host(out, values)
+
+
+def value_counts(values, options=None):
+    col = _as_device(values)
+    res = _encode(col)
+    counts = hashing.value_counts_from_codes(res, col.padded, col.length)
+    n_unique = int(res.n_unique)
+    first = np.asarray(jax.device_get(res.first_index))[:n_unique]
+    cnts = np.asarray(jax.device_get(counts))
+    has_null = bool(res.has_null)
+    null_row = int(res.null_first_row)
+    null_count = int(cnts[col.padded]) if has_null else 0
+
+    if col.type.id == dt.TypeId.DICTIONARY:
+        codes_np = np.asarray(jax.device_get(col.values))
+        val_of = lambda code: col.dictionary[int(codes_np[first[code]])]
+        vtype = col.type.value_type
+    else:
+        vals_np = np.asarray(jax.device_get(col.values))
+        val_of = lambda code: vals_np[first[code]].item()
+        vtype = col.type
+    entries = [(int(first[c]), val_of(c), int(cnts[c])) for c in range(n_unique)]
+    if has_null:
+        entries.append((null_row, None, null_count))
+    entries.sort(key=lambda e: e[0])
+    from ..array.arrays import array as from_py
+    values_arr = from_py([e[1] for e in entries], vtype)
+    counts_arr = from_py([e[2] for e in entries], dt.int64)
+    st = dt.struct([dt.Field("values", vtype), dt.Field("counts", dt.int64)])
+    from ..array.arrays import ArrayData
+    data = ArrayData(st, len(entries), [None],
+                     children=[values_arr.data, counts_arr.data], null_count=0)
+    return make_array(data)
+
+
+# ---------------------------------------------------------------------------
+# vector sort (reference vector_sort.go SortIndices)
+# ---------------------------------------------------------------------------
+
+def _column_sort_key(col: DeviceColumn, descending: bool, nulls_first: bool):
+    rank = None
+    vals = col.values
+    if col.type.id == dt.TypeId.DICTIONARY:
+        # host-side dictionary ranks give string order on device
+        dvals = col.dictionary.to_pylist()
+        order = sorted(range(len(dvals)), key=lambda i: dvals[i])
+        r = np.zeros(max(len(dvals), 1), dtype=np.int64)
+        for rnk, i in enumerate(order):
+            r[i] = rnk
+        rank = jnp.asarray(r)
+    elif col.type.id == dt.TypeId.BOOL:
+        vals = col.values
+    return sort_ops.sort_key(vals, col.type, col.validity, col.length,
+                             descending=descending, nulls_first=nulls_first,
+                             rank=rank)
+
+
+def sort_indices(values, options: Optional[SortOptions] = None, *,
+                 order: str = "ascending", null_placement: str = "at_end"):
+    """Sort indices of an Array / ChunkedArray / RecordBatch / Table."""
+    nulls_first = ((options.null_placement if options else null_placement)
+                   == "at_start")
+    if isinstance(values, (RecordBatch, Table)):
+        if isinstance(values, Table):
+            values = RecordBatch(values.schema,
+                                 [values.column(i).combine()
+                                  for i in range(values.num_columns)],
+                                 values.num_rows)
+        if not options or not options.keys:
+            raise ArrowInvalid("record sort requires SortOptions.keys")
+        db = batch_to_device(values)
+        keys = []
+        for k in options.keys:
+            col = db.column(k.target)
+            keys.append(_column_sort_key(col, k.order == "descending",
+                                         nulls_first))
+        perm = sort_ops.argsort_multi(keys)
+        out = DeviceColumn(perm.astype(jnp.int64), None, values.num_rows,
+                           dt.int64)
+        return _maybe_host(out, values)
+
+    col = _as_device(values)
+    desc = (options.keys[0].order == "descending") if (options and options.keys) \
+        else (order == "descending")
+    key = _column_sort_key(col, desc, nulls_first)
+    perm = sort_ops.argsort_single(key)
+    out = DeviceColumn(perm.astype(jnp.int64), None, col.length, dt.int64)
+    return _maybe_host(out, values)
+
+
+# ---------------------------------------------------------------------------
+# set lookup (reference scalar_set_lookup.go IsIn)
+# ---------------------------------------------------------------------------
+
+def is_in(values, options: SetLookupOptions = None, value_set=None):
+    if options is None:
+        options = SetLookupOptions(value_set=value_set)
+    col = _as_device(values)
+    vset = options.value_set
+    if isinstance(vset, (list, tuple)):
+        from ..array.arrays import array as from_py
+        vset = from_py(list(vset),
+                       col.type if col.type.id != dt.TypeId.DICTIONARY
+                       else col.type.value_type)
+    if col.type.id == dt.TypeId.DICTIONARY:
+        dvals = col.dictionary.to_pylist()
+        sset = set(vset.to_pylist())
+        member = np.array([v in sset for v in dvals], dtype=np.bool_)
+        member_d = jnp.asarray(member) if len(member) else jnp.zeros(1, jnp.bool_)
+        out_vals = jnp.take(member_d, jnp.clip(col.values, 0, max(len(dvals) - 1, 0)))
+        set_has_null = any(v is None for v in vset.to_pylist())
+    else:
+        sd = to_device(vset)
+        svals = sd.values[: len(vset)] if len(vset) else sd.values[:0]
+        smask = (np.ones(len(vset), bool) if vset.null_count == 0
+                 else vset.validity_bools())
+        sv = np.asarray(jax.device_get(svals))[np.asarray(smask)]
+        sv_sorted = jnp.asarray(np.sort(sv)) if sv.size else jnp.zeros(0, svals.dtype)
+        if sv_sorted.size:
+            pos = jnp.searchsorted(sv_sorted, col.values)
+            pos_c = jnp.clip(pos, 0, sv_sorted.shape[0] - 1)
+            out_vals = jnp.take(sv_sorted, pos_c) == col.values
+        else:
+            out_vals = jnp.zeros(col.padded, jnp.bool_)
+        set_has_null = vset.null_count > 0
+    valid_rows = row_mask(col.padded, col.length)
+    if col.validity is not None:
+        isvalid = bitmap.expand_words(col.validity, col.padded)
+        if set_has_null and not options.skip_nulls:
+            out_vals = jnp.where(isvalid, out_vals, True)
+        else:
+            out_vals = jnp.where(isvalid, out_vals, False)
+    out_vals = out_vals & valid_rows
+    out = DeviceColumn(out_vals, None, col.length, dt.bool_)
+    return _maybe_host(out, values)
+
+
+def index_in(values, options: SetLookupOptions = None, value_set=None):
+    if options is None:
+        options = SetLookupOptions(value_set=value_set)
+    col = _as_device(values)
+    vset = options.value_set
+    from ..array.arrays import array as from_py
+    if isinstance(vset, (list, tuple)):
+        vset = from_py(list(vset), col.type if col.type.id != dt.TypeId.DICTIONARY
+                       else col.type.value_type)
+    # host memo of set -> first index
+    memo = {}
+    for i, v in enumerate(vset.to_pylist()):
+        if v not in memo:
+            memo[v] = i
+    host_vals = (from_device(col).to_pylist())
+    out = [memo.get(v) for v in host_vals]
+    res = from_py(out, dt.int32)
+    if isinstance(values, DeviceColumn):
+        return to_device(res)
+    return res
+
+
+# ---------------------------------------------------------------------------
+# fill_null / if_else / coalesce
+# ---------------------------------------------------------------------------
+
+def fill_null(values, fill_value):
+    col = _as_device(values)
+    if col.validity is None:
+        return _maybe_host(col, values)
+    isvalid = bitmap.expand_words(col.validity, col.padded)
+    if isinstance(fill_value, DeviceColumn):
+        fv = fill_value.values
+    else:
+        fv = jnp.full(col.padded, fill_value, col.values.dtype)
+    out = DeviceColumn(jnp.where(isvalid, col.values, fv), None, col.length,
+                       col.type, col.dictionary)
+    return _maybe_host(out, values)
+
+
+def if_else(cond, left, right):
+    c = _as_device(cond)
+    pad = c.padded
+    l = left if isinstance(left, DeviceColumn) else (
+        _as_device(left, pad) if isinstance(left, (Array, ChunkedArray)) else left)
+    r = right if isinstance(right, DeviceColumn) else (
+        _as_device(right, pad) if isinstance(right, (Array, ChunkedArray)) else right)
+    lt = l.type if isinstance(l, DeviceColumn) else r.type if isinstance(r, DeviceColumn) else None
+    if lt is None:
+        raise ArrowNotImplemented("if_else needs at least one array operand")
+    lv = l.values if isinstance(l, DeviceColumn) else jnp.full(pad, l, lt.np_dtype)
+    rv = r.values if isinstance(r, DeviceColumn) else jnp.full(pad, r, lt.np_dtype)
+    out_vals = jnp.where(c.values, lv, rv)
+    lval = l.validity if isinstance(l, DeviceColumn) else None
+    rval = r.validity if isinstance(r, DeviceColumn) else None
+    lmask = bitmap.expand_words(lval, pad) if lval is not None else jnp.ones(pad, jnp.bool_)
+    rmask = bitmap.expand_words(rval, pad) if rval is not None else jnp.ones(pad, jnp.bool_)
+    chosen = jnp.where(c.values, lmask, rmask)
+    if c.validity is not None:
+        chosen = chosen & bitmap.expand_words(c.validity, pad)
+    validity = None if bool(jnp.all(chosen)) else bitmap.pack_mask(chosen)
+    out = DeviceColumn(out_vals, validity, c.length, lt)
+    return _maybe_host(out, cond, left, right)
+
+
+# ---------------------------------------------------------------------------
+# scalar aggregates (reference compute "sum"/"min_max"/"count"/"mean")
+# ---------------------------------------------------------------------------
+
+def _agg_result(col: DeviceColumn, val, as_py=True):
+    return val
+
+
+def agg_sum(values, options=None):
+    col = _as_device(values)
+    if int(reductions.count_valid(col.values, col.validity, col.length)) == 0:
+        return None
+    return reductions.reduce(col.values, col.validity, col.length, "sum").item()
+
+
+def agg_min(values, options=None):
+    col = _as_device(values)
+    if int(reductions.count_valid(col.values, col.validity, col.length)) == 0:
+        return None
+    return reductions.reduce(col.values, col.validity, col.length, "min").item()
+
+
+def agg_max(values, options=None):
+    col = _as_device(values)
+    if int(reductions.count_valid(col.values, col.validity, col.length)) == 0:
+        return None
+    return reductions.reduce(col.values, col.validity, col.length, "max").item()
+
+
+def agg_mean(values, options=None):
+    col = _as_device(values)
+    if int(reductions.count_valid(col.values, col.validity, col.length)) == 0:
+        return None
+    return reductions.mean(col.values, col.validity, col.length).item()
+
+
+def agg_count(values, options: Optional[CountOptions] = None):
+    options = options or CountOptions()
+    col = _as_device(values)
+    valid = int(reductions.count_valid(col.values, col.validity, col.length))
+    if options.mode == "only_valid":
+        return valid
+    if options.mode == "only_null":
+        return col.length - valid
+    return col.length
+
+
+def agg_count_distinct(values, options=None):
+    col = _as_device(values)
+    res = hashing.encode_codes(col.values, col.type, col.validity, col.length)
+    return int(res.n_unique) + (1 if bool(res.has_null) else 0)
+
+
+def agg_any(values, options=None):
+    col = _as_device(values)
+    m = col.validity_mask()
+    return bool(jnp.any(col.values & m))
+
+
+def agg_all(values, options=None):
+    col = _as_device(values)
+    m = col.validity_mask()
+    return bool(jnp.all(col.values | ~m))
+
+
+def agg_product(values, options=None):
+    col = _as_device(values)
+    if int(reductions.count_valid(col.values, col.validity, col.length)) == 0:
+        return None
+    m = col.validity_mask()
+    one = jnp.ones((), col.values.dtype)
+    return jnp.prod(jnp.where(m, col.values, one)).item()
+
+
+def agg_variance(values, options: Optional[VarianceOptions] = None):
+    options = options or VarianceOptions()
+    col = _as_device(values)
+    m = col.validity_mask()
+    cnt = jnp.sum(m.astype(jnp.float64))
+    x = jnp.where(m, col.values.astype(jnp.float64), 0.0)
+    mean = jnp.sum(x) / cnt
+    sq = jnp.where(m, (col.values.astype(jnp.float64) - mean) ** 2, 0.0)
+    return (jnp.sum(sq) / (cnt - options.ddof)).item()
+
+
+def agg_stddev(values, options: Optional[VarianceOptions] = None):
+    return float(np.sqrt(agg_variance(values, options)))
+
+
+def min_max(values, options=None):
+    return {"min": agg_min(values), "max": agg_max(values)}
+
+
+# ---------------------------------------------------------------------------
+# registration
+# ---------------------------------------------------------------------------
+
+def register_all(reg: FunctionRegistry) -> None:
+    # scalar arithmetic: checked + unchecked variants (reference arithmetic.go)
+    for op in ("add", "subtract", "multiply", "divide", "power", "atan2",
+               "logb", "bit_wise_and", "bit_wise_or", "bit_wise_xor",
+               "shift_left", "shift_right", "max_element_wise",
+               "min_element_wise", "mod"):
+        reg.register(Function(op, FunctionKind.SCALAR, Arity.binary(),
+                              _mk_binary(op, checked=True)))
+        reg.register(Function(op + "_unchecked", FunctionKind.SCALAR,
+                              Arity.binary(), _mk_binary(op, checked=False)))
+    for op in ("negate", "abs", "sign", "sqrt", "exp", "expm1", "sin", "cos",
+               "tan", "asin", "acos", "atan", "sinh", "cosh", "tanh", "ln",
+               "log10", "log2", "log1p", "floor", "ceil", "trunc",
+               "bit_wise_not"):
+        reg.register(Function(op, FunctionKind.SCALAR, Arity.unary(),
+                              _mk_unary(op, checked=True)))
+        reg.register(Function(op + "_unchecked", FunctionKind.SCALAR,
+                              Arity.unary(), _mk_unary(op, checked=False)))
+    reg.register(Function("round", FunctionKind.SCALAR, Arity.unary(),
+                          lambda a, options=None: kernels.round_(
+                              a, **(options or {}))))
+    reg.register(Function("round_to_multiple", FunctionKind.SCALAR,
+                          Arity.unary(),
+                          lambda a, options=None: kernels.round_to_multiple(
+                              a, **(options or {"multiple": 1.0}))))
+
+    # comparisons
+    for op in ("equal", "not_equal", "less", "less_equal", "greater",
+               "greater_equal"):
+        reg.register(Function(op, FunctionKind.SCALAR, Arity.binary(),
+                              _mk_compare(op)))
+
+    # boolean
+    for op in ("and", "or", "xor", "and_not", "and_kleene", "or_kleene",
+               "and_not_kleene"):
+        reg.register(Function(op, FunctionKind.SCALAR, Arity.binary(),
+                              _mk_bool(op)))
+    reg.register(Function("invert", FunctionKind.SCALAR, Arity.unary(),
+                          lambda a, options=None: kernels.invert(a)))
+
+    # validity predicates
+    reg.register(Function("is_null", FunctionKind.SCALAR, Arity.unary(),
+                          lambda a, options=None: kernels.is_null(a)))
+    reg.register(Function("is_valid", FunctionKind.SCALAR, Arity.unary(),
+                          lambda a, options=None: kernels.is_valid(a)))
+    reg.register(Function("is_nan", FunctionKind.SCALAR, Arity.unary(),
+                          lambda a, options=None: kernels.is_nan(a)))
+    reg.register(Function("is_finite", FunctionKind.SCALAR, Arity.unary(),
+                          lambda a, options=None: kernels.is_finite(a)))
+
+    # cast
+    reg.register(Function("cast", FunctionKind.SCALAR, Arity.unary(),
+                          _exec_cast))
+
+    # selection meta functions
+    reg.register(Function("filter", FunctionKind.META, Arity.binary(),
+                          filter_, raw_args=True))
+    reg.register(Function("array_filter", FunctionKind.VECTOR, Arity.binary(),
+                          filter_, raw_args=True))
+    reg.register(Function("take", FunctionKind.META, Arity.binary(),
+                          take, raw_args=True))
+    reg.register(Function("array_take", FunctionKind.VECTOR, Arity.binary(),
+                          take, raw_args=True))
+
+    # vector hash
+    reg.register(Function("unique", FunctionKind.VECTOR, Arity.unary(),
+                          unique, raw_args=True))
+    reg.register(Function("value_counts", FunctionKind.VECTOR, Arity.unary(),
+                          value_counts, raw_args=True))
+    reg.register(Function("dictionary_encode", FunctionKind.VECTOR,
+                          Arity.unary(), dictionary_encode, raw_args=True))
+
+    # vector sort
+    reg.register(Function("sort_indices", FunctionKind.VECTOR, Arity.unary(),
+                          sort_indices, raw_args=True))
+
+    # set lookup
+    reg.register(Function("is_in", FunctionKind.SCALAR, Arity.unary(),
+                          is_in, raw_args=True))
+    reg.register(Function("index_in", FunctionKind.SCALAR, Arity.unary(),
+                          index_in, raw_args=True))
+
+    # structural
+    reg.register(Function("fill_null", FunctionKind.SCALAR, Arity.binary(),
+                          fill_null, raw_args=True))
+    reg.register(Function("if_else", FunctionKind.SCALAR, Arity.ternary(),
+                          if_else, raw_args=True))
+
+    # scalar aggregates
+    for name, fn in [("sum", agg_sum), ("min", agg_min), ("max", agg_max),
+                     ("mean", agg_mean), ("count", agg_count),
+                     ("count_distinct", agg_count_distinct),
+                     ("any", agg_any), ("all", agg_all),
+                     ("product", agg_product), ("variance", agg_variance),
+                     ("stddev", agg_stddev), ("min_max", min_max)]:
+        reg.register(Function(name, FunctionKind.SCALAR_AGGREGATE,
+                              Arity.unary(), fn, raw_args=True))
+
+
+def _mk_binary(op, checked):
+    def exec_fn(a, b, options=None):
+        return kernels.arithmetic_binary(op, a, b, checked=checked)
+    return exec_fn
+
+
+def _mk_unary(op, checked):
+    def exec_fn(a, options=None):
+        return kernels.arithmetic_unary(op, a, checked=checked)
+    return exec_fn
+
+
+def _mk_compare(op):
+    def exec_fn(a, b, options=None):
+        return kernels.compare(op, a, b)
+    return exec_fn
+
+
+def _mk_bool(op):
+    def exec_fn(a, b, options=None):
+        return kernels.boolean_binary(op, a, b)
+    return exec_fn
+
+
+def _exec_cast(a, options=None):
+    if isinstance(options, dt.DataType):
+        to_t, opts = options, None
+    elif isinstance(options, dict):
+        to_t = options.get("to_type")
+        opts = options.get("options")
+    else:
+        raise ArrowInvalid("cast requires target type")
+    return cast_mod.cast_device(a, to_t, opts)

@@ -1,0 +1,140 @@
+"""Vector hash family: unique / dictionary_encode / value_counts cores.
+
+TPU-native counterpart of the reference's memo-table engine
+(internal/hashing/xxh3_memo_table.go — GetOrInsert returning dense memo
+indices in first-occurrence order; vector_hash.go kernels built on it).
+
+The sequential memo table does not vectorize; the TPU design reaches the
+identical *semantics* (dense codes, first-occurrence order, null tracked
+separately) through sort + segment reductions, all static-shape XLA:
+
+  1. radix-key sort of (key, original index)
+  2. run starts mark distinct values; group id = prefix sum of run starts
+  3. representative index per group = segment-min of original index
+  4. first-occurrence rank = rank of representative among representatives
+     (reps sorted by original position), giving reference-identical codes
+
+Also: murmur-style avalanche hash for partitioning (parallel/shuffle).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+from ..jaxenv import jax, jnp
+from .. import dtypes as dt
+from ..device.block import DeviceColumn, row_mask
+from ..ops import bitmap
+from ..ops.sort import _orderable_bits
+
+
+class EncodeResult(NamedTuple):
+    codes: jax.Array        # int32 memo index per row (-1 for null/oob)
+    n_unique: jax.Array     # device scalar: distinct non-null values
+    has_null: jax.Array     # device scalar bool
+    first_index: jax.Array  # [P] original row of first occurrence per code
+    null_first_row: jax.Array  # device scalar: first null row (P if none)
+
+
+def encode_codes(values: jax.Array, t: dt.DataType,
+                 validity: Optional[jax.Array], n) -> EncodeResult:
+    """Dense first-occurrence codes for each row (the MemoTable analog)."""
+    P = values.shape[0]
+    valid = row_mask(P, n)
+    if validity is not None:
+        valid = valid & bitmap.expand_words(validity, P)
+
+    key = _orderable_bits(values, t).astype(jnp.uint64)
+    # invalid rows cluster at the end via a separate flag key (no key-bit
+    # stealing: 64-bit keys need their full width for distinctness)
+    flag = (~valid).astype(jnp.int32)
+
+    iota = jnp.arange(P, dtype=jnp.int32)
+    _, skey, sidx, svalid = jax.lax.sort(
+        (flag, key, iota, valid.astype(jnp.int32)), num_keys=2,
+        is_stable=True)
+    # run starts among valid rows
+    prev = jnp.concatenate([skey[:1], skey[:-1]])
+    start = (skey != prev) | (iota == 0)
+    start = start & (svalid == 1)
+    n_unique = jnp.sum(start.astype(jnp.int32))
+
+    # representative (first occurrence) = min original index per group.
+    # since sort is stable on (key, iota), the first row of each run holds
+    # the minimal original index: propagate it with a segmented max-scan
+    rep_at_start = jnp.where(start, sidx, 0)
+    seg = jax.lax.associative_scan(
+        lambda a, b: (b[0] + a[0] * (1 - b[1]), jnp.maximum(a[1], b[1])),
+        (rep_at_start, start.astype(jnp.int32)))
+    rep = seg[0]                                            # rep index per sorted row
+
+    # first-occurrence rank of each group: reps in increasing original order.
+    # ranks = rank of rep among set of reps: sort reps of group-starts.
+    reps_only = jnp.where(start, sidx, P)                   # P = +inf filler
+    sorted_reps = jax.lax.sort(reps_only)
+    code_sorted_domain = jnp.searchsorted(sorted_reps, rep).astype(jnp.int32)
+
+    codes = jnp.full(P, -1, jnp.int32)
+    codes = codes.at[sidx].set(jnp.where(svalid == 1, code_sorted_domain, -1))
+
+    first_index = jnp.full(P, P, jnp.int32)
+    first_index = first_index.at[jnp.where(start, code_sorted_domain, P)
+                                 ].min(jnp.where(start, sidx, P), mode="drop")
+
+    isnull = ~valid & row_mask(P, n)
+    has_null = jnp.any(isnull)
+    null_first_row = jnp.min(jnp.where(isnull, iota, P))
+    return EncodeResult(codes, n_unique, has_null, first_index, null_first_row)
+
+
+def value_counts_from_codes(res: EncodeResult, P: int, n) -> jax.Array:
+    """counts[code] for code in [0, n_unique); slot P holds the null count.
+    Rows beyond n scatter out of bounds and are dropped."""
+    counts = jnp.zeros(P + 1, jnp.int32)
+    slot = jnp.where(res.codes >= 0, res.codes, P)
+    slot = jnp.where(row_mask(P, n), slot, P + 1)
+    counts = counts.at[slot].add(1, mode="drop")
+    return counts
+
+
+# ---------------------------------------------------------------------------
+# scalar hashing for partitioning (reference hash_funcs.go prime-multiply)
+# ---------------------------------------------------------------------------
+
+_M1 = jnp.uint32(0x85EBCA6B)
+_M2 = jnp.uint32(0xC2B2AE35)
+
+
+def hash32(values: jax.Array) -> jax.Array:
+    """Avalanching 32-bit hash of any fixed-width column (murmur3 finalizer
+    style — role of the reference's prime-multiply hash, hash_funcs.go:27)."""
+    d = jnp.dtype(values.dtype)
+    if d == jnp.bool_:
+        x = values.astype(jnp.uint32)
+    elif d.itemsize <= 4:
+        if d.kind == "f":
+            # canonicalize NaN / -0.0 so equal values hash equal
+            v = jnp.where(jnp.isnan(values), jnp.array(jnp.nan, d), values)
+            v = jnp.where(v == 0, jnp.zeros((), d), v).astype(jnp.float32)
+            x = jax.lax.bitcast_convert_type(v, jnp.uint32)
+        else:
+            x = values.astype(jnp.uint32)
+    else:
+        if d.kind == "f":
+            v = jnp.where(jnp.isnan(values), jnp.array(jnp.nan, d), values)
+            v = jnp.where(v == 0, jnp.zeros((), d), v)
+            b = jax.lax.bitcast_convert_type(v, jnp.uint64)
+        else:
+            b = jax.lax.bitcast_convert_type(values.astype(
+                jnp.int64 if d.kind == "i" else jnp.uint64), jnp.uint64)
+        x = (b ^ (b >> 32)).astype(jnp.uint32)
+    x = x ^ (x >> 16)
+    x = x * _M1
+    x = x ^ (x >> 13)
+    x = x * _M2
+    x = x ^ (x >> 16)
+    return x
+
+
+def hash_combine(a: jax.Array, b: jax.Array) -> jax.Array:
+    """Boost-style hash combine for multi-column keys."""
+    return a ^ (b + jnp.uint32(0x9E3779B9) + (a << 6) + (a >> 2))

@@ -1,0 +1,93 @@
+"""Device sort kernels: order-preserving key transforms + stable multi-key
+argsort.
+
+TPU-native counterpart of the reference's vector sort
+(arrow/compute/internal/kernels/vector_sort.go — pdqsort + stable chunk
+merge; vector_sort_internal.go:37-151 null/NaN partitioning, :170 radix
+multi-key record sort). The TPU design maps every key column to an
+order-isomorphic unsigned integer ("radix key"): floats via the sign-flip
+bitcast trick with NaN canonicalized above +inf (matching Arrow's ordering
+numbers < NaN < null-at-end), ints via sign-bit flip, dictionary-encoded
+strings via host-computed dictionary ranks. Null placement and
+out-of-range padding ride a separate small flag key (no bit-stealing from
+the value key), and multi-key sorts run as ONE `lax.sort` with interleaved
+(flag, key) operand pairs — bitonic on TPU, VPU-parallel, stable.
+"""
+from __future__ import annotations
+
+from typing import List, NamedTuple, Optional
+
+import numpy as np
+
+from ..jaxenv import jax, jnp
+from .. import dtypes as dt
+from ..device.block import DeviceColumn, row_mask
+from ..ops import bitmap
+
+
+class SortOperand(NamedTuple):
+    flag: jax.Array   # int32: 0 null-first, 1 valid, 2 null-last, 3 padding
+    key: jax.Array    # unsigned radix key, order within flag==1
+
+
+def _orderable_bits(values: jax.Array, t: dt.DataType) -> jax.Array:
+    """Map values to uint keys whose unsigned order == logical order."""
+    d = values.dtype
+    if d == jnp.bool_:
+        return values.astype(jnp.uint32)
+    if jnp.issubdtype(d, jnp.unsignedinteger):
+        return values
+    if jnp.issubdtype(d, jnp.signedinteger):
+        ud = jnp.dtype(f"uint{d.itemsize * 8}")
+        sign = jnp.array(1 << (d.itemsize * 8 - 1), ud)
+        return jax.lax.bitcast_convert_type(values, ud) ^ sign
+    # floating: total-order trick. canonicalize NaN to +NaN so it lands at top
+    fbits = {2: jnp.uint16, 4: jnp.uint32, 8: jnp.uint64}[d.itemsize]
+    canon = jnp.where(jnp.isnan(values), jnp.array(jnp.nan, d), values)
+    bits = jax.lax.bitcast_convert_type(canon, fbits)
+    width = d.itemsize * 8
+    sign = jnp.array(1 << (width - 1), fbits)
+    neg = (bits & sign) != 0
+    return jnp.where(neg, ~bits, bits | sign)
+
+
+def sort_key(col_values: jax.Array, t: dt.DataType,
+             validity: Optional[jax.Array], n,
+             descending: bool = False, nulls_first: bool = False,
+             rank: Optional[jax.Array] = None) -> SortOperand:
+    """Build the (flag, key) operand pair for one sort column."""
+    P = col_values.shape[0]
+    if rank is not None:  # dictionary strings: host-computed rank per code
+        key = jnp.take(rank, jnp.clip(col_values, 0, rank.shape[0] - 1)
+                       ).astype(jnp.uint64)
+    else:
+        key = _orderable_bits(col_values, t).astype(jnp.uint64)
+    if descending:
+        key = ~key
+    flag = jnp.ones(P, jnp.int32)
+    if validity is not None:
+        isnull = ~bitmap.expand_words(validity, P)
+        flag = jnp.where(isnull, 0 if nulls_first else 2, flag)
+    flag = jnp.where(row_mask(P, n), flag, 3)
+    return SortOperand(flag, key)
+
+
+def argsort_single(op: SortOperand) -> jax.Array:
+    """Stable ascending argsort -> int32 permutation."""
+    P = op.key.shape[0]
+    iota = jnp.arange(P, dtype=jnp.int32)
+    res = jax.lax.sort((op.flag, op.key, iota), num_keys=2, is_stable=True)
+    return res[-1]
+
+
+def argsort_multi(ops: List[SortOperand]) -> jax.Array:
+    """Stable multi-key argsort, first operand most significant — a single
+    lax.sort with 2k interleaved keys."""
+    P = ops[0].key.shape[0]
+    iota = jnp.arange(P, dtype=jnp.int32)
+    operands = []
+    for op in ops:
+        operands.extend([op.flag, op.key])
+    operands.append(iota)
+    res = jax.lax.sort(tuple(operands), num_keys=2 * len(ops), is_stable=True)
+    return res[-1]

@@ -1,0 +1,337 @@
+"""Compute kernel tests — parity against pyarrow.compute as the
+cross-implementation oracle (the reference validates against archery golden
+data; pyarrow implements the same spec as arrow-go)."""
+import numpy as np
+import pytest
+
+import arrow_go_tpu as agt
+from arrow_go_tpu import dtypes as dt
+from arrow_go_tpu import compute as pc
+from arrow_go_tpu.compute.errors import (ArrowIndexError, ArrowInvalid,
+                                         ArrowKeyError)
+
+pa = pytest.importorskip("pyarrow")
+pac = pytest.importorskip("pyarrow.compute")
+
+
+def test_registry_basics():
+    reg = pc.default_registry()
+    for name in ["add", "subtract", "equal", "filter", "take", "unique",
+                 "sort_indices", "cast", "sum", "and_kleene"]:
+        assert name in reg
+    with pytest.raises(ArrowKeyError):
+        reg.get_function("nope")
+    assert len(reg.function_names()) > 60
+
+
+def test_add_basic():
+    a = agt.array([1, 2, None, 4])
+    b = agt.array([10, None, 30, 40])
+    out = pc.add(a, b)
+    assert out.to_pylist() == [11, None, None, 44]
+    assert out.type == dt.int64
+
+
+def test_add_scalar_broadcast():
+    a = agt.array([1, 2, None])
+    assert pc.add(a, 10).to_pylist() == [11, 12, None]
+
+
+def test_type_promotion():
+    a = agt.array([1, 2], dt.int32)
+    b = agt.array([1.5, 2.5], dt.float64)
+    out = pc.add(a, b)
+    assert out.type == dt.float64
+    assert out.to_pylist() == [2.5, 4.5]
+
+
+def test_add_overflow_checked():
+    a = agt.array([2**62, 2**62], dt.int64)
+    with pytest.raises(ArrowInvalid):
+        pc.add(a, a)
+    out = pc.call_function("add_unchecked", [a, a])
+    assert out.to_pylist() == [-2**63, -2**63]  # wraparound
+
+
+def test_divide_integer_truncates_toward_zero():
+    a = agt.array([7, -7, 7, -7])
+    b = agt.array([2, 2, -2, -2])
+    assert pc.divide(a, b).to_pylist() == [3, -3, -3, 3]
+
+
+def test_divide_by_zero_raises():
+    with pytest.raises(ArrowInvalid):
+        pc.divide(agt.array([1, 2]), agt.array([1, 0]))
+    # null slot divisor doesn't raise
+    out = pc.divide(agt.array([1, 2]), agt.array([1, None]))
+    assert out.to_pylist() == [1, None]
+
+
+def test_float_divide():
+    out = pc.divide(agt.array([1.0, 2.0]), agt.array([4.0, 0.0]))
+    assert out.to_pylist()[0] == 0.25
+    assert out.to_pylist()[1] == float("inf")
+
+
+def test_unary_math():
+    a = agt.array([1.0, 4.0, None])
+    assert pc.sqrt(a).to_pylist()[:2] == [1.0, 2.0]
+    assert pc.negate(agt.array([1, -2])).to_pylist() == [-1, 2]
+    assert pc.abs(agt.array([-1, 2])).to_pylist() == [1, 2]
+    np.testing.assert_allclose(pc.ln(agt.array([1.0, np.e])).to_pylist(),
+                               [0.0, 1.0], rtol=1e-6)
+    # int input promotes to float64 (arrow behavior)
+    assert pc.sqrt(agt.array([4])).type == dt.float64
+
+
+def test_comparisons():
+    a = agt.array([1, 2, None, 4])
+    b = agt.array([2, 2, 2, 2])
+    assert pc.less(a, b).to_pylist() == [True, False, None, False]
+    assert pc.equal(a, 2).to_pylist() == [False, True, None, False]
+    assert pc.greater_equal(a, b).to_pylist() == [False, True, None, True]
+
+
+def test_boolean_kleene_matches_pyarrow():
+    vals_a = [True, True, True, False, False, False, None, None, None]
+    vals_b = [True, False, None, True, False, None, True, False, None]
+    a, b = agt.array(vals_a), agt.array(vals_b)
+    pa_a, pa_b = pa.array(vals_a), pa.array(vals_b)
+    assert pc.and_kleene(a, b).to_pylist() == \
+        pac.and_kleene(pa_a, pa_b).to_pylist()
+    assert pc.or_kleene(a, b).to_pylist() == \
+        pac.or_kleene(pa_a, pa_b).to_pylist()
+    assert pc.and_(a, b).to_pylist() == pac.and_(pa_a, pa_b).to_pylist()
+    assert pc.invert(a).to_pylist() == [False, False, False, True, True, True,
+                                        None, None, None]
+
+
+def test_validity_predicates():
+    a = agt.array([1.0, None, float("nan")])
+    assert pc.is_null(a).to_pylist() == [False, True, False]
+    assert pc.is_valid(a).to_pylist() == [True, False, True]
+    assert pc.is_nan(a).to_pylist() == [False, None, True]
+
+
+def test_cast_numeric():
+    a = agt.array([1, 2, None], dt.int64)
+    out = pc.cast(a, dt.int32)
+    assert out.type == dt.int32 and out.to_pylist() == [1, 2, None]
+    out = pc.cast(a, dt.float64)
+    assert out.to_pylist() == [1.0, 2.0, None]
+
+
+def test_cast_overflow_safety():
+    a = agt.array([1, 300])
+    with pytest.raises(ArrowInvalid):
+        pc.cast(a, dt.int8)
+    out = pc.cast(a, dt.int8, safe=False)
+    assert out.to_pylist() == [1, 300 - 256]
+    with pytest.raises(ArrowInvalid):
+        pc.cast(agt.array([-1]), dt.uint8)
+
+
+def test_cast_float_truncate_safety():
+    with pytest.raises(ArrowInvalid):
+        pc.cast(agt.array([1.5]), dt.int32)
+    assert pc.cast(agt.array([1.0, 2.0]), dt.int32).to_pylist() == [1, 2]
+    assert pc.cast(agt.array([1.5]), dt.int32, safe=False).to_pylist() == [1]
+
+
+def test_cast_bool():
+    assert pc.cast(agt.array([0, 1, 5]), dt.bool_).to_pylist() == \
+        [False, True, True]
+    assert pc.cast(agt.array([True, False]), dt.int32).to_pylist() == [1, 0]
+
+
+def test_cast_temporal_rescale():
+    a = agt.array([1000, 2000], dt.timestamp("ms"))
+    out = pc.cast(a, dt.timestamp("s"))
+    assert out.to_pylist() == [1, 2]
+    out2 = pc.cast(a, dt.timestamp("us"))
+    assert out2.to_pylist() == [1000000, 2000000]
+    with pytest.raises(ArrowInvalid):
+        pc.cast(agt.array([1500], dt.timestamp("ms")), dt.timestamp("s"))
+
+
+def test_filter_array():
+    a = agt.array([1, 2, None, 4, 5])
+    m = agt.array([True, False, True, None, True])
+    assert pc.filter(a, m).to_pylist() == [1, None, 5]
+    out = pc.filter(a, m, pc.FilterOptions(null_selection="emit_null"))
+    assert out.to_pylist() == [1, None, None, 5]
+    # pyarrow parity
+    pa_out = pac.filter(pa.array([1, 2, None, 4, 5]),
+                        pa.array([True, False, True, None, True]))
+    assert pc.filter(a, m).to_pylist() == pa_out.to_pylist()
+
+
+def test_filter_record_batch():
+    rb = agt.record_batch({"a": [1, 2, 3, 4], "b": [1.0, 2.0, None, 4.0]})
+    m = agt.array([True, False, True, True])
+    out = pc.filter(rb, m)
+    assert out.to_pydict() == {"a": [1, 3, 4], "b": [1.0, None, 4.0]}
+
+
+def test_filter_strings():
+    s = agt.array(["a", "b", None, "d"])
+    m = agt.array([True, False, True, True])
+    assert pc.filter(s, m).to_pylist() == ["a", None, "d"]
+
+
+def test_take_array():
+    a = agt.array([10, 20, None, 40])
+    idx = agt.array([3, 0, None, 2, 0], dt.int32)
+    assert pc.take(a, idx).to_pylist() == [40, 10, None, None, 10]
+    with pytest.raises(ArrowIndexError):
+        pc.take(a, agt.array([5], dt.int32))
+    with pytest.raises(ArrowIndexError):
+        pc.take(a, agt.array([-1], dt.int32))
+
+
+def test_take_record_batch():
+    rb = agt.record_batch({"x": [1, 2, 3], "y": ["a", "b", "c"]})
+    out = pc.take(rb, agt.array([2, 2, 0], dt.int64))
+    assert out.to_pydict() == {"x": [3, 3, 1], "y": ["c", "c", "a"]}
+
+
+def test_unique():
+    a = agt.array([3, 1, 3, None, 2, 1, None])
+    assert pc.unique(a).to_pylist() == [3, 1, None, 2]
+    # matches pyarrow ordering
+    assert pc.unique(a).to_pylist() == \
+        pac.unique(pa.array([3, 1, 3, None, 2, 1, None])).to_pylist()
+
+
+def test_unique_strings():
+    s = agt.array(["b", "a", "b", None, "c"])
+    assert pc.unique(s).to_pylist() == ["b", "a", None, "c"]
+
+
+def test_dictionary_encode():
+    a = agt.array([5, 7, 5, None, 9, 7])
+    out = pc.dictionary_encode(a)
+    assert out.type.id == dt.TypeId.DICTIONARY
+    assert out.to_pylist() == [5, 7, 5, None, 9, 7]
+    assert out.dictionary.to_pylist() == [5, 7, 9]
+    assert out.indices.to_pylist() == [0, 1, 0, None, 2, 1]
+    pa_out = pac.dictionary_encode(pa.array([5, 7, 5, None, 9, 7]))
+    assert out.indices.to_pylist() == pa_out.indices.to_pylist()
+
+
+def test_value_counts():
+    a = agt.array([3, 1, 3, None, 1, 3])
+    out = pc.value_counts(a)
+    got = {v["values"]: v["counts"] for v in out.to_pylist()}
+    assert got == {3: 3, 1: 2, None: 1}
+    pa_out = pac.value_counts(pa.array([3, 1, 3, None, 1, 3]))
+    assert [v["values"] for v in out.to_pylist()] == \
+        [v["values"] for v in pa_out.to_pylist()]
+
+
+def test_sort_indices_single():
+    a = agt.array([3.0, 1.0, None, 2.0, float("nan")])
+    idx = pc.sort_indices(a)
+    assert idx.to_pylist() == [1, 3, 0, 4, 2]  # nan after numbers, null last
+    pa_idx = pac.sort_indices(pa.array([3.0, 1.0, None, 2.0, float("nan")]))
+    assert idx.to_pylist() == pa_idx.to_pylist()
+
+
+def test_sort_indices_descending_nulls_first():
+    a = agt.array([3, 1, None, 2])
+    idx = pc.sort_indices(a, order="descending", null_placement="at_start")
+    assert idx.to_pylist() == [2, 0, 3, 1]
+
+
+def test_sort_indices_stable():
+    a = agt.array([2, 1, 2, 1])
+    assert pc.sort_indices(a).to_pylist() == [1, 3, 0, 2]
+
+
+def test_sort_record_multi_key():
+    rb = agt.record_batch({"a": [1, 2, 1, 2], "b": [9, 8, 7, 6]})
+    opts = pc.SortOptions(keys=[pc.SortKey("a"), pc.SortKey("b")])
+    idx = pc.sort_indices(rb, opts)
+    assert idx.to_pylist() == [2, 0, 3, 1]
+    opts2 = pc.SortOptions(keys=[pc.SortKey("a"),
+                                 pc.SortKey("b", "descending")])
+    assert pc.sort_indices(rb, opts2).to_pylist() == [0, 2, 1, 3]
+
+
+def test_sort_strings():
+    s = agt.array(["banana", "apple", None, "cherry"])
+    idx = pc.sort_indices(s)
+    assert idx.to_pylist() == [1, 0, 3, 2]
+
+
+def test_is_in():
+    a = agt.array([1, 2, None, 4])
+    out = pc.is_in(a, value_set=[2, 4])
+    assert out.to_pylist() == [False, True, False, True]
+    pa_out = pac.is_in(pa.array([1, 2, None, 4]),
+                       value_set=pa.array([2, 4]))
+    assert out.to_pylist() == pa_out.to_pylist()
+
+
+def test_is_in_strings():
+    s = agt.array(["a", "b", None])
+    assert pc.is_in(s, value_set=["b", "z"]).to_pylist() == \
+        [False, True, False]
+
+
+def test_index_in():
+    a = agt.array([1, 9, None, 3])
+    out = pc.index_in(a, value_set=[3, 1])
+    assert out.to_pylist() == [1, None, None, 0]
+
+
+def test_fill_null():
+    a = agt.array([1, None, 3])
+    assert pc.fill_null(a, 0).to_pylist() == [1, 0, 3]
+
+
+def test_if_else():
+    c = agt.array([True, False, None])
+    out = pc.if_else(c, agt.array([1, 2, 3]), agt.array([10, 20, 30]))
+    assert out.to_pylist() == [1, 20, None]
+
+
+def test_aggregates():
+    a = agt.array([1, 2, None, 4])
+    assert pc.sum(a) == 7
+    assert pc.min(a) == 1
+    assert pc.max(a) == 4
+    assert pc.count(a) == 3
+    assert pc.count(a, pc.CountOptions("only_null")) == 1
+    assert pc.count(a, pc.CountOptions("all")) == 4
+    assert pc.mean(a) == pytest.approx(7 / 3)
+    assert pc.count_distinct(agt.array([1, 1, None, 2])) == 3
+    assert pc.sum(agt.array([None, None], dt.int64)) is None
+    assert pc.any(agt.array([False, None, True]))
+    assert not pc.all(agt.array([True, False]))
+    assert pc.product(agt.array([2, 3, None])) == 6
+    assert pc.variance(agt.array([1.0, 2.0, 3.0])) == pytest.approx(2 / 3)
+    assert pc.stddev(agt.array([1.0, 2.0, 3.0])) == pytest.approx(np.sqrt(2 / 3))
+
+
+def test_aggregate_matches_pyarrow(rng):
+    vals = rng.integers(-1000, 1000, 500)
+    mask = rng.random(500) < 0.9
+    a = agt.from_numpy(vals, mask)
+    pa_a = pa.array(vals, mask=~mask)
+    assert pc.sum(a) == pac.sum(pa_a).as_py()
+    assert pc.min(a) == pac.min(pa_a).as_py()
+    assert pc.max(a) == pac.max(pa_a).as_py()
+    assert pc.mean(a) == pytest.approx(pac.mean(pa_a).as_py())
+
+
+def test_chunked_array_input():
+    ca = agt.ChunkedArray([agt.array([1, 2]), agt.array([None, 4])], dt.int64)
+    assert pc.sum(ca) == 7
+    assert pc.add(ca, 1).to_pylist() == [2, 3, None, 5]
+
+
+def test_sliced_array_input():
+    a = agt.array([1, 2, 3, 4, 5]).slice(1, 3)
+    assert pc.sum(a) == 9
+    assert pc.add(a, 0).to_pylist() == [2, 3, 4]
