@@ -21,7 +21,11 @@ def expand_words(words: jax.Array, padded: int) -> jax.Array:
 
 
 def pack_mask(mask: jax.Array) -> jax.Array:
-    """bool mask (padded multiple of 32) -> packed uint32 words."""
+    """bool mask -> packed uint32 words (zero-pads to a word boundary)."""
+    P = mask.shape[0]
+    if P % WORD_BITS:
+        mask = jnp.concatenate(
+            [mask, jnp.zeros(WORD_BITS - P % WORD_BITS, mask.dtype)])
     m = mask.reshape(-1, WORD_BITS).astype(jnp.uint32)
     shifts = jnp.arange(WORD_BITS, dtype=jnp.uint32)
     return jnp.sum(m << shifts[None, :], axis=1, dtype=jnp.uint32)

@@ -1,0 +1,2 @@
+from .mesh import SHARD_AXIS, make_mesh, replicated, row_sharding  # noqa: F401
+from . import aggregate, shuffle  # noqa: F401

@@ -1,0 +1,105 @@
+"""Distributed hash aggregate: GROUP BY over the device mesh.
+
+BASELINE.json north-star config #3/#5 machinery: rows hash-partition
+across shards (shuffle.py all_to_all over ICI), then each shard runs the
+local sort-based group-by (ops/hashing encode + segment reductions) on the
+keys it owns. Group results never need a second exchange: the hash
+partition guarantees key disjointness across shards (the same invariant
+the reference gets from FlightInfo endpoint fan-out, but on-chip).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+from ..jaxenv import jax, jnp
+from ..ops import bitmap, hashing
+from ..device.block import row_mask
+
+from jax.experimental.shard_map import shard_map
+from jax.sharding import Mesh, PartitionSpec as P
+
+from .mesh import SHARD_AXIS
+from . import shuffle as shuf
+
+
+class GroupAggSpec(NamedTuple):
+    agg: str   # 'sum' | 'count' | 'min' | 'max'
+
+
+def local_group_agg(keys: jax.Array, values: jax.Array, valid: jax.Array,
+                    aggs: Tuple[str, ...]):
+    """Group-by on one shard: returns (group_keys[P], results[len(aggs)][P],
+    n_groups). Slots >= n_groups are padding."""
+    P_ = keys.shape[0]
+    from .. import dtypes as dt
+    kt = dt.from_numpy_dtype(keys.dtype) if keys.dtype != jnp.bool_ else dt.bool_
+    n = jnp.sum(valid.astype(jnp.int32))
+    # encode_codes needs validity as packed words + length; emulate via mask:
+    # invalid rows land beyond n after we compact? simpler: pass validity
+    # words built from `valid`
+    words = bitmap.pack_mask(valid)
+    res = hashing.encode_codes(keys, kt, words, P_)
+    codes = res.codes
+    outs = []
+    for agg in aggs:
+        if agg == "count":
+            acc = jnp.zeros(P_ + 1, jnp.int64).at[
+                jnp.where(codes >= 0, codes, P_)].add(1, mode="drop")
+            outs.append(acc[:P_])
+        elif agg == "sum":
+            acc = jnp.zeros(P_ + 1, values.dtype).at[
+                jnp.where(codes >= 0, codes, P_)].add(
+                jnp.where(valid, values, jnp.zeros((), values.dtype)),
+                mode="drop")
+            outs.append(acc[:P_])
+        elif agg == "min":
+            init = jnp.full(P_ + 1, _max_of(values.dtype), values.dtype)
+            acc = init.at[jnp.where(codes >= 0, codes, P_)].min(
+                jnp.where(valid, values, _max_of(values.dtype)), mode="drop")
+            outs.append(acc[:P_])
+        elif agg == "max":
+            init = jnp.full(P_ + 1, _min_of(values.dtype), values.dtype)
+            acc = init.at[jnp.where(codes >= 0, codes, P_)].max(
+                jnp.where(valid, values, _min_of(values.dtype)), mode="drop")
+            outs.append(acc[:P_])
+        else:
+            raise ValueError(agg)
+    # group keys: value at first occurrence of each code
+    first = res.first_index  # [P] first row per code
+    gkeys = jnp.take(keys, jnp.clip(first, 0, P_ - 1))
+    return gkeys, outs, res.n_unique
+
+
+def _max_of(d):
+    d = jnp.dtype(d)
+    return jnp.array(jnp.inf, d) if d.kind == "f" else jnp.iinfo(d).max
+
+
+def _min_of(d):
+    d = jnp.dtype(d)
+    return jnp.array(-jnp.inf, d) if d.kind == "f" else jnp.iinfo(d).min
+
+
+def make_group_by_sum(mesh: Mesh, cap: int):
+    """Jitted distributed GROUP BY key -> sum(value), count(*).
+
+    Global inputs (row-sharded): keys[N] int, values[N], valid[N] bool.
+    Global outputs (row-sharded): group_keys, sums, counts, n_groups per
+    shard, shuffle overflow flag.
+    """
+    D = mesh.devices.size
+
+    def step(keys, values, valid):
+        h = hashing.hash32(keys)
+        dest = shuf.partition_of(h, D)
+        body = shuf.shuffle_shard_fn(D, cap)
+        (rk, rv), counts, overflow = body(dest, valid, keys, values)
+        rvalid = shuf.row_validity_mask(rk, counts, cap)
+        gkeys, (sums, cnts), n_groups = local_group_agg(
+            rk, rv, rvalid, ("sum", "count"))
+        return gkeys, sums, cnts, n_groups.reshape(1), overflow
+
+    spec = P(SHARD_AXIS)
+    fn = shard_map(step, mesh=mesh, in_specs=(spec, spec, spec),
+                   out_specs=(spec, spec, spec, spec, P()))
+    return jax.jit(fn)
