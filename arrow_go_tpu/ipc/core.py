@@ -1,0 +1,370 @@
+"""IPC record-batch body assembly/reconstruction + message framing.
+
+Reference: arrow/ipc/writer.go:566-870 (recursive per-column visit),
+arrow/ipc/reader.go record load, format/Message.fbs encapsulated-message
+framing (continuation 0xFFFFFFFF + int32 len + flatbuffer + 8-aligned
+body), BodyCompression (ZSTD per-buffer with int64 uncompressed-length
+prefix; -1 = stored raw).
+"""
+from __future__ import annotations
+
+import struct
+from typing import List, Optional, Tuple
+
+import flatbuffers
+import numpy as np
+
+from .. import dtypes as dt
+from ..array.arrays import Array, ArrayData, make_array
+from ..memory import bitutil
+from ..memory.buffer import Buffer
+from . import metadata as md
+from .fb import Reader
+
+CONTINUATION = 0xFFFFFFFF
+ALIGN = 8
+
+
+def _pad_to(n: int, align: int = ALIGN) -> int:
+    return (n + align - 1) // align * align
+
+
+# ---------------------------------------------------------------------------
+# compaction: IPC writes offset-0 arrays (reference truncates buffer windows)
+# ---------------------------------------------------------------------------
+
+def compact(data: ArrayData) -> ArrayData:
+    """Rewrite ArrayData so offset == 0 and buffers are exactly sized."""
+    if data.offset == 0 and not _has_offset_children(data):
+        return data
+    arr = make_array(data)
+    t = data.type
+    if t.id == dt.TypeId.DICTIONARY:
+        # rebase the indices window only — the dictionary itself must stay
+        # identical to the one announced in the DictionaryBatch message
+        idx = np.ascontiguousarray(arr.indices.to_numpy())
+        vb = None
+        if data.null_count:
+            vb = Buffer(bitutil.pack_bits(arr.validity_bools()))
+        return ArrayData(t, data.length, [vb, Buffer.wrap(idx)],
+                         dictionary=data.dictionary,
+                         null_count=data.null_count)
+    if t.np_dtype is not None and not t.is_decimal:
+        vals = np.ascontiguousarray(arr.values)
+        vb = None
+        if data.null_count:
+            vb = Buffer(bitutil.pack_bits(arr.validity_bools()))
+        return ArrayData(t, data.length, [vb, Buffer.wrap(vals)],
+                         null_count=data.null_count)
+    # generic: rebuild through a builder
+    from ..array.builders import make_builder
+    b = make_builder(t)
+    b.append_values(arr.to_pylist())
+    return b.finish().data
+
+
+def _has_offset_children(data: ArrayData) -> bool:
+    return any(c.offset != 0 or _has_offset_children(c) for c in data.children)
+
+
+# ---------------------------------------------------------------------------
+# body assembly
+# ---------------------------------------------------------------------------
+
+class FieldNode:
+    __slots__ = ("length", "null_count")
+
+    def __init__(self, length: int, null_count: int):
+        self.length = length
+        self.null_count = null_count
+
+
+def _validity_bytes(data: ArrayData) -> bytes:
+    if data.null_count == 0:
+        return b""
+    v = data.buffers[0]
+    need = bitutil.bytes_for_bits(data.length)
+    if data.offset == 0:
+        return v.data[:need].tobytes()
+    return bitutil.pack_bits(make_array(data).validity_bools()).tobytes()
+
+
+def collect_body(data: ArrayData, nodes: List[FieldNode],
+                 buffers: List[bytes]) -> None:
+    """Recursive visit: append FieldNodes + raw buffer bytes
+    (reference writer.go visit)."""
+    if data.offset or _has_offset_children(data):
+        data = compact(data)
+    t = data.type
+    tid = t.id
+    nodes.append(FieldNode(data.length, data.null_count))
+
+    if tid == dt.TypeId.NULL:
+        return
+    if tid in (dt.TypeId.SPARSE_UNION, dt.TypeId.DENSE_UNION):
+        buffers.append(data.buffers[0].data[:data.length].tobytes())
+        if tid == dt.TypeId.DENSE_UNION:
+            buffers.append(data.buffers[1].data[: data.length * 4].tobytes())
+        for c in data.children:
+            collect_body(c, nodes, buffers)
+        return
+    if tid == dt.TypeId.RUN_END_ENCODED:
+        for c in data.children:
+            collect_body(c, nodes, buffers)
+        return
+
+    buffers.append(_validity_bytes(data))
+
+    if tid == dt.TypeId.BOOL:
+        buffers.append(
+            data.buffers[1].data[: bitutil.bytes_for_bits(data.length)].tobytes())
+        return
+    if t.np_dtype is not None and tid != dt.TypeId.DICTIONARY:
+        w = t.np_dtype.itemsize
+        buffers.append(data.buffers[1].data[: data.length * w].tobytes())
+        return
+    if t.is_decimal or tid == dt.TypeId.FIXED_SIZE_BINARY:
+        w = t.byte_width
+        buffers.append(data.buffers[1].data[: data.length * w].tobytes())
+        return
+    if tid == dt.TypeId.DICTIONARY:
+        w = t.index_type.np_dtype.itemsize
+        buffers.append(data.buffers[1].data[: data.length * w].tobytes())
+        return
+    if t.is_binary_like:
+        ow = t.offset_dtype.itemsize
+        offsets = data.buffers[1].data[: (data.length + 1) * ow]
+        buffers.append(offsets.tobytes())
+        off_vals = offsets.view(t.offset_dtype)
+        end = int(off_vals[-1]) if data.length >= 0 and len(off_vals) else 0
+        buffers.append(data.buffers[2].data[:end].tobytes())
+        return
+    if tid in (dt.TypeId.LIST, dt.TypeId.LARGE_LIST, dt.TypeId.MAP):
+        ow = t.offset_dtype.itemsize
+        buffers.append(data.buffers[1].data[: (data.length + 1) * ow].tobytes())
+        collect_body(data.children[0], nodes, buffers)
+        return
+    if tid in (dt.TypeId.FIXED_SIZE_LIST, dt.TypeId.STRUCT):
+        for c in data.children:
+            collect_body(c, nodes, buffers)
+        return
+    raise NotImplementedError(f"IPC body for {t}")
+
+
+def build_record_batch_message(
+        columns: List[ArrayData], num_rows: int,
+        compression: Optional[str] = None,
+        dictionary_id: Optional[int] = None, is_delta: bool = False
+) -> Tuple[bytes, bytes]:
+    """Returns (metadata_flatbuffer, body_bytes). When dictionary_id is set,
+    wraps the RecordBatch in a DictionaryBatch header."""
+    nodes: List[FieldNode] = []
+    raw: List[bytes] = []
+    for col in columns:
+        collect_body(col, nodes, raw)
+
+    # optionally compress each buffer (ZSTD, int64 length prefix)
+    if compression == "zstd":
+        import zstandard
+        cctx = zstandard.ZstdCompressor()
+        enc = []
+        for buf in raw:
+            comp = cctx.compress(buf)
+            if len(comp) < len(buf):
+                enc.append(struct.pack("<q", len(buf)) + comp)
+            else:
+                enc.append(struct.pack("<q", -1) + buf)
+        raw = enc
+    elif compression is not None:
+        raise NotImplementedError(f"compression {compression}")
+
+    # lay out buffers with alignment
+    buf_meta = []
+    body = bytearray()
+    for bufb in raw:
+        off = len(body)
+        body.extend(bufb)
+        body.extend(b"\0" * (_pad_to(len(bufb)) - len(bufb)))
+        buf_meta.append((off, len(bufb)))
+    body_bytes = bytes(body)
+
+    b = flatbuffers.Builder(1024)
+    # Buffer structs vector (reverse order)
+    b.StartVector(16, len(buf_meta), 8)
+    for off, ln in reversed(buf_meta):
+        b.Prep(8, 16)
+        b.PrependInt64(ln)
+        b.PrependInt64(off)
+    buf_vec = b.EndVector()
+    # FieldNode structs vector
+    b.StartVector(16, len(nodes), 8)
+    for node in reversed(nodes):
+        b.Prep(8, 16)
+        b.PrependInt64(node.null_count)
+        b.PrependInt64(node.length)
+    node_vec = b.EndVector()
+
+    comp_off = None
+    if compression == "zstd":
+        b.StartObject(2)
+        b.PrependInt8Slot(0, md.COMPRESS_ZSTD, 0)
+        b.PrependInt8Slot(1, 0, 0)
+        comp_off = b.EndObject()
+
+    b.StartObject(5)
+    b.PrependInt64Slot(0, num_rows, 0)
+    b.PrependUOffsetTRelativeSlot(1, node_vec, 0)
+    b.PrependUOffsetTRelativeSlot(2, buf_vec, 0)
+    if comp_off is not None:
+        b.PrependUOffsetTRelativeSlot(3, comp_off, 0)
+    rb_off = b.EndObject()
+
+    header_type = md.MSG_RECORD_BATCH
+    if dictionary_id is not None:
+        b.StartObject(3)
+        b.PrependInt64Slot(0, dictionary_id, 0)
+        b.PrependUOffsetTRelativeSlot(1, rb_off, 0)
+        b.PrependBoolSlot(2, is_delta, False)
+        rb_off = b.EndObject()
+        header_type = md.MSG_DICTIONARY_BATCH
+
+    msg = _finish_message(b, header_type, rb_off, len(body_bytes))
+    return msg, body_bytes
+
+
+def _finish_message(b: flatbuffers.Builder, header_type: int,
+                    header_off: int, body_len: int) -> bytes:
+    b.StartObject(5)
+    b.PrependInt16Slot(0, md.METADATA_V5, 0)
+    b.PrependUint8Slot(1, header_type, 0)
+    b.PrependUOffsetTRelativeSlot(2, header_off, 0)
+    b.PrependInt64Slot(3, body_len, 0)
+    b.Finish(b.EndObject())
+    return bytes(b.Output())
+
+
+def build_schema_message(schema: dt.Schema, dict_ids: dict) -> bytes:
+    b = flatbuffers.Builder(1024)
+    off = md.write_schema(b, schema, dict_ids)
+    return _finish_message(b, md.MSG_SCHEMA, off, 0)
+
+
+def frame_message(meta: bytes) -> bytes:
+    """Encapsulate: continuation + int32 size + flatbuffer + padding."""
+    size = _pad_to(len(meta) + 8) - 8
+    out = struct.pack("<Ii", CONTINUATION, size)
+    return out + meta + b"\0" * (size - len(meta))
+
+
+EOS = struct.pack("<Ii", CONTINUATION, 0)
+
+
+# ---------------------------------------------------------------------------
+# reconstruction (reader side)
+# ---------------------------------------------------------------------------
+
+class BodyReader:
+    """Sequential consumer of nodes + buffers from a record-batch message."""
+
+    def __init__(self, rb: Reader, body: bytes):
+        self.rb = rb
+        self.body = body
+        self.node_i = 0
+        self.buf_i = 0
+        comp = rb.table(3)
+        self.codec = None
+        if comp is not None:
+            c = comp.i8(0)
+            if c == md.COMPRESS_ZSTD:
+                self.codec = "zstd"
+            elif c == md.COMPRESS_LZ4:
+                self.codec = "lz4"
+            else:
+                raise NotImplementedError(f"compression codec {c}")
+
+    @property
+    def num_rows(self) -> int:
+        return self.rb.i64(0)
+
+    def next_node(self) -> FieldNode:
+        pos = self.rb.vector_struct_pos(1, self.node_i, 16)
+        self.node_i += 1
+        import flatbuffers.number_types as N
+        length = self.rb.tab.Get(N.Int64Flags, pos)
+        nulls = self.rb.tab.Get(N.Int64Flags, pos + 8)
+        return FieldNode(length, nulls)
+
+    def next_buffer(self) -> bytes:
+        pos = self.rb.vector_struct_pos(2, self.buf_i, 16)
+        self.buf_i += 1
+        import flatbuffers.number_types as N
+        off = self.rb.tab.Get(N.Int64Flags, pos)
+        ln = self.rb.tab.Get(N.Int64Flags, pos + 8)
+        raw = self.body[off: off + ln]
+        if self.codec is None or ln == 0:
+            return raw
+        (ulen,) = struct.unpack_from("<q", raw, 0)
+        payload = raw[8:]
+        if ulen == -1:
+            return payload
+        if self.codec == "zstd":
+            import zstandard
+            return zstandard.ZstdDecompressor().decompress(
+                payload, max_output_size=ulen)
+        raise NotImplementedError("lz4 body compression")
+
+
+def load_array(br: BodyReader, t: dt.DataType,
+               dictionaries: Optional[dict] = None,
+               dict_id_of=None, field: Optional[dt.Field] = None) -> ArrayData:
+    node = br.next_node()
+    n, nc = node.length, node.null_count
+    tid = t.id
+
+    def buf() -> Optional[Buffer]:
+        raw = br.next_buffer()
+        return Buffer(np.frombuffer(raw, dtype=np.uint8).copy()) if raw else \
+            Buffer(np.zeros(0, np.uint8))
+
+    if tid == dt.TypeId.NULL:
+        return ArrayData(t, n, [], null_count=n)
+    if tid in (dt.TypeId.SPARSE_UNION, dt.TypeId.DENSE_UNION):
+        bufs = [buf()]
+        if tid == dt.TypeId.DENSE_UNION:
+            bufs.append(buf())
+        children = [load_array(br, f.type, dictionaries, dict_id_of, f)
+                    for f in t.fields()]
+        return ArrayData(t, n, bufs, children, null_count=0)
+    if tid == dt.TypeId.RUN_END_ENCODED:
+        children = [load_array(br, f.type, dictionaries, dict_id_of, f)
+                    for f in t.fields()]
+        return ArrayData(t, n, [], children, null_count=0)
+
+    validity = buf()
+    vb = validity if nc else None
+
+    if tid == dt.TypeId.BOOL or (t.np_dtype is not None
+                                 and tid != dt.TypeId.DICTIONARY):
+        return ArrayData(t, n, [vb, buf()], null_count=nc)
+    if t.is_decimal or tid == dt.TypeId.FIXED_SIZE_BINARY:
+        return ArrayData(t, n, [vb, buf()], null_count=nc)
+    if tid == dt.TypeId.DICTIONARY:
+        data = ArrayData(t, n, [vb, buf()], null_count=nc)
+        if dictionaries is not None and dict_id_of is not None and field is not None:
+            did = dict_id_of(field)
+            dict_arr = dictionaries.get(did)
+            if dict_arr is not None:
+                data.dictionary = dict_arr
+        return data
+    if t.is_binary_like:
+        return ArrayData(t, n, [vb, buf(), buf()], null_count=nc)
+    if tid in (dt.TypeId.LIST, dt.TypeId.LARGE_LIST, dt.TypeId.MAP):
+        bufs = [vb, buf()]
+        child = load_array(br, t.fields()[0].type, dictionaries, dict_id_of,
+                           t.fields()[0])
+        return ArrayData(t, n, bufs, [child], null_count=nc)
+    if tid in (dt.TypeId.FIXED_SIZE_LIST, dt.TypeId.STRUCT):
+        children = [load_array(br, f.type, dictionaries, dict_id_of, f)
+                    for f in t.fields()]
+        return ArrayData(t, n, [vb], children, null_count=nc)
+    raise NotImplementedError(f"IPC load of {t}")

@@ -1,0 +1,170 @@
+"""IPC cross-implementation golden tests: our writer -> pyarrow reader and
+pyarrow writer -> our reader, both stream and file formats (the role of the
+reference's arrow-json-integration-test / archery runs, SURVEY.md §4)."""
+import io
+
+import numpy as np
+import pytest
+
+import arrow_go_tpu as agt
+from arrow_go_tpu import dtypes as dt
+from arrow_go_tpu import ipc
+
+pa = pytest.importorskip("pyarrow")
+import pyarrow.ipc as paipc  # noqa: E402
+
+from arrow_go_tpu.interop import pyarrow_interop as px  # noqa: E402
+
+
+def _sample_batch():
+    return agt.record_batch({
+        "i64": [1, 2, None, 4],
+        "f32": agt.array([1.5, None, 3.5, 4.5], dt.float32),
+        "s": ["a", None, "ccc", ""],
+        "b": [True, False, None, True],
+        "lst": agt.array([[1, 2], None, [], [3]], dt.list_(dt.int64)),
+        "st": agt.array([{"x": 1, "y": "u"}, None, {"x": 3, "y": None},
+                         {"x": 4, "y": "w"}],
+                        dt.struct({"x": dt.int64, "y": dt.string})),
+        "dec": agt.array([None, 2, 3, 4], dt.decimal128(20, 2)),
+        "dict": agt.array(["p", "q", "p", None],
+                          dt.dictionary(dt.int32, dt.string)),
+        "ts": agt.array([1, 2, 3, None], dt.timestamp("us", "UTC")),
+    })
+
+
+def test_stream_roundtrip_ours():
+    rb = _sample_batch()
+    buf = io.BytesIO()
+    with ipc.new_stream(buf, rb.schema) as w:
+        w.write(rb)
+        w.write(rb.slice(1, 2))
+    buf.seek(0)
+    r = ipc.open_stream(buf)
+    assert r.schema.equals(rb.schema)
+    batches = list(r)
+    assert len(batches) == 2
+    assert batches[0].equals(rb)
+    assert batches[1].to_pydict() == rb.slice(1, 2).to_pydict()
+
+
+def test_stream_ours_to_pyarrow():
+    rb = _sample_batch()
+    buf = io.BytesIO()
+    with ipc.new_stream(buf, rb.schema) as w:
+        w.write(rb)
+    data = buf.getvalue()
+    pr = paipc.open_stream(data)
+    pb = pr.read_all()
+    pb.validate(full=True)
+    expected = px.record_batch_to_pyarrow(rb)
+    assert pb.to_batches()[0].equals(expected)
+
+
+def test_stream_pyarrow_to_ours():
+    prb = px.record_batch_to_pyarrow(_sample_batch())
+    sink = io.BytesIO()
+    with paipc.new_stream(sink, prb.schema) as w:
+        w.write_batch(prb)
+    sink.seek(0)
+    r = ipc.open_stream(sink)
+    got = r.read_next_batch()
+    assert got.to_pydict() == _sample_batch().to_pydict()
+
+
+def test_file_roundtrip_ours(tmp_path):
+    rb = _sample_batch()
+    p = tmp_path / "t.arrow"
+    with open(p, "wb") as f:
+        with ipc.new_file(f, rb.schema) as w:
+            w.write(rb)
+            w.write(rb)
+    with open(p, "rb") as f:
+        r = ipc.open_file(f)
+        assert r.num_record_batches == 2
+        assert r.get_batch(1).equals(rb)
+        t = r.read_all()
+        assert t.num_rows == 8
+
+
+def test_file_ours_to_pyarrow(tmp_path):
+    rb = _sample_batch()
+    p = tmp_path / "t.arrow"
+    with open(p, "wb") as f:
+        with ipc.new_file(f, rb.schema) as w:
+            w.write(rb)
+    with pa.memory_map(str(p)) as source:
+        pr = paipc.open_file(source)
+        pt = pr.read_all()
+        pt.validate(full=True)
+        assert pt.to_batches()[0].equals(px.record_batch_to_pyarrow(rb))
+
+
+def test_file_pyarrow_to_ours(tmp_path):
+    prb = px.record_batch_to_pyarrow(_sample_batch())
+    p = tmp_path / "t.arrow"
+    with paipc.new_file(str(p), prb.schema) as w:
+        w.write_batch(prb)
+    with open(p, "rb") as f:
+        r = ipc.open_file(f)
+        assert r.get_batch(0).to_pydict() == _sample_batch().to_pydict()
+
+
+def test_zstd_compression_roundtrip():
+    rb = agt.record_batch({"x": list(range(1000)),
+                           "y": ["v" + str(i % 7) for i in range(1000)]})
+    buf = io.BytesIO()
+    with ipc.new_stream(buf, rb.schema, compression="zstd") as w:
+        w.write(rb)
+    data = buf.getvalue()
+    r = ipc.open_stream(data)
+    assert r.read_next_batch().equals(rb)
+    # pyarrow can read our compressed stream
+    pb = paipc.open_stream(data).read_all()
+    pb.validate(full=True)
+    assert pb.num_rows == 1000
+    assert pb.column("x").to_pylist() == list(range(1000))
+
+
+def test_zstd_pyarrow_to_ours():
+    prb = pa.record_batch({"x": list(range(500))})
+    sink = io.BytesIO()
+    opts = paipc.IpcWriteOptions(compression="zstd")
+    with paipc.new_stream(sink, prb.schema, options=opts) as w:
+        w.write_batch(prb)
+    r = ipc.open_stream(sink.getvalue())
+    assert r.read_next_batch().to_pydict() == {"x": list(range(500))}
+
+
+def test_empty_stream():
+    s = agt.schema({"a": dt.int64})
+    buf = io.BytesIO()
+    with ipc.new_stream(buf, s) as w:
+        pass
+    r = ipc.open_stream(buf.getvalue())
+    assert r.schema.equals(s)
+    assert list(r) == []
+
+
+def test_schema_metadata_roundtrip():
+    s = agt.schema({"a": dt.int64}, dt.Metadata({"origin": "test"}))
+    buf = io.BytesIO()
+    with ipc.new_stream(buf, s) as w:
+        w.write(agt.RecordBatch(s, [agt.array([1])]))
+    r = ipc.open_stream(buf.getvalue())
+    assert r.schema.metadata.get("origin") == "test"
+
+
+def test_dictionary_replacement():
+    t = dt.dictionary(dt.int32, dt.string)
+    s = agt.schema({"d": t})
+    rb1 = agt.RecordBatch(s, [agt.array(["a", "b"], t)])
+    rb2 = agt.RecordBatch(s, [agt.array(["c", "d"], t)])
+    buf = io.BytesIO()
+    with ipc.new_stream(buf, s) as w:
+        w.write(rb1)
+        w.write(rb2)
+    r = ipc.open_stream(buf.getvalue())
+    got = list(r)
+    assert got[0].column(0).to_pylist() == ["a", "b"]
+    assert got[1].column(0).to_pylist() == ["c", "d"]
