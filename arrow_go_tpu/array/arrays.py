@@ -557,9 +557,13 @@ def take_host(arr: Array, indices: np.ndarray) -> Array:
     from .builders import make_builder
     indices = np.asarray(indices, dtype=np.int64)
     t = arr.type
-    if t.is_fixed_width and t.id != dt.TypeId.BOOL and t.np_dtype is not None \
-            and not t.is_decimal:
+    if t.is_fixed_width and t.np_dtype is not None and not t.is_decimal \
+            and t.id not in (dt.TypeId.BOOL, dt.TypeId.DICTIONARY,
+                             dt.TypeId.EXTENSION):
         vals = np.asarray(arr.to_numpy() if hasattr(arr, "to_numpy") else None)
+        if len(vals) == 0:
+            return from_numpy(np.zeros(len(indices), dtype=t.np_dtype),
+                              np.zeros(len(indices), dtype=np.bool_), t)
         mask = arr.validity_bools()
         neg = indices < 0
         safe = np.where(neg, 0, indices)

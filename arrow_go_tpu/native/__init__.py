@@ -1,0 +1,284 @@
+"""Native kernel library: build-on-first-use C++ with pure-python fallback.
+
+Mirrors the reference's asm/noasm dual-path discipline (SURVEY.md §4: CI
+runs every suite twice): every native entry point has a numpy fallback
+selected automatically when the toolchain is unavailable, and tests
+exercise both via AGT_DISABLE_NATIVE=1.
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from pathlib import Path
+from typing import Optional
+
+import numpy as np
+
+_HERE = Path(__file__).resolve().parent
+_SO = _HERE / "libagtcodecs.so"
+_SRC = _HERE / "codecs.cc"
+
+_lock = threading.Lock()
+_lib: Optional[ctypes.CDLL] = None
+_tried = False
+
+
+def _build() -> Optional[ctypes.CDLL]:
+    global _lib, _tried
+    with _lock:
+        if _lib is not None or _tried:
+            return _lib
+        _tried = True
+        if os.environ.get("AGT_DISABLE_NATIVE"):
+            return None
+        try:
+            if not _SO.exists() or _SO.stat().st_mtime < _SRC.stat().st_mtime:
+                subprocess.run(
+                    ["g++", "-O3", "-march=native", "-shared", "-fPIC",
+                     "-o", str(_SO), str(_SRC)],
+                    check=True, capture_output=True, timeout=120)
+            lib = ctypes.CDLL(str(_SO))
+        except Exception:
+            return None
+        lib.snappy_max_compressed_length.restype = ctypes.c_size_t
+        lib.snappy_max_compressed_length.argtypes = [ctypes.c_size_t]
+        lib.snappy_compress.restype = ctypes.c_int64
+        lib.snappy_compress.argtypes = [ctypes.c_char_p, ctypes.c_size_t,
+                                        ctypes.c_void_p, ctypes.c_size_t]
+        lib.snappy_uncompressed_length.restype = ctypes.c_int64
+        lib.snappy_uncompressed_length.argtypes = [ctypes.c_char_p,
+                                                   ctypes.c_size_t]
+        lib.snappy_decompress.restype = ctypes.c_int64
+        lib.snappy_decompress.argtypes = [ctypes.c_char_p, ctypes.c_size_t,
+                                          ctypes.c_void_p, ctypes.c_size_t]
+        lib.lz4_decompress.restype = ctypes.c_int64
+        lib.lz4_decompress.argtypes = [ctypes.c_char_p, ctypes.c_size_t,
+                                       ctypes.c_void_p, ctypes.c_size_t]
+        lib.lz4_compress.restype = ctypes.c_int64
+        lib.lz4_compress.argtypes = [ctypes.c_char_p, ctypes.c_size_t,
+                                     ctypes.c_void_p, ctypes.c_size_t]
+        lib.lz4_max_compressed_length.restype = ctypes.c_size_t
+        lib.lz4_max_compressed_length.argtypes = [ctypes.c_size_t]
+        lib.bitunpack32.restype = None
+        lib.bitunpack32.argtypes = [ctypes.c_char_p, ctypes.c_size_t,
+                                    ctypes.c_uint32, ctypes.c_void_p]
+        lib.bitpack32.restype = None
+        lib.bitpack32.argtypes = [ctypes.c_void_p, ctypes.c_size_t,
+                                  ctypes.c_uint32, ctypes.c_void_p]
+        _lib = lib
+        return _lib
+
+
+def available() -> bool:
+    return _build() is not None
+
+
+# ---------------------------------------------------------------------------
+# snappy
+# ---------------------------------------------------------------------------
+
+def snappy_compress(data: bytes) -> bytes:
+    lib = _build()
+    if lib is not None:
+        cap = lib.snappy_max_compressed_length(len(data))
+        out = ctypes.create_string_buffer(cap)
+        n = lib.snappy_compress(data, len(data), out, cap)
+        if n < 0:
+            raise ValueError("snappy compression failed")
+        return out.raw[:n]
+    return _py_snappy_compress(data)
+
+
+def snappy_decompress(data: bytes) -> bytes:
+    lib = _build()
+    if lib is not None:
+        ulen = lib.snappy_uncompressed_length(data, len(data))
+        if ulen < 0:
+            raise ValueError("bad snappy data")
+        out = ctypes.create_string_buffer(max(int(ulen), 1))
+        n = lib.snappy_decompress(data, len(data), out, ulen)
+        if n < 0:
+            raise ValueError("snappy decompression failed")
+        return out.raw[:n]
+    return _py_snappy_decompress(data)
+
+
+def _py_varint(v: int) -> bytes:
+    out = bytearray()
+    while v >= 0x80:
+        out.append((v & 0x7F) | 0x80)
+        v >>= 7
+    out.append(v)
+    return bytes(out)
+
+
+def _py_snappy_compress(data: bytes) -> bytes:
+    """Literal-only snappy stream (valid per spec; fallback path)."""
+    out = bytearray(_py_varint(len(data)))
+    i = 0
+    while i < len(data):
+        c = min(len(data) - i, 65536)
+        if c < 60:
+            out.append((c - 1) << 2)
+        elif c - 1 < 256:
+            out.append(60 << 2)
+            out.append(c - 1)
+        else:
+            out.append(61 << 2)
+            out += (c - 1).to_bytes(2, "little")
+        out += data[i:i + c]
+        i += c
+    return bytes(out)
+
+
+def _py_snappy_decompress(data: bytes) -> bytes:
+    # varint preamble
+    ulen = shift = 0
+    s = 0
+    while True:
+        b = data[s]
+        s += 1
+        ulen |= (b & 0x7F) << shift
+        if not (b & 0x80):
+            break
+        shift += 7
+    out = bytearray()
+    n = len(data)
+    while s < n:
+        tag = data[s]
+        s += 1
+        lo = tag & 3
+        if lo == 0:
+            ln = (tag >> 2) + 1
+            if ln > 60:
+                extra = ln - 60
+                ln = int.from_bytes(data[s:s + extra], "little") + 1
+                s += extra
+            out += data[s:s + ln]
+            s += ln
+        else:
+            if lo == 1:
+                ln = ((tag >> 2) & 7) + 4
+                off = ((tag >> 5) << 8) | data[s]
+                s += 1
+            elif lo == 2:
+                ln = (tag >> 2) + 1
+                off = int.from_bytes(data[s:s + 2], "little")
+                s += 2
+            else:
+                ln = (tag >> 2) + 1
+                off = int.from_bytes(data[s:s + 4], "little")
+                s += 4
+            if off == 0 or off > len(out):
+                raise ValueError("bad snappy copy")
+            for _ in range(ln):
+                out.append(out[-off])
+    if len(out) != ulen:
+        raise ValueError("snappy length mismatch")
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# lz4 raw block
+# ---------------------------------------------------------------------------
+
+def lz4_compress(data: bytes) -> bytes:
+    lib = _build()
+    if lib is None:
+        raise NotImplementedError("lz4 requires the native library")
+    cap = lib.lz4_max_compressed_length(len(data))
+    out = ctypes.create_string_buffer(cap)
+    n = lib.lz4_compress(data, len(data), out, cap)
+    if n < 0:
+        raise ValueError("lz4 compression failed")
+    return out.raw[:n]
+
+
+def lz4_decompress(data: bytes, uncompressed_size: int) -> bytes:
+    lib = _build()
+    if lib is None:
+        return _py_lz4_decompress(data, uncompressed_size)
+    out = ctypes.create_string_buffer(max(uncompressed_size, 1))
+    n = lib.lz4_decompress(data, len(data), out, uncompressed_size)
+    if n < 0:
+        raise ValueError("lz4 decompression failed")
+    return out.raw[:n]
+
+
+def _py_lz4_decompress(data: bytes, usize: int) -> bytes:
+    out = bytearray()
+    s, n = 0, len(data)
+    while s < n:
+        token = data[s]
+        s += 1
+        lit = token >> 4
+        if lit == 15:
+            while True:
+                b = data[s]
+                s += 1
+                lit += b
+                if b != 255:
+                    break
+        out += data[s:s + lit]
+        s += lit
+        if s >= n:
+            break
+        off = int.from_bytes(data[s:s + 2], "little")
+        s += 2
+        ml = token & 0x0F
+        if ml == 15:
+            while True:
+                b = data[s]
+                s += 1
+                ml += b
+                if b != 255:
+                    break
+        ml += 4
+        for _ in range(ml):
+            out.append(out[-off])
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# bit packing
+# ---------------------------------------------------------------------------
+
+def bitunpack32(data: bytes, n: int, width: int) -> np.ndarray:
+    """Unpack n `width`-bit LSB-first values -> uint32 array."""
+    if n == 0 or width == 0:
+        return np.zeros(n, dtype=np.uint32)
+    lib = _build()
+    if lib is not None:
+        padded = bytes(data) + b"\0" * 8   # kernel reads 8B past last value
+        out = np.empty(n, dtype=np.uint32)
+        lib.bitunpack32(padded, n,
+                        width, out.ctypes.data_as(ctypes.c_void_p))
+        return out
+    bits = np.unpackbits(np.frombuffer(data, dtype=np.uint8),
+                         bitorder="little")
+    need = n * width
+    if bits.size < need:
+        bits = np.pad(bits, (0, need - bits.size))
+    bits = bits[:need].reshape(n, width).astype(np.uint32)
+    weights = (np.uint32(1) << np.arange(width, dtype=np.uint32))
+    return (bits * weights).sum(axis=1, dtype=np.uint32)
+
+
+def bitpack32(values: np.ndarray, width: int) -> bytes:
+    """Pack uint32 values into `width`-bit LSB-first bytes."""
+    values = np.ascontiguousarray(values, dtype=np.uint32)
+    n = len(values)
+    if n == 0 or width == 0:
+        return b""
+    nbytes = (n * width + 7) // 8
+    lib = _build()
+    if lib is not None:
+        out = np.zeros(nbytes + 8, dtype=np.uint8)   # kernel writes 8B slack
+        lib.bitpack32(values.ctypes.data_as(ctypes.c_void_p), n, width,
+                      out.ctypes.data_as(ctypes.c_void_p))
+        return out[:nbytes].tobytes()
+    bits = (values[:, None] >> np.arange(width, dtype=np.uint32)) & 1
+    return np.packbits(bits.astype(np.uint8).ravel(),
+                       bitorder="little")[:nbytes].tobytes()

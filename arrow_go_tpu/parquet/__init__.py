@@ -1,0 +1,4 @@
+"""Parquet format support (reference parquet/* 63k LoC stack, SURVEY.md §2d)."""
+from . import format  # noqa: F401
+from .reader import ParquetFile, read_table  # noqa: F401
+from .writer import write_table  # noqa: F401

@@ -1,0 +1,55 @@
+"""Parquet compression codec registry (reference parquet/compress).
+
+snappy + lz4_raw use our native C++ kernels (arrow_go_tpu/native);
+gzip/zstd use the stdlib/zstandard.
+"""
+from __future__ import annotations
+
+import zlib
+
+from .. import native
+from ..compute.errors import ArrowNotImplemented
+from . import format as fmt
+
+
+def compress(codec: int, data: bytes) -> bytes:
+    c = fmt.Codec(codec)
+    if c == fmt.Codec.UNCOMPRESSED:
+        return data
+    if c == fmt.Codec.SNAPPY:
+        return native.snappy_compress(data)
+    if c == fmt.Codec.GZIP:
+        co = zlib.compressobj(wbits=31)  # gzip container
+        return co.compress(data) + co.flush()
+    if c == fmt.Codec.ZSTD:
+        import zstandard
+        return zstandard.ZstdCompressor().compress(data)
+    if c == fmt.Codec.LZ4_RAW:
+        return native.lz4_compress(data)
+    raise ArrowNotImplemented(f"parquet codec {c.name}")
+
+
+def decompress(codec: int, data: bytes, uncompressed_size: int) -> bytes:
+    c = fmt.Codec(codec)
+    if c == fmt.Codec.UNCOMPRESSED:
+        return data
+    if c == fmt.Codec.SNAPPY:
+        return native.snappy_decompress(data)
+    if c == fmt.Codec.GZIP:
+        return zlib.decompress(data, wbits=47)
+    if c == fmt.Codec.ZSTD:
+        import zstandard
+        return zstandard.ZstdDecompressor().decompress(
+            data, max_output_size=uncompressed_size)
+    if c == fmt.Codec.LZ4_RAW:
+        return native.lz4_decompress(data, uncompressed_size)
+    raise ArrowNotImplemented(f"parquet codec {c.name}")
+
+
+CODEC_NAMES = {"none": fmt.Codec.UNCOMPRESSED,
+               "uncompressed": fmt.Codec.UNCOMPRESSED,
+               "snappy": fmt.Codec.SNAPPY,
+               "gzip": fmt.Codec.GZIP,
+               "zstd": fmt.Codec.ZSTD,
+               "lz4": fmt.Codec.LZ4_RAW,
+               "lz4_raw": fmt.Codec.LZ4_RAW}

@@ -1,0 +1,219 @@
+"""Parquet encodings: PLAIN, RLE/bit-packed hybrid, dictionary.
+
+Reference: parquet/internal/encoding (plain_encoding_types.go, the
+RLE/bit-packed hybrid decoder internal/utils/rle.go:102, dictionary
+encoding memo tables). Decode paths are numpy-vectorized per run with the
+native bit-unpack kernel (arrow_go_tpu/native) on the hot path.
+"""
+from __future__ import annotations
+
+import struct
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from .. import native
+from . import format as fmt
+
+# ---------------------------------------------------------------------------
+# PLAIN
+# ---------------------------------------------------------------------------
+
+_PHYS_NP = {
+    fmt.Type.INT32: np.dtype("<i4"),
+    fmt.Type.INT64: np.dtype("<i8"),
+    fmt.Type.FLOAT: np.dtype("<f4"),
+    fmt.Type.DOUBLE: np.dtype("<f8"),
+}
+
+
+def plain_encode(phys: fmt.Type, values, type_length: int = 0) -> bytes:
+    if phys in _PHYS_NP:
+        return np.ascontiguousarray(values, dtype=_PHYS_NP[phys]).tobytes()
+    if phys == fmt.Type.BOOLEAN:
+        return np.packbits(np.asarray(values, dtype=np.bool_),
+                           bitorder="little").tobytes()
+    if phys == fmt.Type.BYTE_ARRAY:
+        out = bytearray()
+        for v in values:
+            out += struct.pack("<I", len(v))
+            out += v
+        return bytes(out)
+    if phys == fmt.Type.FIXED_LEN_BYTE_ARRAY:
+        return b"".join(values)
+    if phys == fmt.Type.INT96:
+        return np.ascontiguousarray(values, dtype=np.uint8).tobytes()
+    raise NotImplementedError(phys)
+
+
+def plain_decode(phys: fmt.Type, data: bytes, n: int, type_length: int = 0):
+    if phys in _PHYS_NP:
+        dt = _PHYS_NP[phys]
+        return np.frombuffer(data, dtype=dt, count=n)
+    if phys == fmt.Type.BOOLEAN:
+        return np.unpackbits(np.frombuffer(data, dtype=np.uint8),
+                             bitorder="little")[:n].astype(np.bool_)
+    if phys == fmt.Type.BYTE_ARRAY:
+        # vectorized byte-array split: walk lengths
+        out = []
+        pos = 0
+        mv = memoryview(data)
+        for _ in range(n):
+            (ln,) = struct.unpack_from("<I", mv, pos)
+            pos += 4
+            out.append(bytes(mv[pos:pos + ln]))
+            pos += ln
+        return out
+    if phys == fmt.Type.FIXED_LEN_BYTE_ARRAY:
+        w = type_length
+        return [data[i * w:(i + 1) * w] for i in range(n)]
+    if phys == fmt.Type.INT96:
+        return np.frombuffer(data, dtype=np.uint8, count=n * 12).reshape(n, 12)
+    raise NotImplementedError(phys)
+
+
+def byte_array_decode_vectorized(data: bytes, n: int
+                                 ) -> Tuple[np.ndarray, np.ndarray]:
+    """BYTE_ARRAY plain decode -> (offsets[n+1] int32, data bytes np.uint8)
+    without per-value python objects (hot path for string columns)."""
+    buf = np.frombuffer(data, dtype=np.uint8)
+    lengths = np.empty(n, dtype=np.int64)
+    pos = 0
+    mv = memoryview(data)
+    # first pass: lengths (python loop over n, but no object creation)
+    for i in range(n):
+        (ln,) = struct.unpack_from("<I", mv, pos)
+        lengths[i] = ln
+        pos += 4 + ln
+    offsets = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(lengths, out=offsets[1:])
+    out = np.empty(int(offsets[-1]), dtype=np.uint8)
+    pos = 0
+    for i in range(n):
+        ln = int(lengths[i])
+        pos += 4
+        out[int(offsets[i]):int(offsets[i + 1])] = buf[pos:pos + ln]
+        pos += ln
+    return offsets, out
+
+
+# ---------------------------------------------------------------------------
+# RLE / bit-packed hybrid (levels + dictionary indices)
+# ---------------------------------------------------------------------------
+
+def _uvarint(out: bytearray, v: int) -> None:
+    while v >= 0x80:
+        out.append((v & 0x7F) | 0x80)
+        v >>= 7
+    out.append(v)
+
+
+def rle_decode(data: bytes, n: int, bit_width: int) -> np.ndarray:
+    """Decode n values from an RLE/bit-packed hybrid stream -> uint32."""
+    if bit_width == 0:
+        return np.zeros(n, dtype=np.uint32)
+    out = np.empty(n, dtype=np.uint32)
+    got = 0
+    pos = 0
+    nbytes = (bit_width + 7) // 8
+    L = len(data)
+    while got < n and pos < L:
+        header = 0
+        shift = 0
+        while True:
+            b = data[pos]
+            pos += 1
+            header |= (b & 0x7F) << shift
+            if not (b & 0x80):
+                break
+            shift += 7
+        if header & 1:  # bit-packed: (header>>1) groups of 8
+            count = (header >> 1) * 8
+            take = min(count, n - got)
+            need_bytes = (count * bit_width + 7) // 8
+            vals = native.bitunpack32(data[pos:pos + need_bytes], take,
+                                      bit_width)
+            out[got:got + take] = vals
+            got += take
+            pos += need_bytes
+        else:  # RLE run
+            count = header >> 1
+            v = int.from_bytes(data[pos:pos + nbytes], "little")
+            pos += nbytes
+            take = min(count, n - got)
+            out[got:got + take] = v
+            got += take
+    if got < n:
+        out[got:] = 0
+    return out
+
+
+def rle_encode(values: np.ndarray, bit_width: int) -> bytes:
+    """Encode uint32 values as an RLE/bit-packed hybrid stream. Long constant
+    runs become RLE; the rest bit-packs in groups of 8 (reference
+    internal/utils/rle.go encoder strategy)."""
+    values = np.ascontiguousarray(values, dtype=np.uint32)
+    n = len(values)
+    if n == 0:
+        return b""
+    out = bytearray()
+    nbytes = (bit_width + 7) // 8
+    change = np.nonzero(np.diff(values))[0] + 1
+    starts = np.concatenate(([0], change)).tolist()
+    ends = np.concatenate((change, [n])).tolist()
+
+    MIN_RLE = 8
+    lit: list = []   # pending literal values (mid-stream groups must be 8s)
+
+    def emit_packed(vals: list, pad: bool):
+        groups = (len(vals) + 7) // 8 if pad else len(vals) // 8
+        if not groups:
+            return vals
+        take = len(vals) if pad else groups * 8
+        padded = np.zeros(groups * 8, dtype=np.uint32)
+        padded[:take] = vals[:take]
+        _uvarint(out, (groups << 1) | 1)
+        out.extend(native.bitpack32(padded, bit_width))
+        return vals[take:]
+
+    def emit_rle(count: int, val: int):
+        _uvarint(out, count << 1)
+        out.extend(int(val).to_bytes(nbytes, "little"))
+
+    for s, e in zip(starts, ends):
+        run = e - s
+        val = int(values[s])
+        if not lit and run >= MIN_RLE:
+            emit_rle(run, val)
+            continue
+        if lit and run >= MIN_RLE + 8:
+            # top up the literal buffer to a group boundary from this run,
+            # then RLE the rest
+            need = (-len(lit)) % 8
+            lit.extend([val] * need)
+            lit = emit_packed(lit, pad=False)
+            emit_rle(run - need, val)
+            continue
+        lit.extend([val] * run)
+        lit = emit_packed(lit, pad=False)
+    emit_packed(lit, pad=True)
+    return bytes(out)
+
+
+def bit_width_for(max_value: int) -> int:
+    """ceil(log2(max+1)): 0 -> 0 bits (all-zero stream)."""
+    return int(max_value).bit_length()
+
+
+def levels_decode_v1(data: bytes, n: int, bit_width: int
+                     ) -> Tuple[np.ndarray, int]:
+    """V1 data page levels: int32 byte length prefix + hybrid stream.
+    Returns (levels, bytes consumed)."""
+    (ln,) = struct.unpack_from("<I", data, 0)
+    levels = rle_decode(data[4:4 + ln], n, bit_width)
+    return levels, 4 + ln
+
+
+def levels_encode_v1(levels: np.ndarray, bit_width: int) -> bytes:
+    enc = rle_encode(levels, bit_width)
+    return struct.pack("<I", len(enc)) + enc

@@ -1,0 +1,321 @@
+"""Parquet file reader (reference parquet/file/file_reader.go:51 footer
+parse, page_reader.go serializedPageReader, column_reader.go typed
+ReadBatch, pqarrow/file_reader.go arrow assembly)."""
+from __future__ import annotations
+
+import io
+import struct
+from typing import BinaryIO, List, Optional, Tuple, Union
+
+import numpy as np
+
+from .. import dtypes as dt
+from ..array.arrays import Array, ArrayData, from_numpy, make_array, take_host
+from ..array.record import ChunkedArray, RecordBatch, Table
+from ..compute.errors import ArrowInvalid, ArrowNotImplemented
+from ..memory import bitutil
+from ..memory.buffer import Buffer
+from . import compress as comp
+from . import encodings as enc
+from . import format as fmt
+from . import levels as lv
+from . import schema as psch
+from .thrift import CompactReader
+
+MAGIC = b"PAR1"
+
+
+class ParquetFile:
+    """Random-access parquet reader."""
+
+    def __init__(self, source: Union[str, BinaryIO, bytes]):
+        if isinstance(source, str):
+            source = open(source, "rb")
+        elif isinstance(source, (bytes, bytearray, memoryview)):
+            source = io.BytesIO(bytes(source))
+        self.src = source
+        self.src.seek(0, 2)
+        size = self.src.tell()
+        if size < 12:
+            raise ArrowInvalid("file too small for parquet")
+        self.src.seek(0)
+        if self.src.read(4) != MAGIC:
+            raise ArrowInvalid("bad parquet magic")
+        self.src.seek(size - 8)
+        tail = self.src.read(8)
+        if tail[4:] != MAGIC:
+            raise ArrowInvalid("bad parquet trailing magic")
+        (flen,) = struct.unpack("<I", tail[:4])
+        self.src.seek(size - 8 - flen)
+        footer = self.src.read(flen)
+        self.metadata: fmt.FileMetaData = CompactReader(footer).read_struct(
+            fmt.FileMetaData)
+        self.schema, self.leaves = psch.elements_to_schema(self.metadata.schema)
+        kv = self.metadata.key_value_metadata or []
+        if kv:
+            md = dt.Metadata(keys=[e.key for e in kv],
+                             values=[e.value or "" for e in kv])
+            self.schema = self.schema.with_metadata(md)
+
+    @property
+    def num_rows(self) -> int:
+        return self.metadata.num_rows or 0
+
+    @property
+    def num_row_groups(self) -> int:
+        return len(self.metadata.row_groups or [])
+
+    def read_row_group(self, i: int,
+                       columns: Optional[List[str]] = None) -> RecordBatch:
+        rg = self.metadata.row_groups[i]
+        cols: List[Array] = []
+        fields: List[dt.Field] = []
+        li = 0
+        for f in self.schema.fields:
+            paths = lv.leaf_paths(f.type)
+            if columns is not None and f.name not in columns:
+                li += len(paths)
+                continue
+            leaf_datas = []
+            for path in paths:
+                desc = self.leaves[li]
+                chunk = rg.columns[li]
+                defs, reps, values = self._read_column_chunk(chunk, desc)
+                pruned_f = lv.prune_field(f, path)
+                if desc.max_rep_level == 0 and pruned_f.type.id not in (
+                        dt.TypeId.STRUCT,):
+                    data = self._flat_assemble(pruned_f, desc, defs, values)
+                else:
+                    data = lv.rebuild_nested(pruned_f, defs, reps, values)
+                leaf_datas.append(data)
+                li += 1
+            data = lv.merge_leaf_datas(f, leaf_datas)
+            cols.append(make_array(data))
+            fields.append(f)
+        schema = dt.Schema(fields, self.schema.metadata)
+        return RecordBatch(schema, cols, rg.num_rows or 0)
+
+    def read_table(self, columns: Optional[List[str]] = None) -> Table:
+        batches = [self.read_row_group(i, columns)
+                   for i in range(self.num_row_groups)]
+        if not batches:
+            sch = self.schema if columns is None else dt.Schema(
+                [f for f in self.schema.fields if f.name in columns],
+                self.schema.metadata)
+            return Table(sch, [ChunkedArray([], f.type) for f in sch.fields], 0)
+        return Table.from_batches(batches)
+
+    # -- column chunk machinery ---------------------------------------------
+
+    def _read_column_chunk(self, chunk: fmt.ColumnChunk,
+                           desc: psch.ColumnDescriptor):
+        meta = chunk.meta_data
+        start = meta.dictionary_page_offset or meta.data_page_offset
+        self.src.seek(start)
+        raw = self.src.read(meta.total_compressed_size)
+        codec = meta.codec or 0
+
+        pos = 0
+        dictionary = None
+        defs_parts, reps_parts = [], []
+        values_parts: List = []
+        remaining = meta.num_values
+        while remaining > 0 and pos < len(raw):
+            rd = CompactReader(raw, pos)
+            hdr: fmt.PageHeader = rd.read_struct(fmt.PageHeader)
+            pos = rd.pos
+            comp_size = hdr.compressed_page_size
+            page_raw = raw[pos: pos + comp_size]
+            pos += comp_size
+            ptype = fmt.PageType(hdr.type)
+            if ptype == fmt.PageType.DICTIONARY_PAGE:
+                payload = comp.decompress(codec, page_raw,
+                                          hdr.uncompressed_page_size)
+                nv = hdr.dictionary_page_header.num_values or 0
+                dictionary = enc.plain_decode(desc.physical_type, payload, nv,
+                                              desc.type_length)
+                continue
+            if ptype == fmt.PageType.DATA_PAGE:
+                payload = comp.decompress(codec, page_raw,
+                                          hdr.uncompressed_page_size)
+                dph = hdr.data_page_header
+                nv = dph.num_values or 0
+                off = 0
+                reps = np.zeros(nv, np.uint32)
+                defs = np.zeros(nv, np.uint32)
+                if desc.max_rep_level > 0:
+                    reps, used = enc.levels_decode_v1(
+                        payload, nv, enc.bit_width_for(desc.max_rep_level))
+                    off += used
+                if desc.max_def_level > 0:
+                    defs, used = enc.levels_decode_v1(
+                        payload[off:], nv,
+                        enc.bit_width_for(desc.max_def_level))
+                    off += used
+                else:
+                    defs = np.zeros(nv, np.uint32)
+                n_present = int((defs == desc.max_def_level).sum())
+                vals = self._decode_values(
+                    fmt.Encoding(dph.encoding or 0), payload[off:], n_present,
+                    desc, dictionary)
+                defs_parts.append(defs)
+                reps_parts.append(reps)
+                values_parts.append(vals)
+                remaining -= nv
+                continue
+            if ptype == fmt.PageType.DATA_PAGE_V2:
+                dph2 = hdr.data_page_header_v2
+                nv = dph2.num_values or 0
+                rl = dph2.repetition_levels_byte_length or 0
+                dl = dph2.definition_levels_byte_length or 0
+                level_raw = page_raw[: rl + dl]
+                vals_raw = page_raw[rl + dl:]
+                if dph2.is_compressed is not False and codec:
+                    vals_raw = comp.decompress(
+                        codec, vals_raw,
+                        (hdr.uncompressed_page_size or 0) - rl - dl)
+                reps = (enc.rle_decode(level_raw[:rl], nv,
+                                       enc.bit_width_for(desc.max_rep_level))
+                        if desc.max_rep_level else np.zeros(nv, np.uint32))
+                defs = (enc.rle_decode(level_raw[rl:rl + dl], nv,
+                                       enc.bit_width_for(desc.max_def_level))
+                        if desc.max_def_level else np.zeros(nv, np.uint32))
+                n_present = int((defs == desc.max_def_level).sum())
+                vals = self._decode_values(
+                    fmt.Encoding(dph2.encoding or 0), vals_raw, n_present,
+                    desc, dictionary)
+                defs_parts.append(defs)
+                reps_parts.append(reps)
+                values_parts.append(vals)
+                remaining -= nv
+                continue
+            raise ArrowNotImplemented(f"page type {ptype}")
+
+        defs = np.concatenate(defs_parts) if defs_parts else np.zeros(0, np.uint32)
+        reps = np.concatenate(reps_parts) if reps_parts else np.zeros(0, np.uint32)
+        values = _concat_phys(values_parts)
+        arr = _physical_to_arrow(values, desc)
+        return defs, reps, arr
+
+    def _decode_values(self, encoding: fmt.Encoding, data: bytes, n: int,
+                       desc: psch.ColumnDescriptor, dictionary):
+        if encoding == fmt.Encoding.PLAIN:
+            return enc.plain_decode(desc.physical_type, data, n,
+                                    desc.type_length)
+        if encoding in (fmt.Encoding.RLE_DICTIONARY,
+                        fmt.Encoding.PLAIN_DICTIONARY):
+            if dictionary is None:
+                raise ArrowInvalid("dictionary-encoded page without dictionary")
+            if n == 0:
+                return _empty_like(dictionary)
+            width = data[0]
+            codes = enc.rle_decode(data[1:], n, width)
+            if isinstance(dictionary, np.ndarray):
+                return dictionary[codes]
+            return [dictionary[int(c)] for c in codes]
+        if encoding == fmt.Encoding.RLE and desc.physical_type == fmt.Type.BOOLEAN:
+            (ln,) = struct.unpack_from("<I", data, 0)
+            return enc.rle_decode(data[4:4 + ln], n, 1).astype(np.bool_)
+        raise ArrowNotImplemented(f"value encoding {encoding.name}")
+
+
+def _empty_like(dictionary):
+    if isinstance(dictionary, np.ndarray):
+        return dictionary[:0]
+    return []
+
+
+def _concat_phys(parts: List):
+    if not parts:
+        return np.zeros(0, np.int64)
+    if isinstance(parts[0], np.ndarray):
+        return np.concatenate(parts) if len(parts) > 1 else parts[0]
+    out = []
+    for p in parts:
+        out.extend(p)
+    return out
+
+
+def _physical_to_arrow(values, desc: psch.ColumnDescriptor) -> Array:
+    """Physical decoded values -> arrow leaf array of the target type
+    (present values only; validity applied during level assembly)."""
+    t = desc.arrow_type
+    tid = t.id
+    if tid == dt.TypeId.DICTIONARY:
+        inner = psch.ColumnDescriptor(desc.path, desc.physical_type,
+                                      desc.type_length, desc.max_def_level,
+                                      desc.max_rep_level, t.value_type,
+                                      desc.schema_elements)
+        decoded = _physical_to_arrow(values, inner)
+        from ..array.builders import DictionaryBuilder
+        b = DictionaryBuilder(t)
+        b.append_values(decoded.to_pylist())
+        return b.finish()
+    if tid == dt.TypeId.BOOL:
+        return from_numpy(np.asarray(values, dtype=np.bool_), None, t)
+    if tid == dt.TypeId.TIMESTAMP and isinstance(values, np.ndarray) and \
+            values.ndim == 2:  # INT96: (julian day, nanos)
+        days = values[:, 8:12].copy().view(np.int32).ravel().astype(np.int64)
+        nanos = values[:, 0:8].copy().view(np.int64).ravel()
+        ts = (days - 2440588) * 86400_000_000_000 + nanos
+        return from_numpy(ts, None, dt.timestamp("ns"))
+    if t.np_dtype is not None and not t.is_decimal and isinstance(
+            values, np.ndarray):
+        if t.np_dtype.kind == "u":  # stored two's-complement in INT32/INT64
+            u = values.view(np.uint32 if values.dtype.itemsize == 4
+                            else np.uint64)
+            return from_numpy(u.astype(t.np_dtype), None, t)
+        return from_numpy(values.astype(t.np_dtype), None, t)
+    if tid == dt.TypeId.FLOAT16:
+        arr = np.frombuffer(b"".join(values), dtype=np.float16) if values else \
+            np.zeros(0, np.float16)
+        return from_numpy(arr, None, t)
+    if t.is_decimal:
+        bw = t.bit_width // 8
+        if isinstance(values, np.ndarray):
+            ints = [int(v) for v in values]
+        else:
+            ints = [int.from_bytes(v, "big", signed=True) for v in values]
+        raw = b"".join(v.to_bytes(bw, "little", signed=True) for v in ints)
+        return make_array(ArrayData(t, len(ints),
+                                    [None, Buffer.from_bytes(raw)],
+                                    null_count=0))
+    if tid in (dt.TypeId.STRING, dt.TypeId.LARGE_STRING, dt.TypeId.BINARY,
+               dt.TypeId.LARGE_BINARY):
+        offs = np.zeros(len(values) + 1, dtype=np.int64)
+        lens = np.array([len(v) for v in values], dtype=np.int64)
+        np.cumsum(lens, out=offs[1:])
+        data = b"".join(values)
+        return make_array(ArrayData(
+            t, len(values),
+            [None, Buffer.wrap(offs.astype(t.offset_dtype)),
+             Buffer.from_bytes(data)], null_count=0))
+    if tid == dt.TypeId.FIXED_SIZE_BINARY:
+        return make_array(ArrayData(t, len(values),
+                                    [None, Buffer.from_bytes(b"".join(values))],
+                                    null_count=0))
+    raise ArrowNotImplemented(f"physical->arrow for {t}")
+
+
+class _FlatMixin:
+    pass
+
+
+def _flat_assemble(field: dt.Field, desc, defs: np.ndarray,
+                   values: Array) -> ArrayData:
+    """max_rep==0, non-struct: def==max_def marks present rows."""
+    n = len(defs)
+    if desc.max_def_level == 0:
+        return values.data
+    mask = defs == desc.max_def_level
+    value_rank = np.cumsum(mask) - 1
+    idx = np.where(mask, value_rank, -1)
+    out = take_host(values, idx)
+    return out.data
+
+
+ParquetFile._flat_assemble = staticmethod(_flat_assemble)
+
+
+def read_table(source, columns: Optional[List[str]] = None) -> Table:
+    return ParquetFile(source).read_table(columns)

@@ -1,0 +1,271 @@
+"""Parquet file writer (reference parquet/file/file_writer.go +
+pqarrow/encode_arrow.go). Round-1 scope: one data page per column chunk,
+PLAIN + dictionary encodings, snappy/gzip/zstd/lz4_raw codecs, min/max/null
+statistics, nested list/struct columns via level generation."""
+from __future__ import annotations
+
+import struct
+from typing import BinaryIO, List, Optional, Tuple
+
+import numpy as np
+
+from .. import dtypes as dt
+from ..array.arrays import Array, make_array
+from ..array.record import RecordBatch, Table
+from ..compute.errors import ArrowNotImplemented
+from . import compress as comp
+from . import encodings as enc
+from . import format as fmt
+from . import levels as lv
+from . import schema as psch
+from .thrift import CompactWriter
+
+MAGIC = b"PAR1"
+CREATED_BY = "arrow_go_tpu v0.1.0"
+
+
+def _thrift_bytes(obj) -> bytes:
+    w = CompactWriter()
+    w.write_struct(obj)
+    return bytes(w.out)
+
+
+def _present_leaf_values(leaf: Array, def_levels: np.ndarray,
+                         max_def: int) -> Array:
+    """Values written to the page: one per def==max_def entry."""
+    if max_def == 0 or leaf.null_count == 0 and len(leaf) == int(
+            (def_levels == max_def).sum()):
+        return leaf
+    mask = leaf.validity_bools()
+    idx = np.nonzero(mask)[0]
+    from ..array.arrays import take_host
+    return take_host(leaf, idx)
+
+
+def _physical_values(leaf: Array, phys: fmt.Type, tlen: int):
+    """Arrow leaf array (no nulls) -> python/numpy physical values."""
+    t = leaf.type
+    if t.id == dt.TypeId.DICTIONARY:
+        leaf = leaf.decode()
+        t = leaf.type
+    if phys == fmt.Type.BOOLEAN:
+        return leaf.to_numpy()
+    if phys in (fmt.Type.INT32, fmt.Type.INT64):
+        npdt = np.int32 if phys == fmt.Type.INT32 else np.int64
+        if t.is_decimal:
+            vals = np.array([leaf.unscaled(i) for i in range(len(leaf))],
+                            dtype=np.int64)
+            return vals.astype(npdt)
+        vals = leaf.values
+        if vals.dtype.kind == "u":  # reinterpret unsigned in two's complement
+            return vals.astype(np.uint64).astype(npdt, casting="unsafe") if \
+                phys == fmt.Type.INT64 else vals.astype(np.uint32).view(np.int32)
+        return vals.astype(npdt)
+    if phys in (fmt.Type.FLOAT, fmt.Type.DOUBLE):
+        return leaf.values.astype(np.float32 if phys == fmt.Type.FLOAT
+                                  else np.float64)
+    if phys == fmt.Type.BYTE_ARRAY:
+        if t.id in (dt.TypeId.STRING, dt.TypeId.LARGE_STRING):
+            return [leaf.value_bytes(i) for i in range(len(leaf))]
+        return [leaf.value_bytes(i) for i in range(len(leaf))]
+    if phys == fmt.Type.FIXED_LEN_BYTE_ARRAY:
+        if t.is_decimal:
+            return [leaf.unscaled(i).to_bytes(tlen, "big", signed=True)
+                    for i in range(len(leaf))]
+        if t.id == dt.TypeId.FLOAT16:
+            return [leaf.values[i].tobytes() for i in range(len(leaf))]
+        return [leaf.value(i) for i in range(len(leaf))]
+    raise ArrowNotImplemented(f"write {t} as {phys}")
+
+
+def _stats_for(phys: fmt.Type, values, null_count: int) -> Optional[fmt.Statistics]:
+    st = fmt.Statistics(null_count=null_count)
+    try:
+        if isinstance(values, np.ndarray) and len(values):
+            if values.dtype == np.bool_:
+                mn, mx = bool(values.min()), bool(values.max())
+                st.min_value = b"\x01" if mn else b"\x00"
+                st.max_value = b"\x01" if mx else b"\x00"
+            else:
+                fmtc = {fmt.Type.INT32: "<i", fmt.Type.INT64: "<q",
+                        fmt.Type.FLOAT: "<f", fmt.Type.DOUBLE: "<d"}[phys]
+                st.min_value = struct.pack(fmtc, values.min())
+                st.max_value = struct.pack(fmtc, values.max())
+        elif isinstance(values, list) and values and len(values[0] if values else b"") < 64:
+            vs = [bytes(v) for v in values]
+            st.min_value = min(vs)
+            st.max_value = max(vs)
+    except (ValueError, KeyError):
+        pass
+    return st
+
+
+def _encode_column_chunk(
+        sink: BinaryIO, leaf_arr: Array, field: dt.Field,
+        desc: psch.ColumnDescriptor, codec: int, use_dictionary: bool
+) -> fmt.ColumnChunk:
+    """Write pages for one column chunk; return its metadata."""
+    t = field.type
+    nested = t.id in (dt.TypeId.LIST, dt.TypeId.LARGE_LIST, dt.TypeId.STRUCT)
+    if nested:
+        def_levels, rep_levels, leaf = lv.generate_levels_nested(leaf_arr, field)
+        values_arr = leaf  # already present-only
+    else:
+        def_levels, rep_levels, leaf = lv.generate_levels(leaf_arr, field.nullable)
+        values_arr = _present_leaf_values(leaf, def_levels, desc.max_def_level)
+
+    num_values = len(def_levels)
+    null_count = num_values - len(values_arr)
+
+    # level streams (v1 layout: rep then def, each i32-length-prefixed RLE)
+    level_bytes = b""
+    if desc.max_rep_level > 0:
+        level_bytes += enc.levels_encode_v1(
+            rep_levels, enc.bit_width_for(desc.max_rep_level))
+    if desc.max_def_level > 0:
+        level_bytes += enc.levels_encode_v1(
+            def_levels, enc.bit_width_for(desc.max_def_level))
+
+    encodings_used = [int(fmt.Encoding.RLE)]
+    dict_page_bytes = None
+    is_dict = False
+    vt = values_arr.type
+    if use_dictionary and (vt.id in (dt.TypeId.DICTIONARY,)
+                           or vt.is_binary_like):
+        is_dict = True
+        if vt.id != dt.TypeId.DICTIONARY:
+            from ..array.builders import DictionaryBuilder
+            b = DictionaryBuilder(dt.dictionary(dt.int32, vt))
+            b.append_values(values_arr.to_pylist())
+            values_arr = b.finish()
+        dict_vals = _physical_values(values_arr.dictionary, desc.physical_type,
+                                     desc.type_length)
+        dict_page_bytes = enc.plain_encode(desc.physical_type, dict_vals,
+                                           desc.type_length)
+        codes = np.asarray(values_arr.indices.to_numpy(), dtype=np.uint32)
+        width = max(enc.bit_width_for(int(codes.max()) if len(codes) else 0), 1)
+        data_bytes = bytes([width]) + enc.rle_encode(codes, width)
+        value_encoding = int(fmt.Encoding.PLAIN_DICTIONARY)
+        encodings_used += [int(fmt.Encoding.PLAIN),
+                           int(fmt.Encoding.PLAIN_DICTIONARY)]
+        phys_for_stats = _physical_values(
+            make_array(values_arr.data).decode(), desc.physical_type,
+            desc.type_length)
+    else:
+        phys = _physical_values(values_arr, desc.physical_type,
+                                desc.type_length)
+        data_bytes = enc.plain_encode(desc.physical_type, phys,
+                                      desc.type_length)
+        value_encoding = int(fmt.Encoding.PLAIN)
+        encodings_used.append(int(fmt.Encoding.PLAIN))
+        phys_for_stats = phys
+
+    stats = _stats_for(desc.physical_type, phys_for_stats, null_count)
+
+    start_offset = sink.tell()
+    dict_page_offset = None
+    total_unc = 0
+    total_comp = 0
+
+    if is_dict and dict_page_bytes is not None:
+        dict_page_offset = sink.tell()
+        compressed = comp.compress(codec, dict_page_bytes)
+        hdr = fmt.PageHeader(
+            type=int(fmt.PageType.DICTIONARY_PAGE),
+            uncompressed_page_size=len(dict_page_bytes),
+            compressed_page_size=len(compressed),
+            dictionary_page_header=fmt.DictionaryPageHeader(
+                num_values=len(values_arr.dictionary),
+                encoding=int(fmt.Encoding.PLAIN)))
+        hb = _thrift_bytes(hdr)
+        sink.write(hb)
+        sink.write(compressed)
+        total_unc += len(hb) + len(dict_page_bytes)
+        total_comp += len(hb) + len(compressed)
+
+    page_payload = level_bytes + data_bytes
+    compressed = comp.compress(codec, page_payload)
+    data_page_offset = sink.tell()
+    hdr = fmt.PageHeader(
+        type=int(fmt.PageType.DATA_PAGE),
+        uncompressed_page_size=len(page_payload),
+        compressed_page_size=len(compressed),
+        data_page_header=fmt.DataPageHeader(
+            num_values=num_values, encoding=value_encoding,
+            definition_level_encoding=int(fmt.Encoding.RLE),
+            repetition_level_encoding=int(fmt.Encoding.RLE),
+            statistics=stats))
+    hb = _thrift_bytes(hdr)
+    sink.write(hb)
+    sink.write(compressed)
+    total_unc += len(hb) + len(page_payload)
+    total_comp += len(hb) + len(compressed)
+
+    meta = fmt.ColumnMetaData(
+        type=int(desc.physical_type),
+        encodings=sorted(set(encodings_used)),
+        path_in_schema=list(desc.path),
+        codec=int(codec),
+        num_values=num_values,
+        total_uncompressed_size=total_unc,
+        total_compressed_size=total_comp,
+        data_page_offset=data_page_offset,
+        dictionary_page_offset=dict_page_offset,
+        statistics=stats)
+    return fmt.ColumnChunk(file_offset=start_offset, meta_data=meta)
+
+
+def write_table(table, sink, row_group_size: Optional[int] = None,
+                compression: str = "snappy", use_dictionary: bool = True
+                ) -> None:
+    """Write a Table/RecordBatch to a parquet file."""
+    if isinstance(table, RecordBatch):
+        table = Table.from_batches([table])
+    if hasattr(sink, "write"):
+        _write(table, sink, row_group_size, compression, use_dictionary)
+    else:
+        with open(sink, "wb") as f:
+            _write(table, f, row_group_size, compression, use_dictionary)
+
+
+def _write(table: Table, sink: BinaryIO, row_group_size: Optional[int],
+           compression: str, use_dictionary: bool) -> None:
+    codec = int(comp.CODEC_NAMES[compression.lower()])
+    elements, leaves = psch.schema_to_elements(table.schema)
+    sink.write(MAGIC)
+
+    row_group_size = row_group_size or max(table.num_rows, 1)
+    row_groups: List[fmt.RowGroup] = []
+    batches = table.to_batches(max_chunksize=row_group_size) \
+        if table.num_rows else []
+
+    for rb in batches:
+        rg_start = sink.tell()
+        chunks: List[fmt.ColumnChunk] = []
+        li = 0
+        for f, col in zip(rb.schema.fields, rb.columns):
+            paths = lv.leaf_paths(f.type)
+            for path in paths:
+                pruned_arr, pruned_f = lv.prune_to_leaf(col, f, path)
+                desc = leaves[li]
+                chunks.append(_encode_column_chunk(
+                    sink, pruned_arr, pruned_f, desc, codec, use_dictionary))
+                li += 1
+        total = sum(c.meta_data.total_compressed_size for c in chunks)
+        row_groups.append(fmt.RowGroup(
+            columns=chunks, total_byte_size=total, num_rows=rb.num_rows,
+            file_offset=rg_start, total_compressed_size=total))
+
+    meta = fmt.FileMetaData(
+        version=2, schema=elements, num_rows=table.num_rows,
+        row_groups=row_groups, created_by=CREATED_BY,
+        column_orders=[fmt.ColumnOrder(TYPE_ORDER=fmt.TypeDefinedOrder())
+                       for _ in leaves],
+        key_value_metadata=[fmt.KeyValue(key=k, value=v)
+                            for k, v in zip(table.schema.metadata.keys,
+                                            table.schema.metadata.values)]
+        or None)
+    mb = _thrift_bytes(meta)
+    sink.write(mb)
+    sink.write(struct.pack("<I", len(mb)))
+    sink.write(MAGIC)

@@ -1,0 +1,253 @@
+"""Parquet cross-implementation tests vs pyarrow.parquet (both directions),
+covering types, nesting, codecs, row groups, dictionary encoding, stats."""
+import decimal as pydec
+import io
+
+import numpy as np
+import pytest
+
+import arrow_go_tpu as agt
+from arrow_go_tpu import dtypes as dt
+from arrow_go_tpu import parquet as pq
+
+pa = pytest.importorskip("pyarrow")
+import pyarrow.parquet as papq  # noqa: E402
+
+
+def _roundtrip_ours(t, **kw):
+    buf = io.BytesIO()
+    pq.write_table(t, buf, **kw)
+    return pq.read_table(buf.getvalue())
+
+
+def _ours_to_pyarrow(t, **kw):
+    buf = io.BytesIO()
+    pq.write_table(t, buf, **kw)
+    return papq.read_table(io.BytesIO(buf.getvalue()))
+
+
+def _pyarrow_to_ours(pt, **kw):
+    buf = io.BytesIO()
+    papq.write_table(pt, buf, **kw)
+    return pq.read_table(buf.getvalue())
+
+
+def test_basic_types_roundtrip():
+    t = agt.table({"i8": agt.array([1, None, 3], dt.int8),
+                   "i16": agt.array([-5, 6, None], dt.int16),
+                   "i32": agt.array([1, 2, 3], dt.int32),
+                   "i64": [10**12, None, -5],
+                   "u8": agt.array([0, 255, None], dt.uint8),
+                   "u32": agt.array([0, 2**31 + 5, None], dt.uint32),
+                   "u64": agt.array([2**63 + 1, 1, None], dt.uint64),
+                   "f32": agt.array([1.5, None, 2.5], dt.float32),
+                   "f64": [1.5, 2.5, None],
+                   "b": [True, None, False],
+                   "s": ["x", None, "yy"],
+                   "bin": agt.array([b"\x00\x01", None, b""], dt.binary)})
+    back = _roundtrip_ours(t)
+    assert back.to_pydict() == t.to_pydict()
+    pt = _ours_to_pyarrow(t)
+    pt.validate(full=True)
+    assert pt.to_pydict() == t.to_pydict()
+
+
+def test_temporal_decimal_roundtrip():
+    t = agt.table({
+        "ts": agt.array([1, None, 3], dt.timestamp("us")),
+        "tsms": agt.array([100, 200, None], dt.timestamp("ms")),
+        "d32": agt.array([10, None, 20], dt.date32),
+        "t32": agt.array([1000, None, 2000], dt.time32("ms")),
+        "t64": agt.array([1, 2, None], dt.time64("us")),
+        "dec": agt.array([pydec.Decimal("1.23"), None,
+                          pydec.Decimal("-99.99")], dt.decimal128(20, 2)),
+        "dec64": agt.array([pydec.Decimal("5.5"), None, pydec.Decimal("0.1")],
+                           dt.decimal64(10, 1)),
+        "fsb": agt.array([b"abc", None, b"xyz"], dt.fixed_size_binary(3)),
+        "f16": agt.array(np.array([1.5, 2.5, -1.0], np.float16)),
+    })
+    back = _roundtrip_ours(t)
+    assert back.to_pydict() == t.to_pydict()
+    pt = _ours_to_pyarrow(t)
+    pt.validate(full=True)
+
+
+def test_pyarrow_to_ours_types():
+    pt = pa.table({
+        "i": pa.array([1, None, 3]),
+        "f": pa.array([1.5, None, 2.5], pa.float32()),
+        "s": pa.array(["a", None, "b"]),
+        "b": pa.array([True, False, None]),
+        "dec": pa.array([pydec.Decimal("1.50"), None],
+                        pa.decimal128(10, 2)).take(pa.array([0, 1, 0])),
+        "ts": pa.array([1, 2, None], pa.timestamp("us")),
+    })
+    ours = _pyarrow_to_ours(pt)
+    assert ours.column("i").to_pylist() == [1, None, 3]
+    assert ours.column("s").to_pylist() == ["a", None, "b"]
+    assert ours.column("dec").to_pylist() == [pydec.Decimal("1.50"), None,
+                                              pydec.Decimal("1.50")]
+    assert ours.column("ts").to_pylist() == [1, 2, None]
+
+
+@pytest.mark.parametrize("codec", ["none", "snappy", "gzip", "zstd", "lz4"])
+def test_codecs_both_directions(codec):
+    t = agt.table({"x": list(range(500)),
+                   "s": [f"value_{i % 11}" for i in range(500)]})
+    back = _roundtrip_ours(t, compression=codec)
+    assert back.to_pydict() == t.to_pydict()
+    pt = _ours_to_pyarrow(t, compression=codec)
+    pt.validate(full=True)
+    assert pt.column("x").to_pylist() == list(range(500))
+    # pyarrow writes, we read
+    pa_codec = {"none": "NONE", "snappy": "snappy", "gzip": "gzip",
+                "zstd": "zstd", "lz4": "lz4"}[codec]
+    ours = _pyarrow_to_ours(pa.table(t.to_pydict()), compression=pa_codec)
+    assert ours.to_pydict() == t.to_pydict()
+
+
+def test_row_groups():
+    t = agt.table({"x": list(range(100))})
+    buf = io.BytesIO()
+    pq.write_table(t, buf, row_group_size=30)
+    pf = pq.ParquetFile(buf.getvalue())
+    assert pf.num_row_groups == 4
+    assert pf.read_row_group(0).num_rows == 30
+    assert pf.read_row_group(3).num_rows == 10
+    assert pf.read_table().to_pydict() == t.to_pydict()
+    # pyarrow sees the same row groups
+    ppf = papq.ParquetFile(io.BytesIO(buf.getvalue()))
+    assert ppf.num_row_groups == 4
+
+
+def test_list_column_roundtrip():
+    t = agt.table({"l": agt.array([[1, 2], None, [], [3, None, 5]],
+                                  dt.list_(dt.int64))})
+    back = _roundtrip_ours(t)
+    assert back.to_pydict() == t.to_pydict()
+    pt = _ours_to_pyarrow(t)
+    pt.validate(full=True)
+    assert pt.column("l").to_pylist() == [[1, 2], None, [], [3, None, 5]]
+
+
+def test_list_pyarrow_to_ours():
+    pt = pa.table({"l": [[1, 2], None, [], [3, None]],
+                   "ls": [["a"], ["b", None], None, []]})
+    ours = _pyarrow_to_ours(pt)
+    assert ours.column("l").to_pylist() == [[1, 2], None, [], [3, None]]
+    assert ours.column("ls").to_pylist() == [["a"], ["b", None], None, []]
+
+
+def test_struct_column_roundtrip():
+    st = dt.struct({"x": dt.int64, "y": dt.string})
+    t = agt.table({"s": agt.array([{"x": 1, "y": "a"}, None,
+                                   {"x": 3, "y": None}], st)})
+    back = _roundtrip_ours(t)
+    assert back.to_pydict() == t.to_pydict()
+    pt = _ours_to_pyarrow(t)
+    pt.validate(full=True)
+    assert pt.column("s").to_pylist() == [{"x": 1, "y": "a"}, None,
+                                          {"x": 3, "y": None}]
+
+
+def test_struct_pyarrow_to_ours():
+    pt = pa.table({"s": pa.array([{"a": 1, "b": [1, 2]},
+                                  {"a": None, "b": []}, None],
+                                 pa.struct([("a", pa.int64()),
+                                            ("b", pa.list_(pa.int64()))]))})
+    ours = _pyarrow_to_ours(pt)
+    assert ours.column("s").to_pylist() == \
+        [{"a": 1, "b": [1, 2]}, {"a": None, "b": []}, None]
+
+
+def test_dictionary_encoding_used():
+    t = agt.table({"s": ["a", "b", "a"] * 100})
+    buf = io.BytesIO()
+    pq.write_table(t, buf, use_dictionary=True)
+    pf = pq.ParquetFile(buf.getvalue())
+    encs = pf.metadata.row_groups[0].columns[0].meta_data.encodings
+    from arrow_go_tpu.parquet import format as fmt
+    assert int(fmt.Encoding.PLAIN_DICTIONARY) in encs
+    assert pf.read_table().to_pydict() == t.to_pydict()
+
+
+def test_dictionary_column_type():
+    t = agt.table({"d": agt.array(["x", "y", None, "x"],
+                                  dt.dictionary(dt.int32, dt.string))})
+    pt = _ours_to_pyarrow(t)
+    assert pt.column("d").to_pylist() == ["x", "y", None, "x"]
+
+
+def test_statistics_written():
+    t = agt.table({"x": [5, 1, None, 9]})
+    buf = io.BytesIO()
+    pq.write_table(t, buf)
+    ppf = papq.ParquetFile(io.BytesIO(buf.getvalue()))
+    st = ppf.metadata.row_group(0).column(0).statistics
+    assert st.min == 1 and st.max == 9 and st.null_count == 1
+
+
+def test_column_selection():
+    t = agt.table({"a": [1, 2], "b": ["x", "y"], "c": [0.5, 0.25]})
+    buf = io.BytesIO()
+    pq.write_table(t, buf)
+    got = pq.read_table(buf.getvalue(), columns=["b", "c"])
+    assert got.to_pydict() == {"b": ["x", "y"], "c": [0.5, 0.25]}
+
+
+def test_pyarrow_v2_data_pages():
+    pt = pa.table({"x": [1, None, 3], "s": ["a", "b", None]})
+    buf = io.BytesIO()
+    papq.write_table(pt, buf, data_page_version="2.0")
+    ours = pq.read_table(buf.getvalue())
+    assert ours.to_pydict() == {"x": [1, None, 3], "s": ["a", "b", None]}
+
+
+def test_pyarrow_multi_page():
+    # force many pages in one chunk
+    pt = pa.table({"x": list(range(50000))})
+    buf = io.BytesIO()
+    papq.write_table(pt, buf, data_page_size=1024, use_dictionary=False)
+    ours = pq.read_table(buf.getvalue())
+    assert ours.column("x").to_pylist() == list(range(50000))
+
+
+def test_schema_metadata():
+    s = agt.schema({"a": dt.int64}, dt.Metadata({"team": "tpu"}))
+    t = agt.Table.from_batches([agt.RecordBatch(s, [agt.array([1, 2])])])
+    back = _roundtrip_ours(t)
+    assert back.schema.metadata.get("team") == "tpu"
+
+
+def test_all_null_column():
+    t = agt.table({"x": agt.array([None, None], dt.int64)})
+    assert _roundtrip_ours(t).to_pydict() == {"x": [None, None]}
+
+
+def test_empty_table():
+    t = agt.table({"x": agt.array([], dt.int64)})
+    back = _roundtrip_ours(t)
+    assert back.num_rows == 0
+    assert back.schema.field(0).type == dt.int64
+
+
+def test_int96_timestamps():
+    pt = pa.table({"ts": pa.array([0, 10**15], pa.timestamp("ns"))})
+    buf = io.BytesIO()
+    papq.write_table(pt, buf, use_deprecated_int96_timestamps=True)
+    ours = pq.read_table(buf.getvalue())
+    assert ours.column("ts").to_pylist() == [0, 10**15]
+
+
+def test_large_random_parity(rng):
+    n = 20000
+    vals = rng.integers(-10**9, 10**9, n)
+    mask = rng.random(n) < 0.9
+    strs = [f"s{int(v) % 997}" if m else None
+            for v, m in zip(vals, rng.random(n) < 0.95)]
+    t = agt.table({"v": agt.from_numpy(vals, mask), "s": strs})
+    pt = _ours_to_pyarrow(t, compression="zstd")
+    pt.validate(full=True)
+    assert pt.to_pydict() == t.to_pydict()
+    ours = _pyarrow_to_ours(pa.table(t.to_pydict()), compression="snappy")
+    assert ours.to_pydict() == t.to_pydict()
