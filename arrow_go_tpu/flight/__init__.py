@@ -1,0 +1,6 @@
+"""Arrow Flight RPC (reference arrow/flight, SURVEY.md §2e)."""
+from . import Flight_pb2  # noqa: F401
+from .service import (Action, FlightClient, FlightDataReader,  # noqa: F401
+                      FlightDescriptor, FlightEndpoint, FlightInfo,
+                      FlightServerBase, Result, Ticket,
+                      batches_to_flight_data)
