@@ -13,6 +13,11 @@ from .functions import (CountOptions, FilterOptions, SetLookupOptions,
                         dictionary_encode, fill_null, filter_, if_else,
                         index_in, is_in, min_max, sort_indices, take, unique,
                         value_counts)
+from .expression import (Expression, FieldRef, Literal, call,  # noqa: F401
+                         compile_expression, execute_scalar_expression,
+                         field, literal)
+from .groupby import group_by  # noqa: F401
+from .join import hash_join  # noqa: F401
 from .registry import (FunctionRegistry, call_function, default_registry,
                        new_child_registry)
 

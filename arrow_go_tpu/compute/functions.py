@@ -470,7 +470,8 @@ def if_else(cond, left, right):
     chosen = jnp.where(c.values, lmask, rmask)
     if c.validity is not None:
         chosen = chosen & bitmap.expand_words(c.validity, pad)
-    validity = None if bool(jnp.all(chosen)) else bitmap.pack_mask(chosen)
+    # always pack (keeps this kernel traceable inside fused expressions)
+    validity = bitmap.pack_mask(chosen)
     out = DeviceColumn(out_vals, validity, c.length, lt)
     return _maybe_host(out, cond, left, right)
 

@@ -136,6 +136,14 @@ def _align(a: DeviceColumn, b) -> Tuple[DeviceColumn, DeviceColumn]:
     return a, b
 
 
+
+
+def _max_len(a: DeviceColumn, b: DeviceColumn):
+    la, lb = a.length, b.length
+    if isinstance(la, int) and isinstance(lb, int):
+        return max(la, lb)
+    return jnp.maximum(la, lb)  # traced inside compiled expressions
+
 def _out_validity(a: DeviceColumn, b: Optional[DeviceColumn] = None):
     v = a.validity
     if b is not None:
@@ -159,7 +167,7 @@ def arithmetic_binary(op: str, a, b, checked: bool = True) -> DeviceColumn:
             raise ArrowNotImplemented(f"{op} requires integers, got {to}")
     av, bv = _cast_operands(a, b, to)
     validity = _out_validity(a, b)
-    n = max(a.length, b.length)
+    n = _max_len(a, b)
 
     if op == "divide":
         return _divide(a, b, av, bv, to, validity, n, checked)
@@ -246,7 +254,7 @@ def compare(op: str, a, b) -> DeviceColumn:
     to = common_numeric_type(a.type, b.type) if a.type != b.type else a.type
     av, bv = _cast_operands(a, b, to)
     out = _COMPARE[op](av, bv)
-    return DeviceColumn(out, _out_validity(a, b), max(a.length, b.length),
+    return DeviceColumn(out, _out_validity(a, b), _max_len(a, b),
                         dt.bool_)
 
 
@@ -259,7 +267,7 @@ def boolean_binary(op: str, a, b) -> DeviceColumn:
     if a.type.id != dt.TypeId.BOOL or b.type.id != dt.TypeId.BOOL:
         raise ArrowNotImplemented(f"{op} requires booleans")
     av, bv = a.values, b.values
-    n = max(a.length, b.length)
+    n = _max_len(a, b)
     P = a.padded
     if op in ("and", "or", "xor", "and_not"):
         fn = {"and": jnp.logical_and, "or": jnp.logical_or,
