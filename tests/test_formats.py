@@ -1,0 +1,199 @@
+"""CSV / JSON / Avro format tests."""
+import io
+import json
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+import arrow_go_tpu as agt
+from arrow_go_tpu import dtypes as dt
+from arrow_go_tpu.formats import (OCFReader, read_avro, read_csv, read_json,
+                                  write_csv, write_json)
+from arrow_go_tpu.formats.csv import ReadOptions as CsvOptions
+from arrow_go_tpu.formats.csv import WriteOptions as CsvWriteOptions
+
+
+# -- csv --------------------------------------------------------------------
+
+def test_csv_basic_inference():
+    data = b"a,b,c,d\n1,1.5,true,hello\n2,2.5,false,world\n3,,true,\n"
+    t = read_csv(data)
+    assert t.schema.names == ["a", "b", "c", "d"]
+    assert t.schema.types == [dt.int64, dt.float64, dt.bool_, dt.string]
+    # string "" stays "" (pyarrow semantics: null spellings don't null
+    # strings unless strings_can_be_null)
+    assert t.to_pydict() == {"a": [1, 2, 3], "b": [1.5, 2.5, None],
+                             "c": [True, False, True],
+                             "d": ["hello", "world", ""]}
+
+
+def test_csv_null_spellings():
+    t = read_csv(b"x\nNULL\n5\nn/a\n")
+    assert t.to_pydict() == {"x": [None, 5, None]}
+
+
+def test_csv_explicit_schema():
+    sch = agt.schema({"x": dt.float32, "y": dt.string})
+    t = read_csv(b"x,y\n1,2\n", CsvOptions(schema=sch))
+    assert t.schema.types == [dt.float32, dt.string]
+    assert t.to_pydict() == {"x": [1.0], "y": ["2"]}
+
+
+def test_csv_no_header():
+    t = read_csv(b"1,x\n2,y\n", CsvOptions(has_header=False))
+    assert t.schema.names == ["f0", "f1"]
+    assert t.to_pydict() == {"f0": [1, 2], "f1": ["x", "y"]}
+
+
+def test_csv_delimiter_and_dates():
+    t = read_csv(b"d|ts\n2020-01-01|2020-01-01T12:00:00\n",
+                 CsvOptions(delimiter="|"))
+    assert t.schema.field(0).type == dt.date32
+    assert t.schema.field(1).type.id == dt.TypeId.TIMESTAMP
+
+
+def test_csv_roundtrip():
+    t = agt.table({"i": [1, None, 3], "s": ["a", "b,c", None],
+                   "f": [0.5, 1.5, None], "b": [True, False, None]})
+    buf = io.StringIO()
+    write_csv(t, buf)
+    back = read_csv(buf.getvalue().encode(),
+                    CsvOptions(strings_can_be_null=True))
+    assert back.to_pydict() == t.to_pydict()
+
+
+def test_csv_matches_pyarrow():
+    pacsv = pytest.importorskip("pyarrow.csv")
+    data = b"a,b\n1,x\n,y\n3,\n"
+    ours = read_csv(data)
+    theirs = pacsv.read_csv(io.BytesIO(data))
+    assert ours.to_pydict() == theirs.to_pydict()
+
+
+# -- json -------------------------------------------------------------------
+
+def test_json_basic():
+    data = b'{"a": 1, "b": "x"}\n{"a": null, "b": "y"}\n{"a": 3}\n'
+    t = read_json(data)
+    assert t.to_pydict() == {"a": [1, None, 3], "b": ["x", "y", None]}
+
+
+def test_json_nested():
+    data = b'{"s": {"x": 1}, "l": [1, 2]}\n{"s": {"x": 2}, "l": []}\n'
+    t = read_json(data)
+    assert t.to_pydict() == {"s": [{"x": 1}, {"x": 2}], "l": [[1, 2], []]}
+
+
+def test_json_roundtrip():
+    t = agt.table({"i": [1, None], "s": ["a", "b"], "l": [[1], [2, 3]]})
+    buf = io.BytesIO()
+    write_json(t, buf)
+    back = read_json(buf.getvalue())
+    assert back.to_pydict() == t.to_pydict()
+
+
+def test_json_matches_pyarrow():
+    pajson = pytest.importorskip("pyarrow.json")
+    data = b'{"a": 1, "b": "x"}\n{"a": 2, "b": null}\n'
+    ours = read_json(data)
+    theirs = pajson.read_json(io.BytesIO(data))
+    assert ours.to_pydict() == theirs.to_pydict()
+
+
+# -- avro -------------------------------------------------------------------
+
+def _zigzag(v: int) -> bytes:
+    u = (v << 1) ^ (v >> 63)
+    out = bytearray()
+    while u >= 0x80:
+        out.append((u & 0x7F) | 0x80)
+        u >>= 7
+    out.append(u)
+    return bytes(out)
+
+
+def _avro_bytes(b: bytes) -> bytes:
+    return _zigzag(len(b)) + b
+
+
+def _make_ocf(schema: dict, encoded_records: list, codec: bytes = b"null"
+              ) -> bytes:
+    out = bytearray(b"Obj\x01")
+    meta = {"avro.schema": json.dumps(schema).encode(), "avro.codec": codec}
+    out += _zigzag(len(meta))
+    for k, v in meta.items():
+        out += _avro_bytes(k.encode()) + _avro_bytes(v)
+    out += _zigzag(0)
+    sync = b"S" * 16
+    out += sync
+    payload = b"".join(encoded_records)
+    if codec == b"deflate":
+        payload = zlib.compress(payload)[2:-4]  # raw deflate
+    out += _zigzag(len(encoded_records)) + _zigzag(len(payload))
+    out += payload + sync
+    return bytes(out)
+
+
+AVRO_SCHEMA = {
+    "type": "record", "name": "row",
+    "fields": [
+        {"name": "id", "type": "long"},
+        {"name": "name", "type": ["null", "string"]},
+        {"name": "score", "type": "double"},
+        {"name": "tags", "type": {"type": "array", "items": "int"}},
+    ],
+}
+
+
+def _enc_record(id_, name, score, tags):
+    out = bytearray(_zigzag(id_))
+    if name is None:
+        out += _zigzag(0)
+    else:
+        out += _zigzag(1) + _avro_bytes(name.encode())
+    out += struct.pack("<d", score)
+    if tags:
+        out += _zigzag(len(tags))
+        for t in tags:
+            out += _zigzag(t)
+    out += _zigzag(0)
+    return bytes(out)
+
+
+def test_avro_read():
+    recs = [_enc_record(1, "a", 0.5, [1, 2]),
+            _enc_record(2, None, 1.5, [])]
+    data = _make_ocf(AVRO_SCHEMA, recs)
+    t = read_avro(data)
+    assert t.schema.names == ["id", "name", "score", "tags"]
+    assert t.to_pydict() == {"id": [1, 2], "name": ["a", None],
+                             "score": [0.5, 1.5], "tags": [[1, 2], []]}
+
+
+def test_avro_deflate():
+    recs = [_enc_record(7, "z", 2.0, [3])]
+    data = _make_ocf(AVRO_SCHEMA, recs, codec=b"deflate")
+    t = read_avro(data)
+    assert t.to_pydict()["id"] == [7]
+
+
+def test_avro_enum_map_fixed():
+    schema = {"type": "record", "name": "r", "fields": [
+        {"name": "e", "type": {"type": "enum", "name": "col",
+                               "symbols": ["RED", "BLUE"]}},
+        {"name": "m", "type": {"type": "map", "values": "long"}},
+        {"name": "fx", "type": {"type": "fixed", "name": "f4", "size": 2}},
+    ]}
+    rec = _zigzag(1) + _zigzag(1) + _avro_bytes(b"k") + _zigzag(42) + \
+        _zigzag(0) + b"\xAB\xCD"
+    t = read_avro(_make_ocf(schema, [rec]))
+    assert t.to_pydict() == {"e": ["BLUE"], "m": [[("k", 42)]],
+                             "fx": [b"\xab\xcd"]}
+
+
+def test_avro_bad_magic():
+    from arrow_go_tpu.compute.errors import ArrowInvalid
+    with pytest.raises(ArrowInvalid):
+        read_avro(b"nope" + b"\x00" * 50)
