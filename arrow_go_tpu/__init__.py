@@ -49,7 +49,8 @@ def __getattr__(name):
         mod = importlib.import_module(f".{name}", __name__)
         globals()[name] = mod
         return mod
-    if name in ("ipc", "parquet", "formats", "flight", "interop", "csv"):
+    if name in ("ipc", "parquet", "formats", "flight", "interop", "csv",
+                "cdata", "tensor", "native"):
         import importlib
         mod = importlib.import_module(f".{name}", __name__)
         globals()[name] = mod

@@ -1,0 +1,403 @@
+"""Arrow C Data Interface (reference arrow/cdata — cdata.go, abi.h,
+trampoline.c): zero-copy array exchange across the C ABI.
+
+Implemented with cffi over the stable ArrowSchema/ArrowArray struct
+layout from the Arrow C data interface specification. Export keeps the
+python buffers alive until the consumer calls `release`; import copies
+out of the producer's memory then releases.
+"""
+from __future__ import annotations
+
+import threading
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from . import dtypes as dt
+from .array.arrays import Array, ArrayData, make_array
+from .compute.errors import ArrowInvalid, ArrowNotImplemented
+from .memory.buffer import Buffer
+
+import cffi
+
+ffi = cffi.FFI()
+ffi.cdef("""
+struct ArrowSchema {
+  const char* format;
+  const char* name;
+  const char* metadata;
+  int64_t flags;
+  int64_t n_children;
+  struct ArrowSchema** children;
+  struct ArrowSchema* dictionary;
+  void (*release)(struct ArrowSchema*);
+  void* private_data;
+};
+struct ArrowArray {
+  int64_t length;
+  int64_t null_count;
+  int64_t offset;
+  int64_t n_buffers;
+  int64_t n_children;
+  const void** buffers;
+  struct ArrowArray** children;
+  struct ArrowArray* dictionary;
+  void (*release)(struct ArrowArray*);
+  void* private_data;
+};
+""")
+
+ARROW_FLAG_NULLABLE = 2
+
+# format strings per the C data interface spec
+_FMT = {
+    dt.TypeId.NULL: "n", dt.TypeId.BOOL: "b",
+    dt.TypeId.INT8: "c", dt.TypeId.UINT8: "C",
+    dt.TypeId.INT16: "s", dt.TypeId.UINT16: "S",
+    dt.TypeId.INT32: "i", dt.TypeId.UINT32: "I",
+    dt.TypeId.INT64: "l", dt.TypeId.UINT64: "L",
+    dt.TypeId.FLOAT16: "e", dt.TypeId.FLOAT32: "f", dt.TypeId.FLOAT64: "g",
+    dt.TypeId.STRING: "u", dt.TypeId.BINARY: "z",
+    dt.TypeId.LARGE_STRING: "U", dt.TypeId.LARGE_BINARY: "Z",
+    dt.TypeId.DATE32: "tdD", dt.TypeId.DATE64: "tdm",
+}
+
+_FMT_REV = {v: k for k, v in _FMT.items()}
+
+
+def _format_for(t: dt.DataType) -> str:
+    if t.id in _FMT:
+        return _FMT[t.id]
+    if t.id == dt.TypeId.TIMESTAMP:
+        u = {0: "s", 1: "m", 2: "u", 3: "n"}[int(t.unit)]
+        return f"ts{u}:{t.tz or ''}"
+    if t.id == dt.TypeId.TIME32:
+        return "tts" if t.unit == dt.TimeUnit.SECOND else "ttm"
+    if t.id == dt.TypeId.TIME64:
+        return "ttu" if t.unit == dt.TimeUnit.MICROSECOND else "ttn"
+    if t.id == dt.TypeId.DURATION:
+        u = {0: "s", 1: "m", 2: "u", 3: "n"}[int(t.unit)]
+        return f"tD{u}"
+    if t.is_decimal:
+        if t.bit_width == 128:
+            return f"d:{t.precision},{t.scale}"
+        return f"d:{t.precision},{t.scale},{t.bit_width}"
+    if t.id == dt.TypeId.FIXED_SIZE_BINARY:
+        return f"w:{t.byte_width}"
+    if t.id == dt.TypeId.LIST:
+        return "+l"
+    if t.id == dt.TypeId.LARGE_LIST:
+        return "+L"
+    if t.id == dt.TypeId.FIXED_SIZE_LIST:
+        return f"+w:{t.list_size}"
+    if t.id == dt.TypeId.STRUCT:
+        return "+s"
+    if t.id == dt.TypeId.MAP:
+        return "+m"
+    if t.id == dt.TypeId.DICTIONARY:
+        return _format_for(t.index_type)
+    raise ArrowNotImplemented(f"cdata export of {t}")
+
+
+def _type_for(fmt: str, children: List[dt.Field],
+              dictionary: Optional[dt.DataType]) -> dt.DataType:
+    if dictionary is not None:
+        idx = _type_for(fmt, [], None)
+        return dt.dictionary(idx, dictionary)
+    if fmt in _FMT_REV:
+        tid = _FMT_REV[fmt]
+        for name in dir(dt):
+            obj = getattr(dt, name)
+            if isinstance(obj, dt.DataType) and obj.id == tid:
+                return obj
+        return {dt.TypeId.NULL: dt.null}[tid]
+    if fmt.startswith("ts"):
+        unit = {"s": "s", "m": "ms", "u": "us", "n": "ns"}[fmt[2]]
+        tz = fmt.split(":", 1)[1] if ":" in fmt else ""
+        return dt.timestamp(unit, tz or None)
+    if fmt.startswith("tt"):
+        return {"s": dt.time32("s"), "m": dt.time32("ms"),
+                "u": dt.time64("us"), "n": dt.time64("ns")}[fmt[2]]
+    if fmt.startswith("tD"):
+        return dt.duration({"s": "s", "m": "ms", "u": "us", "n": "ns"}[fmt[2]])
+    if fmt.startswith("d:"):
+        parts = fmt[2:].split(",")
+        p, s = int(parts[0]), int(parts[1])
+        bw = int(parts[2]) if len(parts) > 2 else 128
+        return {32: dt.decimal32, 64: dt.decimal64, 128: dt.decimal128,
+                256: dt.decimal256}[bw](p, s)
+    if fmt.startswith("w:"):
+        return dt.fixed_size_binary(int(fmt[2:]))
+    if fmt == "+l":
+        return dt.list_(children[0])
+    if fmt == "+L":
+        return dt.large_list(children[0])
+    if fmt.startswith("+w:"):
+        return dt.fixed_size_list(children[0], int(fmt[3:]))
+    if fmt == "+s":
+        return dt.struct(children)
+    if fmt == "+m":
+        entries = children[0].type
+        return dt.map_(entries.field(0).type, entries.field(1).type)
+    raise ArrowNotImplemented(f"cdata import of format {fmt!r}")
+
+
+class _Keepalive:
+    """Registry pinning exported python objects until release() is called."""
+
+    def __init__(self):
+        self._lock = threading.Lock()
+        self._live: Dict[int, list] = {}
+        self._next = 1
+
+    def add(self, objs: list) -> int:
+        with self._lock:
+            h = self._next
+            self._next += 1
+            self._live[h] = objs
+            return h
+
+    def drop(self, h: int) -> None:
+        with self._lock:
+            self._live.pop(h, None)
+
+
+_keep = _Keepalive()
+
+_released_schemas = []
+
+
+@ffi.callback("void(struct ArrowSchema*)")
+def _release_schema(ptr):
+    h = int(ffi.cast("intptr_t", ptr.private_data))
+    _keep.drop(h)
+    ptr.release = ffi.NULL
+
+
+@ffi.callback("void(struct ArrowArray*)")
+def _release_array(ptr):
+    h = int(ffi.cast("intptr_t", ptr.private_data))
+    _keep.drop(h)
+    ptr.release = ffi.NULL
+
+
+def export_schema(field: dt.Field, out_ptr) -> None:
+    """Fill an ArrowSchema* (as integer address or cffi pointer)."""
+    c = _as_ptr(out_ptr, "struct ArrowSchema *")
+    keep: list = []
+    _fill_schema(c, field, keep)
+    h = _keep.add(keep)
+    c.private_data = ffi.cast("void*", h)
+    c.release = _release_schema
+
+
+def _fill_schema(c, field: dt.Field, keep: list) -> None:
+    t = field.type
+    fmt_b = ffi.new("char[]", _format_for(t).encode())
+    name_b = ffi.new("char[]", field.name.encode())
+    keep += [fmt_b, name_b]
+    c.format = fmt_b
+    c.name = name_b
+    c.metadata = ffi.NULL
+    c.flags = ARROW_FLAG_NULLABLE if field.nullable else 0
+    storage = t.value_type if t.id == dt.TypeId.DICTIONARY else t
+    fields = storage.fields() if t.id != dt.TypeId.DICTIONARY else []
+    c.n_children = len(fields)
+    if fields:
+        arr = ffi.new("struct ArrowSchema*[]", len(fields))
+        keep.append(arr)
+        for i, f in enumerate(fields):
+            child = ffi.new("struct ArrowSchema *")
+            keep.append(child)
+            _fill_schema(child, f, keep)
+            child.release = _release_schema
+            child.private_data = ffi.NULL
+            arr[i] = child
+        c.children = arr
+    else:
+        c.children = ffi.NULL
+    if t.id == dt.TypeId.DICTIONARY:
+        dptr = ffi.new("struct ArrowSchema *")
+        keep.append(dptr)
+        _fill_schema(dptr, dt.Field("", t.value_type, True), keep)
+        dptr.release = _release_schema
+        dptr.private_data = ffi.NULL
+        c.dictionary = dptr
+    else:
+        c.dictionary = ffi.NULL
+    c.release = _release_schema
+    c.private_data = ffi.NULL
+
+
+def export_array(arr: Array, out_array_ptr, out_schema_ptr=None) -> None:
+    """Fill ArrowArray* (and optionally ArrowSchema*) from our array."""
+    if out_schema_ptr is not None:
+        export_schema(dt.Field("", arr.type, True), out_schema_ptr)
+    c = _as_ptr(out_array_ptr, "struct ArrowArray *")
+    keep: list = []
+    _fill_array(c, arr.data, keep)
+    h = _keep.add(keep)
+    c.private_data = ffi.cast("void*", h)
+    c.release = _release_array
+
+
+def _buffer_ptr(buf: Optional[Buffer], keep: list):
+    if buf is None or buf.length == 0 and buf.capacity == 0:
+        return ffi.NULL
+    a = np.ascontiguousarray(buf.raw)
+    keep.append(a)
+    return ffi.cast("const void*", a.ctypes.data)
+
+
+def _fill_array(c, data: ArrayData, keep: list) -> None:
+    t = data.type
+    c.length = data.length
+    c.null_count = data.null_count
+    c.offset = data.offset
+    bufs = list(data.buffers)
+    if t.id == dt.TypeId.NULL:
+        bufs = []
+        c.null_count = data.length
+    c.n_buffers = len(bufs)
+    if bufs:
+        barr = ffi.new("const void*[]", len(bufs))
+        keep.append(barr)
+        for i, b in enumerate(bufs):
+            barr[i] = _buffer_ptr(b, keep)
+        c.buffers = barr
+    else:
+        c.buffers = ffi.NULL
+    c.n_children = len(data.children)
+    if data.children:
+        carr = ffi.new("struct ArrowArray*[]", len(data.children))
+        keep.append(carr)
+        for i, ch in enumerate(data.children):
+            cp = ffi.new("struct ArrowArray *")
+            keep.append(cp)
+            _fill_array(cp, ch, keep)
+            cp.release = _release_array
+            cp.private_data = ffi.NULL
+            carr[i] = cp
+        c.children = carr
+    else:
+        c.children = ffi.NULL
+    if data.dictionary is not None:
+        dp = ffi.new("struct ArrowArray *")
+        keep.append(dp)
+        _fill_array(dp, data.dictionary, keep)
+        dp.release = _release_array
+        dp.private_data = ffi.NULL
+        c.dictionary = dp
+    else:
+        c.dictionary = ffi.NULL
+    c.release = _release_array
+    c.private_data = ffi.NULL
+
+
+def _as_ptr(p, ctype: str):
+    if isinstance(p, int):
+        return ffi.cast(ctype, p)
+    return p
+
+
+# ---------------------------------------------------------------------------
+# import
+# ---------------------------------------------------------------------------
+
+def import_field(schema_ptr) -> dt.Field:
+    c = _as_ptr(schema_ptr, "struct ArrowSchema *")
+    fmt = ffi.string(c.format).decode()
+    name = ffi.string(c.name).decode() if c.name != ffi.NULL else ""
+    children = [import_field(c.children[i]) for i in range(c.n_children)]
+    dict_t = None
+    if c.dictionary != ffi.NULL:
+        dict_t = import_field(c.dictionary).type
+    t = _type_for(fmt, children, dict_t)
+    nullable = bool(c.flags & ARROW_FLAG_NULLABLE)
+    return dt.Field(name, t, nullable)
+
+
+def _copy_buffer(ptr, nbytes: int) -> Optional[Buffer]:
+    if ptr == ffi.NULL or nbytes == 0:
+        return None
+    raw = bytes(ffi.buffer(ptr, nbytes))
+    return Buffer(np.frombuffer(raw, dtype=np.uint8).copy())
+
+
+def import_array(array_ptr, schema_or_type) -> Array:
+    """ArrowArray* + (ArrowSchema* | DataType) -> our Array (copies)."""
+    if isinstance(schema_or_type, dt.DataType):
+        t = schema_or_type
+    elif isinstance(schema_or_type, dt.Field):
+        t = schema_or_type.type
+    else:
+        t = import_field(schema_or_type).type
+    c = _as_ptr(array_ptr, "struct ArrowArray *")
+    data = _import_data(c, t)
+    if c.release != ffi.NULL:
+        c.release(c)
+    return make_array(data)
+
+
+def _import_data(c, t: dt.DataType) -> ArrayData:
+    from .memory import bitutil
+    length = int(c.length)
+    offset = int(c.offset)
+    null_count = int(c.null_count)
+    total = length + offset
+
+    def validity() -> Optional[Buffer]:
+        if c.n_buffers == 0 or c.buffers == ffi.NULL or \
+                c.buffers[0] == ffi.NULL:
+            return None
+        return _copy_buffer(c.buffers[0], bitutil.bytes_for_bits(total))
+
+    if t.id == dt.TypeId.NULL:
+        return ArrayData(t, length, [], null_count=length, offset=0)
+
+    tid = t.id
+    if tid == dt.TypeId.BOOL:
+        bufs = [validity(), _copy_buffer(c.buffers[1],
+                                         bitutil.bytes_for_bits(total))]
+    elif tid == dt.TypeId.DICTIONARY:
+        w = t.index_type.np_dtype.itemsize
+        bufs = [validity(), _copy_buffer(c.buffers[1], total * w)]
+    elif t.np_dtype is not None and not t.is_decimal:
+        w = t.np_dtype.itemsize
+        bufs = [validity(), _copy_buffer(c.buffers[1], total * w)]
+    elif t.is_decimal or tid == dt.TypeId.FIXED_SIZE_BINARY:
+        w = t.byte_width
+        bufs = [validity(), _copy_buffer(c.buffers[1], total * w)]
+    elif t.is_binary_like:
+        ow = t.offset_dtype.itemsize
+        offsets = _copy_buffer(c.buffers[1], (total + 1) * ow)
+        end = int(offsets.view(t.offset_dtype)[total]) if offsets else 0
+        bufs = [validity(), offsets, _copy_buffer(c.buffers[2], end)
+                or Buffer()]
+    elif tid in (dt.TypeId.LIST, dt.TypeId.LARGE_LIST, dt.TypeId.MAP):
+        ow = t.offset_dtype.itemsize
+        bufs = [validity(), _copy_buffer(c.buffers[1], (total + 1) * ow)]
+    elif tid in (dt.TypeId.STRUCT, dt.TypeId.FIXED_SIZE_LIST):
+        bufs = [validity()]
+    else:
+        raise ArrowNotImplemented(f"cdata import of {t}")
+
+    children = []
+    fields = (t.value_type.fields() if tid == dt.TypeId.DICTIONARY
+              else t.fields())
+    for i in range(int(c.n_children)):
+        ft = fields[i].type
+        children.append(_import_data(c.children[i], ft))
+    dictionary = None
+    if c.dictionary != ffi.NULL and tid == dt.TypeId.DICTIONARY:
+        dictionary = _import_data(c.dictionary, t.value_type)
+    return ArrayData(t, length, bufs, children, dictionary,
+                     null_count if null_count >= 0 else None, offset)
+
+
+def schema_handles() -> Tuple[int, int]:
+    """Allocate (schema_ptr, array_ptr) C structs; returns their addresses."""
+    s = ffi.new("struct ArrowSchema *")
+    a = ffi.new("struct ArrowArray *")
+    _keep.add([s, a])
+    return int(ffi.cast("intptr_t", s)), int(ffi.cast("intptr_t", a))

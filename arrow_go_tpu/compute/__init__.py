@@ -17,6 +17,8 @@ from .expression import (Expression, FieldRef, Literal, call,  # noqa: F401
                          compile_expression, execute_scalar_expression,
                          field, literal)
 from .groupby import group_by  # noqa: F401
+from .run_ends import run_end_decode, run_end_encode  # noqa: F401
+from .scalars import Scalar, make_array_from_scalar, parse_scalar, scalar  # noqa: F401
 from .join import hash_join  # noqa: F401
 from .registry import (FunctionRegistry, call_function, default_registry,
                        new_child_registry)

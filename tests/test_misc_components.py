@@ -1,0 +1,158 @@
+"""Scalar layer, tensors, REE encode/decode, array diff, C data interface."""
+import numpy as np
+import pytest
+
+import arrow_go_tpu as agt
+from arrow_go_tpu import dtypes as dt
+from arrow_go_tpu import compute as pc
+from arrow_go_tpu.array.compare import (DiffEdit, array_approx_equal,
+                                        array_equal, diff)
+from arrow_go_tpu.tensor import Tensor, tensor
+
+
+# -- scalars -----------------------------------------------------------------
+
+def test_scalar_basics():
+    s = pc.scalar(5)
+    assert s.type == dt.int64 and s.as_py() == 5 and s.is_valid
+    n = pc.scalar(None, dt.float64)
+    assert not n.is_valid
+    assert pc.scalar(5) == pc.scalar(5)
+    assert pc.scalar(5) != pc.scalar(6)
+
+
+def test_make_array_from_scalar():
+    arr = pc.make_array_from_scalar(pc.scalar("x"), 3)
+    assert arr.to_pylist() == ["x", "x", "x"]
+    arr2 = pc.make_array_from_scalar(pc.scalar(None, dt.int32), 2)
+    assert arr2.to_pylist() == [None, None]
+
+
+def test_parse_scalar():
+    assert pc.parse_scalar(dt.int32, "42").as_py() == 42
+    assert pc.parse_scalar(dt.float64, "1.5").as_py() == 1.5
+    assert pc.parse_scalar(dt.bool_, "true").as_py() is True
+    import decimal
+    assert pc.parse_scalar(dt.decimal128(10, 2), "1.25").as_py() == \
+        decimal.Decimal("1.25")
+
+
+def test_scalar_cast():
+    assert pc.scalar(5).cast(dt.float64).as_py() == 5.0
+
+
+# -- tensor ------------------------------------------------------------------
+
+def test_tensor_from_numpy():
+    m = np.arange(12, dtype=np.float32).reshape(3, 4)
+    t = tensor(m)
+    assert t.shape == (3, 4)
+    assert t.ndim == 2 and t.size == 12
+    assert t.is_row_major and not t.is_column_major
+    assert t.value(1, 2) == 6.0
+    assert np.array_equal(t.to_numpy(), m)
+
+
+def test_tensor_from_array():
+    a = agt.array(list(range(6)), dt.int64)
+    t = Tensor(a, (2, 3))
+    assert t.strides == (24, 8)
+    assert t.value(1, 0) == 3
+
+
+def test_tensor_rejects_nulls():
+    from arrow_go_tpu.compute.errors import ArrowInvalid
+    with pytest.raises(ArrowInvalid):
+        Tensor(agt.array([1, None]), (2,))
+    with pytest.raises(ArrowInvalid):
+        Tensor(agt.array([1, 2]), (3,))
+
+
+def test_tensor_device():
+    t = tensor(np.eye(3, dtype=np.float32))
+    d = t.to_device()
+    assert d.shape == (3, 3)
+
+
+# -- run-end encoding --------------------------------------------------------
+
+def test_run_end_encode_decode():
+    a = agt.array([1, 1, 1, 2, 2, None, None, 1])
+    ree = pc.run_end_encode(a)
+    assert ree.type.id == dt.TypeId.RUN_END_ENCODED
+    assert ree.run_ends.to_pylist() == [3, 5, 7, 8]
+    assert ree.values.to_pylist() == [1, 2, None, 1]
+    assert pc.run_end_decode(ree).to_pylist() == a.to_pylist()
+
+
+def test_run_end_encode_matches_pyarrow():
+    pa = pytest.importorskip("pyarrow")
+    pac = pytest.importorskip("pyarrow.compute")
+    vals = [5, 5, None, 7, 7, 7]
+    ours = pc.run_end_encode(agt.array(vals))
+    theirs = pac.run_end_encode(pa.array(vals))
+    assert ours.run_ends.to_pylist() == theirs.run_ends.to_pylist()
+    assert ours.values.to_pylist() == theirs.values.to_pylist()
+
+
+# -- diff / compare ----------------------------------------------------------
+
+def test_array_equal_approx():
+    assert array_equal(agt.array([1, None]), agt.array([1, None]))
+    assert not array_equal(agt.array([1]), agt.array([2]))
+    assert array_approx_equal(agt.array([1.0]), agt.array([1.0 + 1e-7]))
+    assert not array_approx_equal(agt.array([1.0]), agt.array([1.1]))
+    nan = float("nan")
+    assert array_approx_equal(agt.array([nan]), agt.array([nan]),
+                              nans_equal=True)
+    assert not array_approx_equal(agt.array([nan]), agt.array([nan]))
+
+
+def test_diff_edit_script():
+    base = agt.array([1, 2, 3, 4])
+    target = agt.array([1, 3, 4, 5])
+    edits = diff(base, target)
+    assert edits == [DiffEdit("-", 1, 2), DiffEdit("+", 3, 5)]
+    assert diff(base, base) == []
+
+
+# -- c data interface --------------------------------------------------------
+
+def test_cdata_roundtrip_ours():
+    from arrow_go_tpu import cdata
+    from arrow_go_tpu.cdata import ffi
+    a = agt.array([1, None, 3], dt.int32)
+    s_ptr = ffi.new("struct ArrowSchema *")
+    a_ptr = ffi.new("struct ArrowArray *")
+    cdata.export_array(a, a_ptr, s_ptr)
+    back = cdata.import_array(a_ptr, s_ptr)
+    assert back.to_pylist() == [1, None, 3]
+    assert back.type == dt.int32
+
+
+@pytest.mark.parametrize("vals,typ", [
+    ([1, None, 3], dt.int64),
+    (["a", None], dt.string),
+    ([True, False, None], dt.bool_),
+    ([[1, 2], None], dt.list_(dt.int64)),
+    ([{"x": 1, "y": "s"}, None], dt.struct({"x": dt.int64, "y": dt.string})),
+    ([1000, None], dt.timestamp("ms")),
+])
+def test_cdata_pyarrow_interop(vals, typ):
+    pa = pytest.importorskip("pyarrow")
+    from arrow_go_tpu import cdata
+    from arrow_go_tpu.cdata import ffi
+    ours = agt.array(vals, typ)
+    s = ffi.new("struct ArrowSchema *")
+    a = ffi.new("struct ArrowArray *")
+    cdata.export_array(ours, a, s)
+    theirs = pa.Array._import_from_c(int(ffi.cast("intptr_t", a)),
+                                     int(ffi.cast("intptr_t", s)))
+    theirs.validate(full=True)
+    # export back from pyarrow into us
+    s2 = ffi.new("struct ArrowSchema *")
+    a2 = ffi.new("struct ArrowArray *")
+    theirs._export_to_c(int(ffi.cast("intptr_t", a2)),
+                        int(ffi.cast("intptr_t", s2)))
+    back = cdata.import_array(a2, s2)
+    assert back.to_pylist() == ours.to_pylist()
