@@ -1,0 +1,157 @@
+"""Extended benchmark suite: the BASELINE.json north-star configs.
+
+Run on real TPU:      python benchmarks/suite.py
+Run on CPU (smoke):   PYTHONPATH= JAX_PLATFORMS=cpu python benchmarks/suite.py --small
+
+Configs (BASELINE.json):
+  1. Int64/Float64 Sum over arrays (arrow/math bench)
+  2. Filter + take on int64/float64 rows with validity bitmaps
+  3. Hash aggregate: GROUP BY low/high-cardinality keys, sum/count
+  4. Sort on 64-bit keys
+  5. Hash join (single-chip local kernel; distributed variant needs chips)
+
+Each prints a json line: {"bench", "rows_per_s", "gb_per_s", "ms"}.
+Methodology: dependent chains defeat runtime memoization; median of timed
+iterations after compile warmup.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def _bench(fn, args, iters=20):
+    out = fn(*args)
+    _block(out)
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        out = fn(*args)
+        _block(out)
+        times.append(time.perf_counter() - t0)
+    return float(np.median(times))
+
+
+def _block(out):
+    import jax
+    jax.block_until_ready(out)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--small", action="store_true")
+    ns = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import arrow_go_tpu as agt
+    from arrow_go_tpu.device import to_device
+    from arrow_go_tpu.ops import bitmap, hashing, reductions, selection, sort
+
+    n = 1 << (20 if ns.small else 24)
+    rng = np.random.default_rng(0)
+    results = []
+
+    def report(name, dt_s, rows, bytes_):
+        rec = {"bench": name, "rows_per_s": round(rows / dt_s, 0),
+               "gb_per_s": round(bytes_ / dt_s / 1e9, 2),
+               "ms": round(dt_s * 1e3, 3)}
+        results.append(rec)
+        print(json.dumps(rec))
+
+    # 1. masked sums
+    for npdt, name in [(np.float64, "sum_f64"), (np.int64, "sum_i64"),
+                       (np.float32, "sum_f32")]:
+        vals = rng.integers(0, 1000, n).astype(npdt)
+        mask = rng.random(n) < 0.95
+        col = to_device(agt.from_numpy(vals, mask))
+
+        @jax.jit
+        def step(v, w, b):
+            return reductions.reduce_xla(v, w, n, "sum") + b
+
+        b = jnp.zeros((), jnp.result_type(npdt))
+        dt_s = _bench(lambda b_: step(col.values, col.validity, b_), (b,))
+        report(name, dt_s, n, vals.nbytes)
+
+    # pallas variant (f32)
+    vals = rng.integers(0, 1000, n).astype(np.float32)
+    col = to_device(agt.from_numpy(vals, rng.random(n) < 0.95))
+
+    def pallas_step(v, w):
+        return reductions.reduce_pallas(v, w, n, "sum")
+    dt_s = _bench(pallas_step, (col.values, col.validity))
+    report("sum_f32_pallas", dt_s, n, vals.nbytes)
+
+    # 2. filter + take
+    vals = rng.integers(0, 1000, n).astype(np.int64)
+    mask = rng.random(n) < 0.95
+    col = to_device(agt.from_numpy(vals, mask))
+
+    @jax.jit
+    def filter_take(v, w, thresh):
+        m = v > thresh
+        idx, cnt = selection.filter_indices(m, w, n)
+        out = selection.gather(v, idx)
+        return out, cnt
+
+    dt_s = _bench(lambda t: filter_take(col.values, col.validity, t),
+                  (jnp.asarray(500, jnp.int64),))
+    report("filter_take_i64", dt_s, n, vals.nbytes * 2)
+
+    # 3. hash aggregate (low + high cardinality)
+    for card, name in [(64, "group_by_low_card"), (1 << 16, "group_by_high_card")]:
+        keys = rng.integers(0, card, n).astype(np.int64)
+        kcol = to_device(agt.from_numpy(keys))
+        vcol = to_device(agt.from_numpy(vals))
+
+        @jax.jit
+        def agg(k, v):
+            res = hashing.encode_codes(k, agt.int64, None, n)
+            P = k.shape[0]
+            s = jnp.zeros(P + 1, jnp.int64).at[
+                jnp.where(res.codes >= 0, res.codes, P)].add(v, mode="drop")
+            return s, res.n_unique
+
+        dt_s = _bench(agg, (kcol.values, vcol.values))
+        report(name, dt_s, n, keys.nbytes + vals.nbytes)
+
+    # 4. sort on 64-bit keys
+    keys = rng.integers(-10**12, 10**12, n).astype(np.int64)
+    kcol = to_device(agt.from_numpy(keys))
+
+    @jax.jit
+    def do_sort(k):
+        op = sort.sort_key(k, agt.int64, None, n)
+        return sort.argsort_single(op)
+
+    dt_s = _bench(do_sort, (kcol.values,))
+    report("sort_i64", dt_s, n, keys.nbytes)
+
+    # 5. local hash join kernel
+    m = n // 4
+    lk = rng.integers(0, n // 8, n).astype(np.int64)
+    rk = rng.integers(0, n // 8, m).astype(np.int64)
+    from arrow_go_tpu.parallel.join import local_join_inner
+    lkd = to_device(agt.from_numpy(lk))
+    rkd = to_device(agt.from_numpy(rk))
+    cap = 4 * n
+
+    @jax.jit
+    def do_join(l, r):
+        lv = jnp.ones(l.shape[0], jnp.bool_)
+        rv = jnp.ones(r.shape[0], jnp.bool_)
+        return local_join_inner(l, lv, r, rv, cap)
+
+    dt_s = _bench(do_join, (lkd.values, rkd.values))
+    report("hash_join_local", dt_s, n + m, lk.nbytes + rk.nbytes)
+
+    print(json.dumps({"suite": "done", "n": n,
+                      "backend": jax.default_backend()}))
+
+
+if __name__ == "__main__":
+    main()

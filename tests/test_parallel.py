@@ -79,3 +79,46 @@ def test_graft_entry():
 def test_graft_dryrun_multichip():
     import __graft_entry__ as ge
     ge.dryrun_multichip(8)
+
+
+def test_distributed_join(mesh, rng):
+    import collections
+    from arrow_go_tpu.parallel import join as pjoin
+    NL, NR = 1024, 512
+    lk = rng.integers(0, 100, NL).astype(np.int64)
+    lv = np.arange(NL, dtype=np.int64)
+    rk = rng.integers(50, 150, NR).astype(np.int64)
+    rv = np.arange(NR, dtype=np.int64)
+    lvalid = rng.random(NL) < 0.9
+    rvalid = np.ones(NR, bool)
+    fn = pjoin.make_distributed_join(mesh, cap_shuffle=NL // 4, cap_out=NL * 2)
+    sh = row_sharding(mesh)
+    put = lambda x: jax.device_put(jnp.asarray(x), sh)
+    k, l, r, nout, ov = fn(put(lk), put(lv), put(lvalid),
+                           put(rk), put(rv), put(rvalid))
+    assert not bool(ov)
+    k, l, r, nout = map(np.asarray, (k, l, r, nout))
+    per = k.shape[0] // 8
+    got = sorted((int(k[d * per + i]), int(l[d * per + i]), int(r[d * per + i]))
+                 for d in range(8) for i in range(int(nout[d])))
+    rmap = collections.defaultdict(list)
+    for key, val in zip(rk, rv):
+        rmap[int(key)].append(int(val))
+    expect = sorted((int(key), int(val), rvv)
+                    for key, val, ok in zip(lk, lv, lvalid) if ok
+                    for rvv in rmap.get(int(key), []))
+    assert got == expect
+
+
+def test_distributed_join_overflow_flag(mesh):
+    from arrow_go_tpu.parallel import join as pjoin
+    N = 256
+    keys = np.zeros(N, dtype=np.int64)  # everything collides on one shard
+    vals = np.arange(N, dtype=np.int64)
+    valid = np.ones(N, bool)
+    fn = pjoin.make_distributed_join(mesh, cap_shuffle=N, cap_out=4)
+    sh = row_sharding(mesh)
+    put = lambda x: jax.device_put(jnp.asarray(x), sh)
+    *_, ov = fn(put(keys), put(vals), put(valid),
+                put(keys), put(vals), put(valid))
+    assert bool(ov)  # N^2 pairs cannot fit cap_out=4
