@@ -4,3 +4,6 @@ from .service import (Action, FlightClient, FlightDataReader,  # noqa: F401
                       FlightDescriptor, FlightEndpoint, FlightInfo,
                       FlightServerBase, Result, Ticket,
                       batches_to_flight_data)
+from . import FlightSql_pb2  # noqa: F401
+from .sql import (FlightSQLClient, FlightSQLServerBase,  # noqa: F401
+                  PreparedStatement, SQLiteFlightSQLServer)
