@@ -217,3 +217,99 @@ def levels_decode_v1(data: bytes, n: int, bit_width: int
 def levels_encode_v1(levels: np.ndarray, bit_width: int) -> bytes:
     enc = rle_encode(levels, bit_width)
     return struct.pack("<I", len(enc)) + enc
+
+
+# ---------------------------------------------------------------------------
+# DELTA_BINARY_PACKED / DELTA_LENGTH_BYTE_ARRAY / DELTA_BYTE_ARRAY /
+# BYTE_STREAM_SPLIT decoders
+# (reference parquet/internal/encoding/delta_bit_packing.go,
+#  delta_byte_array.go, byte_stream_split_decode_*.s)
+# ---------------------------------------------------------------------------
+
+class _VarReader:
+    __slots__ = ("data", "pos")
+
+    def __init__(self, data: bytes, pos: int = 0):
+        self.data = data
+        self.pos = pos
+
+    def uvarint(self) -> int:
+        out = shift = 0
+        while True:
+            b = self.data[self.pos]
+            self.pos += 1
+            out |= (b & 0x7F) << shift
+            if not (b & 0x80):
+                return out
+            shift += 7
+
+    def zigzag(self) -> int:
+        v = self.uvarint()
+        return (v >> 1) ^ -(v & 1)
+
+
+def delta_binary_packed_decode(data: bytes, n: Optional[int] = None
+                               ) -> Tuple[np.ndarray, int]:
+    """Returns (values int64, bytes consumed)."""
+    r = _VarReader(data)
+    block_size = r.uvarint()
+    miniblocks = r.uvarint()
+    total = r.uvarint()
+    first = r.zigzag()
+    count = n if n is not None else total
+    vpm = block_size // miniblocks  # values per miniblock
+    out = np.empty(max(total, 1), dtype=np.int64)
+    out[0] = first
+    got = 1
+    while got < total:
+        min_delta = r.zigzag()
+        widths = data[r.pos:r.pos + miniblocks]
+        r.pos += miniblocks
+        for m in range(miniblocks):
+            if got >= total:
+                # trailing miniblocks may still occupy space per spec;
+                # they are only present if written -- stop reading
+                break
+            w = widths[m]
+            nbytes = (vpm * w + 7) // 8
+            take = min(vpm, total - got)
+            if w == 0:
+                deltas = np.zeros(take, dtype=np.int64)
+            else:
+                deltas = native.bitunpack32(data[r.pos:r.pos + nbytes], take,
+                                            w).astype(np.int64)
+            r.pos += nbytes
+            out[got:got + take] = deltas + min_delta
+            got += take
+    values = np.cumsum(out[:total])
+    return values[:count if n is not None else total], r.pos
+
+
+def delta_length_byte_array_decode(data: bytes, n: int) -> list:
+    lengths, used = delta_binary_packed_decode(data)
+    out = []
+    pos = used
+    for ln in lengths[:n]:
+        out.append(data[pos:pos + int(ln)])
+        pos += int(ln)
+    return out
+
+
+def delta_byte_array_decode(data: bytes, n: int) -> list:
+    prefix_lens, used = delta_binary_packed_decode(data)
+    suffixes = delta_length_byte_array_decode(data[used:], n)
+    out = []
+    prev = b""
+    for p, s in zip(prefix_lens[:n], suffixes):
+        v = prev[:int(p)] + s
+        out.append(v)
+        prev = v
+    return out
+
+
+def byte_stream_split_decode(data: bytes, n: int, byte_width: int
+                             ) -> np.ndarray:
+    """k byte-streams -> interleaved values (returns raw uint8 [n, width])."""
+    streams = np.frombuffer(data, dtype=np.uint8,
+                            count=n * byte_width).reshape(byte_width, n)
+    return np.ascontiguousarray(streams.T)

@@ -95,9 +95,12 @@ class ParquetFile:
         schema = dt.Schema(fields, self.schema.metadata)
         return RecordBatch(schema, cols, rg.num_rows or 0)
 
-    def read_table(self, columns: Optional[List[str]] = None) -> Table:
-        batches = [self.read_row_group(i, columns)
-                   for i in range(self.num_row_groups)]
+    def read_table(self, columns: Optional[List[str]] = None,
+                   filters: Optional[List[tuple]] = None) -> Table:
+        keep = range(self.num_row_groups)
+        if filters:
+            keep = [i for i in keep if self._row_group_may_match(i, filters)]
+        batches = [self.read_row_group(i, columns) for i in keep]
         if not batches:
             sch = self.schema if columns is None else dt.Schema(
                 [f for f in self.schema.fields if f.name in columns],
@@ -216,6 +219,27 @@ class ParquetFile:
         if encoding == fmt.Encoding.RLE and desc.physical_type == fmt.Type.BOOLEAN:
             (ln,) = struct.unpack_from("<I", data, 0)
             return enc.rle_decode(data[4:4 + ln], n, 1).astype(np.bool_)
+        if encoding == fmt.Encoding.DELTA_BINARY_PACKED:
+            vals, _ = enc.delta_binary_packed_decode(data, n)
+            npdt = np.int32 if desc.physical_type == fmt.Type.INT32 else np.int64
+            return vals.astype(npdt)
+        if encoding == fmt.Encoding.DELTA_LENGTH_BYTE_ARRAY:
+            return enc.delta_length_byte_array_decode(data, n)
+        if encoding == fmt.Encoding.DELTA_BYTE_ARRAY:
+            return enc.delta_byte_array_decode(data, n)
+        if encoding == fmt.Encoding.BYTE_STREAM_SPLIT:
+            w = {fmt.Type.FLOAT: 4, fmt.Type.DOUBLE: 8, fmt.Type.INT32: 4,
+                 fmt.Type.INT64: 8}.get(desc.physical_type, desc.type_length)
+            raw = enc.byte_stream_split_decode(data, n, w)
+            if desc.physical_type == fmt.Type.FLOAT:
+                return raw.view(np.float32).ravel()
+            if desc.physical_type == fmt.Type.DOUBLE:
+                return raw.view(np.float64).ravel()
+            if desc.physical_type == fmt.Type.INT32:
+                return raw.view(np.int32).ravel()
+            if desc.physical_type == fmt.Type.INT64:
+                return raw.view(np.int64).ravel()
+            return [raw[i].tobytes() for i in range(n)]
         raise ArrowNotImplemented(f"value encoding {encoding.name}")
 
 
@@ -317,5 +341,103 @@ def _flat_assemble(field: dt.Field, desc, defs: np.ndarray,
 ParquetFile._flat_assemble = staticmethod(_flat_assemble)
 
 
-def read_table(source, columns: Optional[List[str]] = None) -> Table:
-    return ParquetFile(source).read_table(columns)
+
+# -- page index / bloom filters / predicate pushdown ------------------------
+
+def _leaf_index_of(self, column: str) -> Optional[int]:
+    for i, leaf in enumerate(self.leaves):
+        if leaf.path and leaf.path[0] == column and len(leaf.path) == 1:
+            return i
+    return None
+
+
+def read_column_index(self, rg: int, col: int):
+    chunk = self.metadata.row_groups[rg].columns[col]
+    if chunk.column_index_offset is None:
+        return None
+    self.src.seek(chunk.column_index_offset)
+    raw = self.src.read(chunk.column_index_length)
+    return CompactReader(raw).read_struct(fmt.ColumnIndex)
+
+
+def read_offset_index(self, rg: int, col: int):
+    chunk = self.metadata.row_groups[rg].columns[col]
+    if chunk.offset_index_offset is None:
+        return None
+    self.src.seek(chunk.offset_index_offset)
+    raw = self.src.read(chunk.offset_index_length)
+    return CompactReader(raw).read_struct(fmt.OffsetIndex)
+
+
+def read_bloom_filter(self, rg: int, col: int):
+    from .bloom import BloomFilter
+    chunk = self.metadata.row_groups[rg].columns[col]
+    meta = chunk.meta_data
+    if meta.bloom_filter_offset is None:
+        return None
+    self.src.seek(meta.bloom_filter_offset)
+    ln = meta.bloom_filter_length or (1 << 20)
+    raw = self.src.read(ln)
+    return BloomFilter.deserialize(raw)
+
+
+def _row_group_may_match(self, rg_i: int, filters: List[tuple]) -> bool:
+    """Stats + bloom based row-group pruning (reference metadata statistics
+    + bloom usage). filters: [(column, op, value), ...] ANDed."""
+    rg = self.metadata.row_groups[rg_i]
+    for col_name, op, value in filters:
+        li = self._leaf_index_of(col_name)
+        if li is None:
+            continue
+        desc = self.leaves[li]
+        meta = rg.columns[li].meta_data
+        st = meta.statistics
+        lohi = _decode_stats(st, desc) if st is not None else None
+        if lohi is not None:
+            lo, hi = lohi
+            if op == "==" and (value < lo or value > hi):
+                return False
+            if op == "<" and lo >= value:
+                return False
+            if op == "<=" and lo > value:
+                return False
+            if op == ">" and hi <= value:
+                return False
+            if op == ">=" and hi < value:
+                return False
+        if op == "==":
+            bf = self.read_bloom_filter(rg_i, li)
+            if bf is not None and not bf.check(value, desc.physical_type):
+                return False
+    return True
+
+
+ParquetFile._leaf_index_of = _leaf_index_of
+ParquetFile.read_column_index = read_column_index
+ParquetFile.read_offset_index = read_offset_index
+ParquetFile.read_bloom_filter = read_bloom_filter
+ParquetFile._row_group_may_match = _row_group_may_match
+
+
+def _decode_stats(st, desc):
+    if st.min_value is None or st.max_value is None:
+        return None
+    phys = desc.physical_type
+    if phys in (fmt.Type.INT32, fmt.Type.INT64, fmt.Type.FLOAT,
+                fmt.Type.DOUBLE):
+        code = {fmt.Type.INT32: "<i", fmt.Type.INT64: "<q",
+                fmt.Type.FLOAT: "<f", fmt.Type.DOUBLE: "<d"}[phys]
+        return (struct.unpack(code, st.min_value)[0],
+                struct.unpack(code, st.max_value)[0])
+    if phys == fmt.Type.BYTE_ARRAY:
+        t = desc.arrow_type
+        if t.id in (dt.TypeId.STRING, dt.TypeId.LARGE_STRING):
+            return (st.min_value.decode("utf-8", "replace"),
+                    st.max_value.decode("utf-8", "replace"))
+        return (st.min_value, st.max_value)
+    return None
+
+
+def read_table(source, columns: Optional[List[str]] = None,
+               filters: Optional[List[tuple]] = None) -> Table:
+    return ParquetFile(source).read_table(columns, filters)

@@ -102,8 +102,8 @@ def _stats_for(phys: fmt.Type, values, null_count: int) -> Optional[fmt.Statisti
 
 def _encode_column_chunk(
         sink: BinaryIO, leaf_arr: Array, field: dt.Field,
-        desc: psch.ColumnDescriptor, codec: int, use_dictionary: bool
-) -> fmt.ColumnChunk:
+        desc: psch.ColumnDescriptor, codec: int, use_dictionary: bool,
+        make_bloom: bool = False):
     """Write pages for one column chunk; return its metadata."""
     t = field.type
     nested = t.id in (dt.TypeId.LIST, dt.TypeId.LARGE_LIST, dt.TypeId.STRUCT)
@@ -161,6 +161,15 @@ def _encode_column_chunk(
         phys_for_stats = phys
 
     stats = _stats_for(desc.physical_type, phys_for_stats, null_count)
+    bloom = None
+    if make_bloom and desc.physical_type != fmt.Type.BOOLEAN:
+        try:
+            from .bloom import build_bloom_filter
+            src = phys_for_stats if not isinstance(phys_for_stats, np.ndarray) \
+                else phys_for_stats.tolist()
+            bloom = build_bloom_filter(src, desc.physical_type)
+        except NotImplementedError:
+            bloom = None
 
     start_offset = sink.tell()
     dict_page_offset = None
@@ -201,6 +210,10 @@ def _encode_column_chunk(
     total_unc += len(hb) + len(page_payload)
     total_comp += len(hb) + len(compressed)
 
+    page_loc = fmt.PageLocation(offset=data_page_offset,
+                                compressed_page_size=len(hb) + len(compressed),
+                                first_row_index=0)
+    extras = {"page_location": page_loc, "stats": stats, "bloom": bloom}
     meta = fmt.ColumnMetaData(
         type=int(desc.physical_type),
         encodings=sorted(set(encodings_used)),
@@ -212,24 +225,29 @@ def _encode_column_chunk(
         data_page_offset=data_page_offset,
         dictionary_page_offset=dict_page_offset,
         statistics=stats)
-    return fmt.ColumnChunk(file_offset=start_offset, meta_data=meta)
+    return fmt.ColumnChunk(file_offset=start_offset, meta_data=meta), extras
 
 
 def write_table(table, sink, row_group_size: Optional[int] = None,
-                compression: str = "snappy", use_dictionary: bool = True
-                ) -> None:
+                compression: str = "snappy", use_dictionary: bool = True,
+                write_page_index: bool = True,
+                write_bloom_filters: bool = False) -> None:
     """Write a Table/RecordBatch to a parquet file."""
     if isinstance(table, RecordBatch):
         table = Table.from_batches([table])
     if hasattr(sink, "write"):
-        _write(table, sink, row_group_size, compression, use_dictionary)
+        _write(table, sink, row_group_size, compression, use_dictionary,
+               write_page_index, write_bloom_filters)
     else:
         with open(sink, "wb") as f:
-            _write(table, f, row_group_size, compression, use_dictionary)
+            _write(table, f, row_group_size, compression, use_dictionary,
+                   write_page_index, write_bloom_filters)
 
 
 def _write(table: Table, sink: BinaryIO, row_group_size: Optional[int],
-           compression: str, use_dictionary: bool) -> None:
+           compression: str, use_dictionary: bool,
+           write_page_index: bool = True,
+           write_bloom_filters: bool = False) -> None:
     codec = int(comp.CODEC_NAMES[compression.lower()])
     elements, leaves = psch.schema_to_elements(table.schema)
     sink.write(MAGIC)
@@ -239,22 +257,66 @@ def _write(table: Table, sink: BinaryIO, row_group_size: Optional[int],
     batches = table.to_batches(max_chunksize=row_group_size) \
         if table.num_rows else []
 
+    all_extras: List[List[dict]] = []
     for rb in batches:
         rg_start = sink.tell()
         chunks: List[fmt.ColumnChunk] = []
+        rg_extras: List[dict] = []
         li = 0
         for f, col in zip(rb.schema.fields, rb.columns):
             paths = lv.leaf_paths(f.type)
             for path in paths:
                 pruned_arr, pruned_f = lv.prune_to_leaf(col, f, path)
                 desc = leaves[li]
-                chunks.append(_encode_column_chunk(
-                    sink, pruned_arr, pruned_f, desc, codec, use_dictionary))
+                chunk, extras = _encode_column_chunk(
+                    sink, pruned_arr, pruned_f, desc, codec, use_dictionary,
+                    write_bloom_filters)
+                chunks.append(chunk)
+                rg_extras.append(extras)
                 li += 1
         total = sum(c.meta_data.total_compressed_size for c in chunks)
         row_groups.append(fmt.RowGroup(
             columns=chunks, total_byte_size=total, num_rows=rb.num_rows,
             file_offset=rg_start, total_compressed_size=total))
+        all_extras.append(rg_extras)
+
+    # bloom filters (before indexes, reference layout)
+    if write_bloom_filters:
+        for rg, rg_extras in zip(row_groups, all_extras):
+            for chunk, extras in zip(rg.columns, rg_extras):
+                if extras["bloom"] is None:
+                    continue
+                off = sink.tell()
+                blob = extras["bloom"].serialize()
+                sink.write(blob)
+                chunk.meta_data.bloom_filter_offset = off
+                chunk.meta_data.bloom_filter_length = len(blob)
+
+    # page indexes (ColumnIndex + OffsetIndex after row group data,
+    # reference parquet/metadata/page_index.go)
+    if write_page_index:
+        for rg, rg_extras in zip(row_groups, all_extras):
+            for chunk, extras in zip(rg.columns, rg_extras):
+                st = extras["stats"]
+                ci = fmt.ColumnIndex(
+                    null_pages=[st is None or st.min_value is None],
+                    min_values=[st.min_value if st and st.min_value else b""],
+                    max_values=[st.max_value if st and st.max_value else b""],
+                    boundary_order=0,
+                    null_counts=[st.null_count if st and st.null_count
+                                 is not None else 0])
+                off = sink.tell()
+                blob = _thrift_bytes(ci)
+                sink.write(blob)
+                chunk.column_index_offset = off
+                chunk.column_index_length = len(blob)
+            for chunk, extras in zip(rg.columns, rg_extras):
+                oi = fmt.OffsetIndex(page_locations=[extras["page_location"]])
+                off = sink.tell()
+                blob = _thrift_bytes(oi)
+                sink.write(blob)
+                chunk.offset_index_offset = off
+                chunk.offset_index_length = len(blob)
 
     meta = fmt.FileMetaData(
         version=2, schema=elements, num_rows=table.num_rows,

@@ -251,3 +251,84 @@ def test_large_random_parity(rng):
     assert pt.to_pydict() == t.to_pydict()
     ours = _pyarrow_to_ours(pa.table(t.to_pydict()), compression="snappy")
     assert ours.to_pydict() == t.to_pydict()
+
+
+# -- bloom filters / page index / pruning / extra encodings ------------------
+
+def test_bloom_filter_roundtrip():
+    from arrow_go_tpu.parquet import format as fmt
+    t = agt.table({"x": list(range(100)), "s": [f"k{i % 7}" for i in range(100)]})
+    buf = io.BytesIO()
+    pq.write_table(t, buf, row_group_size=25, write_bloom_filters=True)
+    pf = pq.ParquetFile(buf.getvalue())
+    bf = pf.read_bloom_filter(0, 0)
+    assert all(bf.check(v, fmt.Type.INT64) for v in range(25))
+    assert not bf.check(9999, fmt.Type.INT64)
+    sbf = pf.read_bloom_filter(0, 1)
+    assert sbf.check("k1", fmt.Type.BYTE_ARRAY)
+    assert not sbf.check("zzz", fmt.Type.BYTE_ARRAY)
+
+
+def test_bloom_serialize_roundtrip():
+    from arrow_go_tpu.parquet.bloom import BloomFilter
+    from arrow_go_tpu.parquet import format as fmt
+    bf = BloomFilter(8)
+    for v in [1, 5, 10**12]:
+        bf.insert(v, fmt.Type.INT64)
+    back = BloomFilter.deserialize(bf.serialize())
+    assert back.check(5, fmt.Type.INT64)
+    assert not back.check(7, fmt.Type.INT64)
+
+
+def test_page_index_roundtrip():
+    t = agt.table({"x": [5, 1, 9]})
+    buf = io.BytesIO()
+    pq.write_table(t, buf, write_page_index=True)
+    pf = pq.ParquetFile(buf.getvalue())
+    ci = pf.read_column_index(0, 0)
+    import struct as _s
+    assert _s.unpack("<q", ci.min_values[0])[0] == 1
+    assert _s.unpack("<q", ci.max_values[0])[0] == 9
+    oi = pf.read_offset_index(0, 0)
+    assert oi.page_locations[0].first_row_index == 0
+
+
+def test_page_index_from_pyarrow():
+    buf = io.BytesIO()
+    papq.write_table(pa.table({"x": list(range(50))}), buf,
+                     write_page_index=True)
+    pf = pq.ParquetFile(buf.getvalue())
+    assert pf.read_column_index(0, 0) is not None
+    assert pf.read_offset_index(0, 0).page_locations[0].offset > 0
+
+
+def test_row_group_pruning():
+    t = agt.table({"x": list(range(100)), "s": [f"k{i % 7}" for i in range(100)]})
+    buf = io.BytesIO()
+    pq.write_table(t, buf, row_group_size=25, write_bloom_filters=True)
+    data = buf.getvalue()
+    assert pq.read_table(data, filters=[("x", ">", 60)]).num_rows == 50
+    assert pq.read_table(data, filters=[("x", "==", 10)]).num_rows == 25
+    assert pq.read_table(data, filters=[("x", "<", 0)]).num_rows == 0
+    # bloom kills equality probes on values inside min/max gaps
+    assert pq.read_table(data, filters=[("s", "==", "nope")]).num_rows == 0
+
+
+def test_delta_encodings_from_pyarrow():
+    buf = io.BytesIO()
+    papq.write_table(
+        pa.table({"d": list(range(1000)),
+                  "s": [f"pre_{i}" for i in range(1000)]}),
+        buf, use_dictionary=False,
+        column_encoding={"d": "DELTA_BINARY_PACKED", "s": "DELTA_BYTE_ARRAY"})
+    t = pq.read_table(buf.getvalue())
+    assert t.column("d").to_pylist() == list(range(1000))
+    assert t.column("s").to_pylist() == [f"pre_{i}" for i in range(1000)]
+
+
+def test_byte_stream_split_from_pyarrow():
+    vals = [float(i) / 3 for i in range(500)]
+    buf = io.BytesIO()
+    papq.write_table(pa.table({"f": vals}), buf, use_dictionary=False,
+                     column_encoding={"f": "BYTE_STREAM_SPLIT"})
+    assert pq.read_table(buf.getvalue()).column("f").to_pylist() == vals
