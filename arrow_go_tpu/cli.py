@@ -1,0 +1,115 @@
+"""CLI tools (reference L7: arrow/ipc/cmd/arrow-cat, arrow-ls,
+parquet/cmd/parquet_reader, parquet_schema, file<->stream converters).
+
+Usage:
+    python -m arrow_go_tpu.cli cat file.arrow|file.parquet|file.csv
+    python -m arrow_go_tpu.cli ls file.arrow|file.parquet
+    python -m arrow_go_tpu.cli schema file.parquet
+    python -m arrow_go_tpu.cli convert in.(arrow|parquet|csv) out.(arrow|parquet|csv)
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def _read_any(path: str):
+    from . import formats, ipc, parquet
+    if path.endswith((".parquet", ".pq")):
+        return parquet.read_table(path)
+    if path.endswith((".arrow", ".feather", ".ipc")):
+        with open(path, "rb") as f:
+            return ipc.open_file(f).read_all()
+    if path.endswith(".arrows"):
+        with open(path, "rb") as f:
+            return ipc.open_stream(f).read_all()
+    if path.endswith(".csv"):
+        return formats.read_csv(path)
+    if path.endswith((".json", ".jsonl", ".ndjson")):
+        return formats.read_json(path)
+    if path.endswith(".avro"):
+        return formats.read_avro(path)
+    raise SystemExit(f"unknown format: {path}")
+
+
+def _write_any(table, path: str):
+    from . import formats, ipc, parquet
+    if path.endswith((".parquet", ".pq")):
+        parquet.write_table(table, path)
+    elif path.endswith((".arrow", ".feather", ".ipc")):
+        with open(path, "wb") as f:
+            with ipc.new_file(f, table.schema) as w:
+                w.write_table(table)
+    elif path.endswith(".arrows"):
+        with open(path, "wb") as f:
+            with ipc.new_stream(f, table.schema) as w:
+                w.write_table(table)
+    elif path.endswith(".csv"):
+        formats.write_csv(table, path)
+    elif path.endswith((".json", ".jsonl", ".ndjson")):
+        formats.write_json(table, path)
+    else:
+        raise SystemExit(f"unknown output format: {path}")
+
+
+def cmd_cat(args):
+    t = _read_any(args.file)
+    n = args.rows if args.rows is not None else t.num_rows
+    d = t.slice(0, min(n, t.num_rows)).to_pydict()
+    names = list(d.keys())
+    print("\t".join(names))
+    for row in zip(*d.values()):
+        print("\t".join("" if v is None else str(v) for v in row))
+
+
+def cmd_ls(args):
+    t = _read_any(args.file)
+    print(f"rows: {t.num_rows}")
+    for f in t.schema.fields:
+        null = "" if f.nullable else " not null"
+        print(f"  {f.name}: {f.type}{null}")
+
+
+def cmd_schema(args):
+    if args.file.endswith((".parquet", ".pq")):
+        from . import parquet
+        pf = parquet.ParquetFile(args.file)
+        print(f"rows: {pf.num_rows}  row_groups: {pf.num_row_groups}")
+        print(f"created_by: {pf.metadata.created_by}")
+        for f in pf.schema.fields:
+            print(f"  {f.name}: {f.type}")
+        for i, rg in enumerate(pf.metadata.row_groups or []):
+            print(f"  row group {i}: rows={rg.num_rows} "
+                  f"bytes={rg.total_compressed_size}")
+    else:
+        cmd_ls(args)
+
+
+def cmd_convert(args):
+    _write_any(_read_any(args.src), args.dst)
+    print(f"wrote {args.dst}")
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="arrow_go_tpu.cli")
+    sub = p.add_subparsers(dest="cmd", required=True)
+    c = sub.add_parser("cat", help="print rows")
+    c.add_argument("file")
+    c.add_argument("--rows", type=int, default=None)
+    c.set_defaults(fn=cmd_cat)
+    l = sub.add_parser("ls", help="show schema + row count")
+    l.add_argument("file")
+    l.set_defaults(fn=cmd_ls)
+    s = sub.add_parser("schema", help="detailed file metadata")
+    s.add_argument("file")
+    s.set_defaults(fn=cmd_schema)
+    v = sub.add_parser("convert", help="convert between formats")
+    v.add_argument("src")
+    v.add_argument("dst")
+    v.set_defaults(fn=cmd_convert)
+    args = p.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()
