@@ -164,8 +164,10 @@ def call_function(name: str, args: Sequence[Any], options: Any = None,
     fn = reg.get_function(name)
     fn.validate_arity(len(args))
 
+    from ..utils.metrics import metrics
     if fn.raw_args:
-        return fn.exec(*args, options=options)
+        with metrics.time_op(name):
+            return fn.exec(*args, options=options)
 
     # align paddings: all array args share the max padded length
     pad = None
@@ -185,7 +187,10 @@ def call_function(name: str, args: Sequence[Any], options: Any = None,
         coerced.append(c)
         any_host = any_host or was_host
 
-    result = fn.exec(*coerced, options=options)
+    rows = max((c.length for c in coerced if isinstance(c, DeviceColumn)),
+               default=0)
+    with metrics.time_op(name, rows=rows):
+        result = fn.exec(*coerced, options=options)
 
     if any_host:
         return _to_host(result)

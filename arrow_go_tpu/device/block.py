@@ -141,11 +141,26 @@ def to_device(arr: Array, pad: Optional[int] = None) -> DeviceColumn:
                           n, t, dictionary=arr.dictionary)
         return dc
     elif t.is_binary_like:
-        # dictionary-encode at ingest (TPU has no pointers; §7 hard parts)
-        from ..array.builders import DictionaryBuilder
-        b = DictionaryBuilder(dt.dictionary(dt.int32, t))
-        b.append_values(arr.to_pylist())
-        return to_device(b.finish(), pad=P)
+        # dictionary-encode at ingest (TPU has no pointers; §7 hard parts).
+        # vectorized: np.unique over the object column (dictionary order is
+        # sorted, which device compute never observes)
+        vals = np.empty(n, dtype=object)
+        has_null = arr.null_count > 0
+        m = arr.validity_bools()
+        for i in range(n):
+            vals[i] = arr.value_bytes(i) if m[i] else b""
+        uniq, codes_np = np.unique(vals, return_inverse=True)
+        codes = np.zeros(P, dtype=np.int32)
+        codes[:n] = codes_np.astype(np.int32)
+        from ..array.builders import BinaryBuilder
+        bb = BinaryBuilder(t)
+        for u in uniq.tolist():
+            bb.append(u)
+        dict_host = bb.finish()
+        return DeviceColumn(
+            jnp.asarray(codes),
+            None if mask is None else jnp.asarray(_pack_words(mask, P)),
+            n, dt.dictionary(dt.int32, t), dictionary=dict_host)
     elif t.id == dt.TypeId.DECIMAL128:
         from ..array.arrays import DecimalArray
         assert isinstance(arr, DecimalArray)

@@ -67,6 +67,10 @@ def _build() -> Optional[ctypes.CDLL]:
         lib.bitpack32.restype = None
         lib.bitpack32.argtypes = [ctypes.c_void_p, ctypes.c_size_t,
                                   ctypes.c_uint32, ctypes.c_void_p]
+        lib.byte_array_unpack.restype = ctypes.c_int64
+        lib.byte_array_unpack.argtypes = [ctypes.c_char_p, ctypes.c_size_t,
+                                          ctypes.c_size_t, ctypes.c_void_p,
+                                          ctypes.c_void_p]
         _lib = lib
         return _lib
 
@@ -282,3 +286,31 @@ def bitpack32(values: np.ndarray, width: int) -> bytes:
     bits = (values[:, None] >> np.arange(width, dtype=np.uint32)) & 1
     return np.packbits(bits.astype(np.uint8).ravel(),
                        bitorder="little")[:nbytes].tobytes()
+
+
+def byte_array_unpack(data: bytes, n: int):
+    """Parquet BYTE_ARRAY plain stream -> (offsets[n+1] int64, packed bytes
+    np.uint8). Native C walk; python fallback."""
+    lib = _build()
+    if lib is not None and n:
+        offsets = np.empty(n + 1, dtype=np.int64)
+        compact = np.empty(max(len(data), 1), dtype=np.uint8)
+        got = lib.byte_array_unpack(data, len(data), n,
+                                    offsets.ctypes.data_as(ctypes.c_void_p),
+                                    compact.ctypes.data_as(ctypes.c_void_p))
+        if got < 0:
+            raise ValueError("malformed BYTE_ARRAY stream")
+        return offsets, compact[:got]
+    # python fallback
+    import struct as _struct
+    offsets = np.zeros(n + 1, dtype=np.int64)
+    parts = []
+    pos = 0
+    for i in range(n):
+        (ln,) = _struct.unpack_from("<I", data, pos)
+        pos += 4
+        parts.append(data[pos:pos + ln])
+        offsets[i + 1] = offsets[i] + ln
+        pos += ln
+    return offsets, np.frombuffer(b"".join(parts) if parts else b"",
+                                  dtype=np.uint8)

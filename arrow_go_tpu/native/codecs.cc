@@ -333,3 +333,30 @@ void bitpack32(const uint32_t* src, size_t n, uint32_t width, uint8_t* dst) {
 }
 
 }  // extern "C"
+
+extern "C" {
+// --------------------------------------------------------------------------
+// Parquet BYTE_ARRAY plain decode: walk <u32 len><bytes> records, emitting
+// value offsets (into the packed data) so python can slice vectorized.
+// Returns number of values parsed, or -1 on overrun.
+// out_offsets has n+1 slots: out_offsets[i] = start of value i in `compact`,
+// compact receives the concatenated value bytes (caller sizes = src_len).
+// --------------------------------------------------------------------------
+int64_t byte_array_unpack(const uint8_t* src, size_t src_len, size_t n,
+                          int64_t* out_offsets, uint8_t* compact) {
+    size_t pos = 0, out = 0;
+    for (size_t i = 0; i < n; i++) {
+        if (pos + 4 > src_len) return -1;
+        uint32_t len;
+        memcpy(&len, src + pos, 4);
+        pos += 4;
+        if (pos + len > src_len) return -1;
+        out_offsets[i] = (int64_t)out;
+        memcpy(compact + out, src + pos, len);
+        out += len;
+        pos += len;
+    }
+    out_offsets[n] = (int64_t)out;
+    return (int64_t)out;
+}
+}  // extern "C"

@@ -54,16 +54,9 @@ def plain_decode(phys: fmt.Type, data: bytes, n: int, type_length: int = 0):
         return np.unpackbits(np.frombuffer(data, dtype=np.uint8),
                              bitorder="little")[:n].astype(np.bool_)
     if phys == fmt.Type.BYTE_ARRAY:
-        # vectorized byte-array split: walk lengths
-        out = []
-        pos = 0
-        mv = memoryview(data)
-        for _ in range(n):
-            (ln,) = struct.unpack_from("<I", mv, pos)
-            pos += 4
-            out.append(bytes(mv[pos:pos + ln]))
-            pos += ln
-        return out
+        offsets, packed = native.byte_array_unpack(data, n)
+        mv = memoryview(packed.tobytes())
+        return [bytes(mv[offsets[i]:offsets[i + 1]]) for i in range(n)]
     if phys == fmt.Type.FIXED_LEN_BYTE_ARRAY:
         w = type_length
         return [data[i * w:(i + 1) * w] for i in range(n)]

@@ -1,0 +1,1 @@
+from .metrics import Metrics, metrics, trace  # noqa: F401
