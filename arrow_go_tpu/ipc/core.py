@@ -175,6 +175,16 @@ def build_record_batch_message(
             else:
                 enc.append(struct.pack("<q", -1) + buf)
         raw = enc
+    elif compression == "lz4":
+        from .. import native
+        enc = []
+        for buf in raw:
+            comp = native.lz4_frame_compress(buf)
+            if len(comp) < len(buf):
+                enc.append(struct.pack("<q", len(buf)) + comp)
+            else:
+                enc.append(struct.pack("<q", -1) + buf)
+        raw = enc
     elif compression is not None:
         raise NotImplementedError(f"compression {compression}")
 
@@ -205,9 +215,10 @@ def build_record_batch_message(
     node_vec = b.EndVector()
 
     comp_off = None
-    if compression == "zstd":
+    if compression in ("zstd", "lz4"):
         b.StartObject(2)
-        b.PrependInt8Slot(0, md.COMPRESS_ZSTD, 0)
+        b.PrependInt8Slot(0, md.COMPRESS_ZSTD if compression == "zstd"
+                          else md.COMPRESS_LZ4, 0)
         b.PrependInt8Slot(1, 0, 0)
         comp_off = b.EndObject()
 
@@ -311,7 +322,10 @@ class BodyReader:
             import zstandard
             return zstandard.ZstdDecompressor().decompress(
                 payload, max_output_size=ulen)
-        raise NotImplementedError("lz4 body compression")
+        if self.codec == "lz4":
+            from .. import native
+            return native.lz4_frame_decompress(payload, ulen)
+        raise NotImplementedError(f"{self.codec} body compression")
 
 
 def load_array(br: BodyReader, t: dt.DataType,

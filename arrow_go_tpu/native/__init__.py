@@ -314,3 +314,104 @@ def byte_array_unpack(data: bytes, n: int):
         pos += ln
     return offsets, np.frombuffer(b"".join(parts) if parts else b"",
                                   dtype=np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# LZ4 frame format (IPC body compression; wraps the raw block codec)
+# ---------------------------------------------------------------------------
+
+_LZ4F_MAGIC = 0x184D2204
+
+
+def lz4_frame_compress(data: bytes, block_size: int = 1 << 20) -> bytes:
+    """Minimal LZ4 frame: FLG(no checksums, no content size), BD(4MB max),
+    independent blocks."""
+    import struct as _s
+    out = bytearray(_s.pack("<I", _LZ4F_MAGIC))
+    flg = 0x40          # version 01, everything else off
+    bd = 0x70           # 4MB max block size
+    out.append(flg)
+    out.append(bd)
+    # header checksum: (xxh32(descriptor) >> 8) & 0xFF
+    import xxhash
+    out.append((xxhash.xxh32_intdigest(bytes([flg, bd]), seed=0) >> 8) & 0xFF)
+    for i in range(0, max(len(data), 1), block_size):
+        chunk = data[i:i + block_size]
+        if not chunk:
+            break
+        comp = lz4_compress(chunk)
+        if len(comp) < len(chunk):
+            out += _s.pack("<I", len(comp))
+            out += comp
+        else:
+            out += _s.pack("<I", len(chunk) | 0x80000000)
+            out += chunk
+    out += _s.pack("<I", 0)  # end mark
+    return bytes(out)
+
+
+def lz4_frame_decompress(data: bytes, uncompressed_size: int) -> bytes:
+    import struct as _s
+    (magic,) = _s.unpack_from("<I", data, 0)
+    if magic != _LZ4F_MAGIC:
+        raise ValueError("bad lz4 frame magic")
+    flg = data[4]
+    pos = 6  # magic + FLG + BD
+    pos += 1  # header checksum byte
+    if flg & 0x08:  # content size present
+        pos += 8
+    if flg & 0x01:  # dict id
+        pos += 4
+    block_checksum = bool(flg & 0x10)
+    content_checksum = bool(flg & 0x04)
+    out = bytearray()
+    while pos + 4 <= len(data):
+        (size,) = _s.unpack_from("<I", data, pos)
+        pos += 4
+        if size == 0:
+            break
+        uncompressed = bool(size & 0x80000000)
+        size &= 0x7FFFFFFF
+        block = data[pos:pos + size]
+        pos += size
+        if block_checksum:
+            pos += 4
+        if uncompressed:
+            out += block
+        elif flg & 0x20:  # independent blocks: fresh window per block
+            out += lz4_decompress(block, uncompressed_size - len(out))
+        else:             # linked blocks: matches may reach into prior output
+            _py_lz4_decompress_into(block, out)
+    return bytes(out)
+
+
+def _py_lz4_decompress_into(data: bytes, out: bytearray) -> None:
+    s, n = 0, len(data)
+    while s < n:
+        token = data[s]
+        s += 1
+        lit = token >> 4
+        if lit == 15:
+            while True:
+                b = data[s]
+                s += 1
+                lit += b
+                if b != 255:
+                    break
+        out += data[s:s + lit]
+        s += lit
+        if s >= n:
+            break
+        off = int.from_bytes(data[s:s + 2], "little")
+        s += 2
+        ml = token & 0x0F
+        if ml == 15:
+            while True:
+                b = data[s]
+                s += 1
+                ml += b
+                if b != 255:
+                    break
+        ml += 4
+        for _ in range(ml):
+            out.append(out[-off])

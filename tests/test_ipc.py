@@ -168,3 +168,23 @@ def test_dictionary_replacement():
     got = list(r)
     assert got[0].column(0).to_pylist() == ["a", "b"]
     assert got[1].column(0).to_pylist() == ["c", "d"]
+
+
+def test_lz4_compression_both_directions():
+    rb = agt.record_batch({"x": list(range(2000)),
+                           "s": [f"v{i % 9}" for i in range(2000)]})
+    buf = io.BytesIO()
+    with ipc.new_stream(buf, rb.schema, compression="lz4") as w:
+        w.write(rb)
+    data = buf.getvalue()
+    assert ipc.open_stream(data).read_next_batch().equals(rb)
+    pb = paipc.open_stream(data).read_all()
+    pb.validate(full=True)
+    assert pb.column("x").to_pylist() == list(range(2000))
+    sink = io.BytesIO()
+    opts = paipc.IpcWriteOptions(compression="lz4")
+    with paipc.new_stream(sink, pa.schema([("x", pa.int64())]),
+                          options=opts) as w:
+        w.write_batch(pa.record_batch({"x": list(range(1000))}))
+    got = ipc.open_stream(sink.getvalue()).read_next_batch()
+    assert got.to_pydict() == {"x": list(range(1000))}
