@@ -50,7 +50,7 @@ def __getattr__(name):
         globals()[name] = mod
         return mod
     if name in ("ipc", "parquet", "formats", "flight", "interop", "csv",
-                "cdata", "tensor", "native", "extensions", "cli"):
+                "cdata", "tensor", "native", "extensions", "cli", "dataset"):
         import importlib
         mod = importlib.import_module(f".{name}", __name__)
         globals()[name] = mod

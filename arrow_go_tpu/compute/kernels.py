@@ -248,14 +248,40 @@ def arithmetic_unary(op: str, a: DeviceColumn, checked: bool = True) -> DeviceCo
 
 
 def compare(op: str, a, b) -> DeviceColumn:
+    # string comparisons: dictionary codes vs a host literal resolve to a
+    # per-code truth table gathered on device
+    if isinstance(a, DeviceColumn) and a.type.id == dt.TypeId.DICTIONARY \
+            and isinstance(b, (str, bytes)):
+        return _compare_dict_scalar(op, a, b)
+    if isinstance(b, DeviceColumn) and b.type.id == dt.TypeId.DICTIONARY \
+            and isinstance(a, (str, bytes)):
+        flip = {"equal": "equal", "not_equal": "not_equal",
+                "less": "greater", "less_equal": "greater_equal",
+                "greater": "less", "greater_equal": "less_equal"}
+        return _compare_dict_scalar(flip[op], b, a)
     a, b = _align(a, b)
     if a.type.id == dt.TypeId.DICTIONARY or b.type.id == dt.TypeId.DICTIONARY:
-        raise ArrowNotImplemented("compare on dictionary: decode first")
+        raise ArrowNotImplemented("compare dictionary vs dictionary: decode first")
     to = common_numeric_type(a.type, b.type) if a.type != b.type else a.type
     av, bv = _cast_operands(a, b, to)
     out = _COMPARE[op](av, bv)
     return DeviceColumn(out, _out_validity(a, b), _max_len(a, b),
                         dt.bool_)
+
+
+def _compare_dict_scalar(op: str, a: DeviceColumn, lit) -> DeviceColumn:
+    import operator
+    opfn = {"equal": operator.eq, "not_equal": operator.ne,
+            "less": operator.lt, "less_equal": operator.le,
+            "greater": operator.gt, "greater_equal": operator.ge}[op]
+    dvals = a.dictionary.to_pylist()
+    if isinstance(lit, bytes) and dvals and isinstance(dvals[0], str):
+        lit = lit.decode("utf-8")
+    table = np.array([bool(opfn(v, lit)) if v is not None else False
+                      for v in dvals] or [False], dtype=np.bool_)
+    out = jnp.take(jnp.asarray(table),
+                   jnp.clip(a.values, 0, len(table) - 1))
+    return DeviceColumn(out, a.validity, a.length, dt.bool_)
 
 
 # ---------------------------------------------------------------------------

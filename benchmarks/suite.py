@@ -52,15 +52,17 @@ def main():
     from arrow_go_tpu.ops import bitmap, hashing, reductions, selection, sort
 
     n = 1 << (20 if ns.small else 24)
+    n_heavy = 1 << (18 if ns.small else 22)   # sort/group/join (bitonic cost)
     rng = np.random.default_rng(0)
     results = []
 
     def report(name, dt_s, rows, bytes_):
+        import sys
         rec = {"bench": name, "rows_per_s": round(rows / dt_s, 0),
                "gb_per_s": round(bytes_ / dt_s / 1e9, 2),
                "ms": round(dt_s * 1e3, 3)}
         results.append(rec)
-        print(json.dumps(rec))
+        print(json.dumps(rec), flush=True)
 
     # 1. masked sums
     for npdt, name in [(np.float64, "sum_f64"), (np.int64, "sum_i64"),
@@ -104,34 +106,37 @@ def main():
 
     # 3. hash aggregate (low + high cardinality)
     for card, name in [(64, "group_by_low_card"), (1 << 16, "group_by_high_card")]:
-        keys = rng.integers(0, card, n).astype(np.int64)
+        nh = n_heavy
+        keys = rng.integers(0, card, nh).astype(np.int64)
+        hvals = vals[:nh]
         kcol = to_device(agt.from_numpy(keys))
-        vcol = to_device(agt.from_numpy(vals))
+        vcol = to_device(agt.from_numpy(hvals))
 
         @jax.jit
         def agg(k, v):
-            res = hashing.encode_codes(k, agt.int64, None, n)
+            res = hashing.encode_codes(k, agt.int64, None, nh)
             P = k.shape[0]
             s = jnp.zeros(P + 1, jnp.int64).at[
                 jnp.where(res.codes >= 0, res.codes, P)].add(v, mode="drop")
             return s, res.n_unique
 
         dt_s = _bench(agg, (kcol.values, vcol.values))
-        report(name, dt_s, n, keys.nbytes + vals.nbytes)
+        report(name, dt_s, nh, keys.nbytes + hvals.nbytes)
 
     # 4. sort on 64-bit keys
-    keys = rng.integers(-10**12, 10**12, n).astype(np.int64)
+    keys = rng.integers(-10**12, 10**12, n_heavy).astype(np.int64)
     kcol = to_device(agt.from_numpy(keys))
 
     @jax.jit
     def do_sort(k):
-        op = sort.sort_key(k, agt.int64, None, n)
+        op = sort.sort_key(k, agt.int64, None, n_heavy)
         return sort.argsort_single(op)
 
     dt_s = _bench(do_sort, (kcol.values,))
-    report("sort_i64", dt_s, n, keys.nbytes)
+    report("sort_i64", dt_s, n_heavy, keys.nbytes)
 
     # 5. local hash join kernel
+    n = n_heavy
     m = n // 4
     lk = rng.integers(0, n // 8, n).astype(np.int64)
     rk = rng.integers(0, n // 8, m).astype(np.int64)
