@@ -158,6 +158,10 @@ def _cast_operands(a: DeviceColumn, b: DeviceColumn, to: dt.DataType):
 
 
 def arithmetic_binary(op: str, a, b, checked: bool = True) -> DeviceColumn:
+    if isinstance(a, DeviceColumn) and a.type.id == dt.TypeId.DECIMAL128 or \
+            isinstance(b, DeviceColumn) and getattr(b, "type", None) is not None \
+            and getattr(b.type, "id", None) == dt.TypeId.DECIMAL128:
+        return _decimal_binary(op, a, b)
     a, b = _align(a, b)
     to = common_numeric_type(a.type, b.type)
     if op in _FLOAT_ONLY and not to.is_floating:
@@ -248,6 +252,9 @@ def arithmetic_unary(op: str, a: DeviceColumn, checked: bool = True) -> DeviceCo
 
 
 def compare(op: str, a, b) -> DeviceColumn:
+    if (isinstance(a, DeviceColumn) and a.type.id == dt.TypeId.DECIMAL128) or \
+            (isinstance(b, DeviceColumn) and b.type.id == dt.TypeId.DECIMAL128):
+        return _decimal_binary(op, a, b)
     # string comparisons: dictionary codes vs a host literal resolve to a
     # per-code truth table gathered on device
     if isinstance(a, DeviceColumn) and a.type.id == dt.TypeId.DICTIONARY \
@@ -267,6 +274,68 @@ def compare(op: str, a, b) -> DeviceColumn:
     out = _COMPARE[op](av, bv)
     return DeviceColumn(out, _out_validity(a, b), _max_len(a, b),
                         dt.bool_)
+
+
+def _decimal_binary(op: str, a, b) -> DeviceColumn:
+    """decimal128 add/subtract/multiply + comparisons on (lo,hi) limb
+    pairs (reference decimal promotion rules, arrow/compute arithmetic.go
+    decimal paths)."""
+    from ..ops import decimal as dec
+    import decimal as pydec
+    if not isinstance(a, DeviceColumn):
+        a = _decimal_scalar_to_col(a, b)
+    if not isinstance(b, DeviceColumn):
+        b = _decimal_scalar_to_col(b, a)
+    ta, tb = a.type, b.type
+    if not (ta.id == dt.TypeId.DECIMAL128 and tb.id == dt.TypeId.DECIMAL128):
+        raise ArrowNotImplemented(f"decimal binary {op} with {ta} vs {tb}")
+    validity = _out_validity(a, b)
+    n = _max_len(a, b)
+    av, bv = a.values, b.values
+    if op in ("add", "subtract") or op in _COMPARE:
+        s_out = max(ta.scale, tb.scale)
+        if ta.scale < s_out:
+            av = dec.scale_by_pow10(av, s_out - ta.scale)
+        if tb.scale < s_out:
+            bv = dec.scale_by_pow10(bv, s_out - tb.scale)
+        if op == "add":
+            out = dec.add128(av, bv)
+            p = min(38, max(ta.precision - ta.scale,
+                            tb.precision - tb.scale) + s_out + 1)
+            return DeviceColumn(out, validity, n, dt.decimal128(p, s_out))
+        if op == "subtract":
+            out = dec.sub128(av, bv)
+            p = min(38, max(ta.precision - ta.scale,
+                            tb.precision - tb.scale) + s_out + 1)
+            return DeviceColumn(out, validity, n, dt.decimal128(p, s_out))
+        c = dec.cmp128(av, bv)
+        fn = {"equal": c == 0, "not_equal": c != 0, "less": c < 0,
+              "less_equal": c <= 0, "greater": c > 0,
+              "greater_equal": c >= 0}[op]
+        return DeviceColumn(fn, validity, n, dt.bool_)
+    if op == "multiply":
+        out = dec.mul128(a.values, b.values)
+        p = min(38, ta.precision + tb.precision + 1)
+        return DeviceColumn(out, validity, n,
+                            dt.decimal128(p, ta.scale + tb.scale))
+    raise ArrowNotImplemented(f"decimal {op}")
+
+
+def _decimal_scalar_to_col(v, like: DeviceColumn) -> DeviceColumn:
+    import decimal as pydec
+    from ..ops import decimal as dec
+    t = like.type
+    if isinstance(v, pydec.Decimal):
+        unscaled = int(v.scaleb(t.scale))
+    elif isinstance(v, int):
+        unscaled = v * 10 ** t.scale
+    else:
+        raise ArrowNotImplemented(f"decimal scalar {type(v)}")
+    lo = unscaled & ((1 << 64) - 1)
+    hi = (unscaled >> 64) & ((1 << 64) - 1)
+    vals = jnp.broadcast_to(jnp.asarray([[lo, hi]], jnp.uint64),
+                            (like.padded, 2))
+    return DeviceColumn(vals, None, like.length, t)
 
 
 def _compare_dict_scalar(op: str, a: DeviceColumn, lit) -> DeviceColumn:

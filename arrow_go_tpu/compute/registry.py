@@ -139,9 +139,10 @@ def new_child_registry() -> FunctionRegistry:
 # ---------------------------------------------------------------------------
 
 def _is_scalar(v) -> bool:
+    import decimal
     import numpy as np
     return v is None or isinstance(v, (int, float, bool, str, bytes,
-                                       np.generic))
+                                       decimal.Decimal, np.generic))
 
 
 def _coerce_to_device(v, pad_hint: Optional[int] = None):

@@ -156,3 +156,42 @@ def test_cdata_pyarrow_interop(vals, typ):
                         int(ffi.cast("intptr_t", s2)))
     back = cdata.import_array(a2, s2)
     assert back.to_pylist() == ours.to_pylist()
+
+
+# -- decimal128 device arithmetic -------------------------------------------
+
+def test_decimal_device_arithmetic():
+    import decimal as D
+    a = agt.array([D.Decimal("1.25"), D.Decimal("-3.50"), None],
+                  dt.decimal128(20, 2))
+    b = agt.array([D.Decimal("0.75"), D.Decimal("1.25"), D.Decimal("2")],
+                  dt.decimal128(20, 2))
+    assert pc.add(a, b).to_pylist() == \
+        [D.Decimal("2.00"), D.Decimal("-2.25"), None]
+    assert pc.subtract(a, b).to_pylist() == \
+        [D.Decimal("0.50"), D.Decimal("-4.75"), None]
+    assert pc.multiply(a, b).to_pylist() == \
+        [D.Decimal("0.9375"), D.Decimal("-4.3750"), None]
+    assert pc.greater(a, b).to_pylist() == [True, False, None]
+    assert pc.equal(a, D.Decimal("1.25")).to_pylist() == [True, False, None]
+
+
+def test_decimal_mixed_scale_and_scalar():
+    import decimal as D
+    c = agt.array([D.Decimal("1.5")], dt.decimal128(10, 1))
+    d = agt.array([D.Decimal("0.25")], dt.decimal128(10, 2))
+    out = pc.add(c, d)
+    assert out.to_pylist() == [D.Decimal("1.75")]
+    assert out.type.scale == 2
+    a = agt.array([D.Decimal("1.25")], dt.decimal128(20, 2))
+    assert pc.add(a, D.Decimal("1.00")).to_pylist() == [D.Decimal("2.25")]
+
+
+def test_decimal_128bit_magnitudes():
+    import decimal as D
+    big = agt.array([D.Decimal(-10**30), D.Decimal(10**30)],
+                    dt.decimal128(38, 0))
+    assert pc.add(big, big).to_pylist() == \
+        [D.Decimal(-2 * 10**30), D.Decimal(2 * 10**30)]
+    e15 = agt.array([D.Decimal(10**15)], dt.decimal128(38, 0))
+    assert pc.multiply(e15, e15).to_pylist() == [D.Decimal(10**30)]
