@@ -44,17 +44,20 @@ def encode_codes(values: jax.Array, t: dt.DataType,
         valid = valid & bitmap.expand_words(validity, P)
 
     key = _orderable_bits(values, t).astype(jnp.uint64)
-    # invalid rows cluster at the end via a separate flag key (no key-bit
-    # stealing: 64-bit keys need their full width for distinctness)
+    # invalid rows cluster at the end via a separate flag key; 64-bit keys
+    # sort as two u32 lanes (TPU-native compares, no u64 emulation)
     flag = (~valid).astype(jnp.int32)
+    khi = (key >> jnp.uint64(32)).astype(jnp.uint32)
+    klo = key.astype(jnp.uint32)
 
     iota = jnp.arange(P, dtype=jnp.int32)
-    _, skey, sidx, svalid = jax.lax.sort(
-        (flag, key, iota, valid.astype(jnp.int32)), num_keys=2,
+    _, shi, slo, sidx, svalid = jax.lax.sort(
+        (flag, khi, klo, iota, valid.astype(jnp.int32)), num_keys=3,
         is_stable=True)
     # run starts among valid rows
-    prev = jnp.concatenate([skey[:1], skey[:-1]])
-    start = (skey != prev) | (iota == 0)
+    prev_hi = jnp.concatenate([shi[:1], shi[:-1]])
+    prev_lo = jnp.concatenate([slo[:1], slo[:-1]])
+    start = (shi != prev_hi) | (slo != prev_lo) | (iota == 0)
     start = start & (svalid == 1)
     n_unique = jnp.sum(start.astype(jnp.int32))
 

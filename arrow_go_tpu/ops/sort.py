@@ -27,7 +27,8 @@ from ..ops import bitmap
 
 class SortOperand(NamedTuple):
     flag: jax.Array   # int32: 0 null-first, 1 valid, 2 null-last, 3 padding
-    key: jax.Array    # unsigned radix key, order within flag==1
+    hi: jax.Array     # uint32 high key word (64-bit keys sort as two u32
+    lo: jax.Array     # lanes: TPU has no native u64 compare)
 
 
 def _orderable_bits(values: jax.Array, t: dt.DataType) -> jax.Array:
@@ -69,25 +70,28 @@ def sort_key(col_values: jax.Array, t: dt.DataType,
         isnull = ~bitmap.expand_words(validity, P)
         flag = jnp.where(isnull, 0 if nulls_first else 2, flag)
     flag = jnp.where(row_mask(P, n), flag, 3)
-    return SortOperand(flag, key)
+    hi = (key >> jnp.uint64(32)).astype(jnp.uint32)
+    lo = key.astype(jnp.uint32)
+    return SortOperand(flag, hi, lo)
 
 
 def argsort_single(op: SortOperand) -> jax.Array:
     """Stable ascending argsort -> int32 permutation."""
-    P = op.key.shape[0]
+    P = op.hi.shape[0]
     iota = jnp.arange(P, dtype=jnp.int32)
-    res = jax.lax.sort((op.flag, op.key, iota), num_keys=2, is_stable=True)
+    res = jax.lax.sort((op.flag, op.hi, op.lo, iota), num_keys=3,
+                       is_stable=True)
     return res[-1]
 
 
 def argsort_multi(ops: List[SortOperand]) -> jax.Array:
     """Stable multi-key argsort, first operand most significant — a single
-    lax.sort with 2k interleaved keys."""
-    P = ops[0].key.shape[0]
+    lax.sort with 3k interleaved keys."""
+    P = ops[0].hi.shape[0]
     iota = jnp.arange(P, dtype=jnp.int32)
     operands = []
     for op in ops:
-        operands.extend([op.flag, op.key])
+        operands.extend([op.flag, op.hi, op.lo])
     operands.append(iota)
-    res = jax.lax.sort(tuple(operands), num_keys=2 * len(ops), is_stable=True)
+    res = jax.lax.sort(tuple(operands), num_keys=3 * len(ops), is_stable=True)
     return res[-1]

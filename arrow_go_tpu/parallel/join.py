@@ -32,8 +32,16 @@ def local_join_inner(lkeys, lvalid, rkeys, rvalid, cap_out: int):
     PL, PR = lkeys.shape[0], rkeys.shape[0]
     rkey = jnp.where(rvalid, rkeys, BIG)
     r_iota = jnp.arange(PR, dtype=jnp.int32)
-    rk_sorted, ridx_sorted = jax.lax.sort((rkey, r_iota), num_keys=1,
-                                          is_stable=True)
+    # sort via two u32 lanes (TPU-native compares), recombine for the
+    # binary-search probe
+    rk_u = jax.lax.bitcast_convert_type(rkey, jnp.uint64) ^ (jnp.uint64(1) << 63)
+    rhi = (rk_u >> jnp.uint64(32)).astype(jnp.uint32)
+    rlo = rk_u.astype(jnp.uint32)
+    shi, slo, ridx_sorted = jax.lax.sort((rhi, rlo, r_iota), num_keys=2,
+                                         is_stable=True)
+    rk_sorted = jax.lax.bitcast_convert_type(
+        (shi.astype(jnp.uint64) << jnp.uint64(32)) | slo.astype(jnp.uint64),
+        jnp.int64) ^ jnp.int64(-(2**63))
     lq = jnp.where(lvalid, lkeys, BIG - 1)
     lo = jnp.searchsorted(rk_sorted, lq, side="left")
     hi = jnp.searchsorted(rk_sorted, lq, side="right")
