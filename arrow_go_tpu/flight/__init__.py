@@ -7,3 +7,4 @@ from .service import (Action, FlightClient, FlightDataReader,  # noqa: F401
 from . import FlightSql_pb2  # noqa: F401
 from .sql import (FlightSQLClient, FlightSQLServerBase,  # noqa: F401
                   PreparedStatement, SQLiteFlightSQLServer)
+from .session import CookieMiddleware, Session, SessionManager  # noqa: F401

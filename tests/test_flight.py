@@ -174,3 +174,33 @@ def test_our_client_reads_pyarrow_server():
         t = c.do_get(fl.Ticket(b"any")).read_all()
     assert t.to_pydict() == {"a": [5, 6], "b": [None, "v"]}
     srv.shutdown()
+
+
+def test_session_middleware():
+    class SessServer(fl.FlightServerBase):
+        def __init__(self):
+            super().__init__("grpc://127.0.0.1:0")
+            self.sessions = fl.SessionManager()
+
+        def do_action(self, ctx, action):
+            sess = self.sessions.session(ctx)
+            if action.type == "bump":
+                sess["hits"] = sess.get("hits", 0) + 1
+                yield fl.Result(str(sess["hits"]).encode())
+            elif action.type == "close":
+                self.sessions.close(ctx)
+                yield fl.Result(b"closed")
+
+    with SessServer() as srv:
+        mw = fl.CookieMiddleware()
+        with fl.FlightClient(f"grpc://127.0.0.1:{srv.port}",
+                             middleware=[mw]) as c:
+            vals = [list(c.do_action(fl.Action("bump")))[0].body
+                    for _ in range(3)]
+            assert vals == [b"1", b"2", b"3"]
+            assert len(srv.sessions) == 1
+            list(c.do_action(fl.Action("close")))
+            assert len(srv.sessions) == 0
+        with fl.FlightClient(f"grpc://127.0.0.1:{srv.port}",
+                             middleware=[fl.CookieMiddleware()]) as c2:
+            assert list(c2.do_action(fl.Action("bump")))[0].body == b"1"
