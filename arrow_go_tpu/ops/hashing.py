@@ -63,12 +63,11 @@ def encode_codes(values: jax.Array, t: dt.DataType,
 
     # representative (first occurrence) = min original index per group.
     # since sort is stable on (key, iota), the first row of each run holds
-    # the minimal original index: propagate it with a segmented max-scan
-    rep_at_start = jnp.where(start, sidx, 0)
-    seg = jax.lax.associative_scan(
-        lambda a, b: (b[0] + a[0] * (1 - b[1]), jnp.maximum(a[1], b[1])),
-        (rep_at_start, start.astype(jnp.int32)))
-    rep = seg[0]                                            # rep index per sorted row
+    # the minimal original index: propagate the run-start position forward
+    # with a native cummax, then gather (cheap to compile vs a custom scan)
+    start_pos = jnp.where(start, iota, -1)
+    last_start = jax.lax.cummax(start_pos)
+    rep = jnp.take(sidx, jnp.clip(last_start, 0, P - 1))
 
     # first-occurrence rank of each group: reps in increasing original order.
     # ranks = rank of rep among set of reps: sort reps of group-starts.
