@@ -78,6 +78,12 @@ def _physical_values(leaf: Array, phys: fmt.Type, tlen: int):
     raise ArrowNotImplemented(f"write {t} as {phys}")
 
 
+def _slice_phys(phys_vals, a: int, b: int):
+    if isinstance(phys_vals, np.ndarray):
+        return phys_vals[a:b]
+    return phys_vals[a:b]
+
+
 def _stats_for(phys: fmt.Type, values, null_count: int) -> Optional[fmt.Statistics]:
     st = fmt.Statistics(null_count=null_count)
     try:
@@ -103,7 +109,7 @@ def _stats_for(phys: fmt.Type, values, null_count: int) -> Optional[fmt.Statisti
 def _encode_column_chunk(
         sink: BinaryIO, leaf_arr: Array, field: dt.Field,
         desc: psch.ColumnDescriptor, codec: int, use_dictionary: bool,
-        make_bloom: bool = False):
+        make_bloom: bool = False, data_page_size: Optional[int] = None):
     """Write pages for one column chunk; return its metadata."""
     t = field.type
     nested = t.id in (dt.TypeId.LIST, dt.TypeId.LARGE_LIST, dt.TypeId.STRUCT)
@@ -192,28 +198,62 @@ def _encode_column_chunk(
         total_unc += len(hb) + len(dict_page_bytes)
         total_comp += len(hb) + len(compressed)
 
-    page_payload = level_bytes + data_bytes
-    compressed = comp.compress(codec, page_payload)
-    data_page_offset = sink.tell()
-    hdr = fmt.PageHeader(
-        type=int(fmt.PageType.DATA_PAGE),
-        uncompressed_page_size=len(page_payload),
-        compressed_page_size=len(compressed),
-        data_page_header=fmt.DataPageHeader(
-            num_values=num_values, encoding=value_encoding,
-            definition_level_encoding=int(fmt.Encoding.RLE),
-            repetition_level_encoding=int(fmt.Encoding.RLE),
-            statistics=stats))
-    hb = _thrift_bytes(hdr)
-    sink.write(hb)
-    sink.write(compressed)
-    total_unc += len(hb) + len(page_payload)
-    total_comp += len(hb) + len(compressed)
+    # page splitting: flat columns honor data_page_size; nested columns
+    # stay single-page (record boundaries, reference column_writer.go:265)
+    page_ranges = [(0, num_values, level_bytes, data_bytes)]
+    if data_page_size and desc.max_rep_level == 0 and num_values > 1:
+        total_sz = len(level_bytes) + len(data_bytes)
+        rows_per_page = max(1, int(num_values * data_page_size
+                                   / max(total_sz, 1)))
+        if rows_per_page < num_values:
+            page_ranges = []
+            present_prefix = np.cumsum(def_levels == desc.max_def_level)
+            for start in range(0, num_values, rows_per_page):
+                end = min(start + rows_per_page, num_values)
+                lvl = b""
+                if desc.max_def_level > 0:
+                    lvl = enc.levels_encode_v1(
+                        def_levels[start:end],
+                        enc.bit_width_for(desc.max_def_level))
+                p0 = int(present_prefix[start - 1]) if start else 0
+                p1 = int(present_prefix[end - 1]) if end else 0
+                if is_dict:
+                    pc = codes[p0:p1]
+                    pdata = bytes([width]) + enc.rle_encode(pc, width)
+                else:
+                    pv = _slice_phys(phys, p0, p1)
+                    pdata = enc.plain_encode(desc.physical_type, pv,
+                                             desc.type_length)
+                page_ranges.append((start, end, lvl, pdata))
 
-    page_loc = fmt.PageLocation(offset=data_page_offset,
-                                compressed_page_size=len(hb) + len(compressed),
-                                first_row_index=0)
-    extras = {"page_location": page_loc, "stats": stats, "bloom": bloom}
+    data_page_offset = None
+    page_locs = []
+    for start, end, lvl_b, data_b in page_ranges:
+        page_payload = lvl_b + data_b
+        compressed = comp.compress(codec, page_payload)
+        off = sink.tell()
+        if data_page_offset is None:
+            data_page_offset = off
+        hdr = fmt.PageHeader(
+            type=int(fmt.PageType.DATA_PAGE),
+            uncompressed_page_size=len(page_payload),
+            compressed_page_size=len(compressed),
+            data_page_header=fmt.DataPageHeader(
+                num_values=end - start, encoding=value_encoding,
+                definition_level_encoding=int(fmt.Encoding.RLE),
+                repetition_level_encoding=int(fmt.Encoding.RLE),
+                statistics=stats if len(page_ranges) == 1 else None))
+        hb = _thrift_bytes(hdr)
+        sink.write(hb)
+        sink.write(compressed)
+        total_unc += len(hb) + len(page_payload)
+        total_comp += len(hb) + len(compressed)
+        page_locs.append(fmt.PageLocation(
+            offset=off, compressed_page_size=len(hb) + len(compressed),
+            first_row_index=start))
+
+    extras = {"page_location": page_locs[0], "page_locations": page_locs,
+              "stats": stats, "bloom": bloom}
     meta = fmt.ColumnMetaData(
         type=int(desc.physical_type),
         encodings=sorted(set(encodings_used)),
@@ -231,24 +271,53 @@ def _encode_column_chunk(
 def write_table(table, sink, row_group_size: Optional[int] = None,
                 compression: str = "snappy", use_dictionary: bool = True,
                 write_page_index: bool = True,
-                write_bloom_filters: bool = False) -> None:
-    """Write a Table/RecordBatch to a parquet file."""
+                write_bloom_filters: bool = False,
+                data_page_size: Optional[int] = None,
+                column_properties: Optional[dict] = None) -> None:
+    """Write a Table/RecordBatch to a parquet file.
+
+    column_properties: per-column overrides, e.g.
+    {"col": {"compression": "zstd", "use_dictionary": False}}
+    (reference parquet WriterProperties per-column toggles,
+    writer_properties.go). data_page_size: target bytes per data page
+    (flat columns split into multiple pages; reference
+    commitWriteAndCheckPageLimit, column_writer.go:265).
+    """
     if isinstance(table, RecordBatch):
         table = Table.from_batches([table])
+    props = _Props(compression, use_dictionary, write_page_index,
+                   write_bloom_filters, data_page_size,
+                   column_properties or {})
     if hasattr(sink, "write"):
-        _write(table, sink, row_group_size, compression, use_dictionary,
-               write_page_index, write_bloom_filters)
+        _write(table, sink, row_group_size, props)
     else:
         with open(sink, "wb") as f:
-            _write(table, f, row_group_size, compression, use_dictionary,
-                   write_page_index, write_bloom_filters)
+            _write(table, f, row_group_size, props)
+
+
+class _Props:
+    def __init__(self, compression, use_dictionary, page_index, bloom,
+                 data_page_size, per_column):
+        self.compression = compression
+        self.use_dictionary = use_dictionary
+        self.page_index = page_index
+        self.bloom = bloom
+        self.data_page_size = data_page_size
+        self.per_column = per_column
+
+    def codec_for(self, name: str) -> int:
+        c = self.per_column.get(name, {}).get("compression", self.compression)
+        return int(comp.CODEC_NAMES[c.lower()])
+
+    def dict_for(self, name: str) -> bool:
+        return self.per_column.get(name, {}).get("use_dictionary",
+                                                 self.use_dictionary)
 
 
 def _write(table: Table, sink: BinaryIO, row_group_size: Optional[int],
-           compression: str, use_dictionary: bool,
-           write_page_index: bool = True,
-           write_bloom_filters: bool = False) -> None:
-    codec = int(comp.CODEC_NAMES[compression.lower()])
+           props: "_Props") -> None:
+    write_page_index = props.page_index
+    write_bloom_filters = props.bloom
     elements, leaves = psch.schema_to_elements(table.schema)
     sink.write(MAGIC)
 
@@ -269,8 +338,9 @@ def _write(table: Table, sink: BinaryIO, row_group_size: Optional[int],
                 pruned_arr, pruned_f = lv.prune_to_leaf(col, f, path)
                 desc = leaves[li]
                 chunk, extras = _encode_column_chunk(
-                    sink, pruned_arr, pruned_f, desc, codec, use_dictionary,
-                    write_bloom_filters)
+                    sink, pruned_arr, pruned_f, desc, props.codec_for(f.name),
+                    props.dict_for(f.name), write_bloom_filters,
+                    props.data_page_size)
                 chunks.append(chunk)
                 rg_extras.append(extras)
                 li += 1
@@ -311,7 +381,9 @@ def _write(table: Table, sink: BinaryIO, row_group_size: Optional[int],
                 chunk.column_index_offset = off
                 chunk.column_index_length = len(blob)
             for chunk, extras in zip(rg.columns, rg_extras):
-                oi = fmt.OffsetIndex(page_locations=[extras["page_location"]])
+                oi = fmt.OffsetIndex(
+                    page_locations=extras.get("page_locations",
+                                              [extras["page_location"]]))
                 off = sink.tell()
                 blob = _thrift_bytes(oi)
                 sink.write(blob)

@@ -332,3 +332,23 @@ def test_byte_stream_split_from_pyarrow():
     papq.write_table(pa.table({"f": vals}), buf, use_dictionary=False,
                      column_encoding={"f": "BYTE_STREAM_SPLIT"})
     assert pq.read_table(buf.getvalue()).column("f").to_pylist() == vals
+
+
+def test_multi_page_and_column_properties():
+    from arrow_go_tpu.parquet import format as fmt
+    t = agt.table({"x": list(range(5000)),
+                   "s": [f"val{i % 13}" for i in range(5000)],
+                   "f": [float(i) if i % 7 else None for i in range(5000)]})
+    buf = io.BytesIO()
+    pq.write_table(t, buf, data_page_size=4096,
+                   column_properties={"s": {"compression": "zstd"},
+                                      "f": {"use_dictionary": False}})
+    data = buf.getvalue()
+    assert pq.read_table(data).to_pydict() == t.to_pydict()
+    pt = papq.read_table(io.BytesIO(data))
+    pt.validate(full=True)
+    assert pt.to_pydict() == t.to_pydict()
+    pf = pq.ParquetFile(data)
+    assert len(pf.read_offset_index(0, 0).page_locations) > 1
+    assert pf.metadata.row_groups[0].columns[1].meta_data.codec == \
+        int(fmt.Codec.ZSTD)
