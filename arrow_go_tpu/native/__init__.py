@@ -191,7 +191,7 @@ def _py_snappy_decompress(data: bytes) -> bytes:
 def lz4_compress(data: bytes) -> bytes:
     lib = _build()
     if lib is None:
-        raise NotImplementedError("lz4 requires the native library")
+        return _py_lz4_compress_literal(data)
     cap = lib.lz4_max_compressed_length(len(data))
     out = ctypes.create_string_buffer(cap)
     n = lib.lz4_compress(data, len(data), out, cap)
@@ -209,6 +209,25 @@ def lz4_decompress(data: bytes, uncompressed_size: int) -> bytes:
     if n < 0:
         raise ValueError("lz4 decompression failed")
     return out.raw[:n]
+
+
+def _py_lz4_compress_literal(data: bytes) -> bytes:
+    """Literal-only LZ4 block (valid per spec; fallback path)."""
+    n = len(data)
+    out = bytearray()
+    if n == 0:
+        return b"\x00"
+    lit = n
+    token = (15 if lit >= 15 else lit) << 4
+    out.append(token)
+    if lit >= 15:
+        rest = lit - 15
+        while rest >= 255:
+            out.append(255)
+            rest -= 255
+        out.append(rest)
+    out += data
+    return bytes(out)
 
 
 def _py_lz4_decompress(data: bytes, usize: int) -> bytes:
