@@ -75,8 +75,26 @@ def prune_to_leaf(arr: Array, field: dt.Field, path: Tuple[int, ...]
     return arr, field
 
 
+def map_storage_field(f: dt.Field) -> dt.Field:
+    """Map column viewed as its list<struct<key,value>> storage."""
+    t = f.type
+    lt = dt.ListType(dt.Field("key_value", t.value_type, False))
+    return dt.Field(f.name, lt, f.nullable)
+
+
+def map_storage_data(data) -> "ArrayData":
+    """Reuse the map's buffers/children as list<struct> storage."""
+    from ..array.arrays import ArrayData
+    t = data.type
+    lt = dt.ListType(dt.Field("key_value", t.value_type, False))
+    return ArrayData(lt, data.length, data.buffers, data.children,
+                     null_count=data._null_count, offset=data.offset)
+
+
 def leaf_paths(t: dt.DataType) -> List[Tuple[int, ...]]:
     """Struct-child index chains to every leaf (lists are transparent)."""
+    if t.id == dt.TypeId.MAP:
+        return leaf_paths(t.value_type)
     if t.id == dt.TypeId.STRUCT:
         out = []
         for i, f in enumerate(t.fields()):

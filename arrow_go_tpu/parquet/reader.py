@@ -72,6 +72,9 @@ class ParquetFile:
         fields: List[dt.Field] = []
         li = 0
         for f in self.schema.fields:
+            orig_f = f
+            if f.type.id == dt.TypeId.MAP:
+                f = lv.map_storage_field(f)
             paths = lv.leaf_paths(f.type)
             if columns is not None and f.name not in columns:
                 li += len(paths)
@@ -90,8 +93,12 @@ class ParquetFile:
                 leaf_datas.append(data)
                 li += 1
             data = lv.merge_leaf_datas(f, leaf_datas)
+            if orig_f.type.id == dt.TypeId.MAP:
+                data = ArrayData(orig_f.type, data.length, data.buffers,
+                                 data.children, null_count=data._null_count,
+                                 offset=data.offset)
             cols.append(make_array(data))
-            fields.append(f)
+            fields.append(orig_f)
         schema = dt.Schema(fields, self.schema.metadata)
         return RecordBatch(schema, cols, rg.num_rows or 0)
 

@@ -141,6 +141,23 @@ def schema_to_elements(schema: dt.Schema) -> Tuple[List[fmt.SchemaElement],
             for cf in t.fields():
                 walk(cf, path + (f.name,), d, max_rep, ancestry + [el])
             return
+        if t.id == dt.TypeId.MAP:
+            el = fmt.SchemaElement(name=f.name, repetition_type=int(rep),
+                                   num_children=1,
+                                   converted_type=int(fmt.ConvertedType.MAP),
+                                   logicalType=fmt.LogicalType(MAP=fmt.MapLType()))
+            mid = fmt.SchemaElement(name="key_value",
+                                    repetition_type=int(fmt.Repetition.REPEATED),
+                                    num_children=2)
+            elements.append(el)
+            elements.append(mid)
+            walk(dt.Field("key", t.key_type, False),
+                 path + (f.name, "key_value"), d + 1, max_rep + 1,
+                 ancestry + [el, mid])
+            walk(dt.Field("value", t.item_type, t.item_field.nullable),
+                 path + (f.name, "key_value"), d + 1, max_rep + 1,
+                 ancestry + [el, mid])
+            return
         if t.id in (dt.TypeId.LIST, dt.TypeId.LARGE_LIST):
             el = fmt.SchemaElement(name=f.name, repetition_type=int(rep),
                                    num_children=1,
@@ -253,6 +270,19 @@ def elements_to_schema(elements: List[fmt.SchemaElement]
         r = max_rep
         if el.num_children:
             conv = el.converted_type
+            is_map = (conv == int(fmt.ConvertedType.MAP) or
+                      conv == int(fmt.ConvertedType.MAP_KEY_VALUE) or
+                      (el.logicalType is not None and
+                       el.logicalType.MAP is not None))
+            if is_map:
+                mid = elements[pos[0]]
+                pos[0] += 1
+                kf = read_node(path + (el.name, mid.name), d + 1, r + 1,
+                               ancestry + [el, mid])
+                vf = read_node(path + (el.name, mid.name), d + 1, r + 1,
+                               ancestry + [el, mid])
+                t = dt.map_(kf.type, vf.type)
+                return dt.Field(el.name, t, nullable)
             is_list = (conv == int(fmt.ConvertedType.LIST) or
                        (el.logicalType is not None and
                         el.logicalType.LIST is not None))

@@ -333,6 +333,10 @@ def _write(table: Table, sink: BinaryIO, row_group_size: Optional[int],
         rg_extras: List[dict] = []
         li = 0
         for f, col in zip(rb.schema.fields, rb.columns):
+            if f.type.id == dt.TypeId.MAP:
+                from ..array.arrays import make_array
+                f = lv.map_storage_field(f)
+                col = make_array(lv.map_storage_data(col.data))
             paths = lv.leaf_paths(f.type)
             for path in paths:
                 pruned_arr, pruned_f = lv.prune_to_leaf(col, f, path)

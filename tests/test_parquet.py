@@ -352,3 +352,21 @@ def test_multi_page_and_column_properties():
     assert len(pf.read_offset_index(0, 0).page_locations) > 1
     assert pf.metadata.row_groups[0].columns[1].meta_data.codec == \
         int(fmt.Codec.ZSTD)
+
+
+def test_map_column_both_directions():
+    t = agt.table({"m": agt.array([{"a": 1, "b": 2}, None, {}, {"c": None}],
+                                  dt.map_(dt.string, dt.int64))})
+    buf = io.BytesIO()
+    pq.write_table(t, buf)
+    assert pq.read_table(buf.getvalue()).to_pydict() == t.to_pydict()
+    pt = papq.read_table(io.BytesIO(buf.getvalue()))
+    pt.validate(full=True)
+    assert pt.column("m").to_pylist() == \
+        [[("a", 1), ("b", 2)], None, [], [("c", None)]]
+    buf2 = io.BytesIO()
+    papq.write_table(pa.table({"m": pa.array([[("x", 1)], None, []],
+                                             pa.map_(pa.string(),
+                                                     pa.int64()))}), buf2)
+    assert pq.read_table(buf2.getvalue()).column("m").to_pylist() == \
+        [[("x", 1)], None, []]
