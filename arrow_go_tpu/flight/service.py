@@ -478,6 +478,16 @@ class FlightClient:
     def get_flight_info(self, descriptor: FlightDescriptor) -> FlightInfo:
         return FlightInfo.from_proto(self._get_flight_info(descriptor.proto))
 
+    def poll_flight_info(self, descriptor: FlightDescriptor):
+        """Returns (FlightInfo | None, retry_descriptor | None, progress)
+        (reference PollFlightInfo retryable-query scenario)."""
+        p = self._poll_flight_info(descriptor.proto)
+        info = FlightInfo.from_proto(p.info) if p.HasField("info") else None
+        retry = (FlightDescriptor(p.flight_descriptor)
+                 if p.HasField("flight_descriptor") else None)
+        progress = p.progress if p.HasField("progress") else None
+        return info, retry, progress
+
     def get_schema(self, descriptor: FlightDescriptor) -> dt.Schema:
         return _schema_from_ipc_bytes(self._get_schema(descriptor.proto).schema)
 

@@ -306,9 +306,21 @@ class FileWriter(StreamWriter):
 
 
 class FileReader:
-    """Random-access file reader (reference ipc/file_reader.go:248)."""
+    """Random-access file reader (reference ipc/file_reader.go:248;
+    mmap variant :228 via use_mmap)."""
 
-    def __init__(self, source: Union[BinaryIO, bytes]):
+    def __init__(self, source: Union[BinaryIO, bytes, str],
+                 use_mmap: bool = False):
+        if isinstance(source, str):
+            if use_mmap:
+                import mmap as _mmap
+                f = open(source, "rb")
+                m = _mmap.mmap(f.fileno(), 0, access=_mmap.ACCESS_READ)
+                source = m  # mmap supports the stream protocol: zero-copy
+                self._mmap = m
+                self._file = f
+            else:
+                source = open(source, "rb")
         if isinstance(source, (bytes, bytearray, memoryview)):
             source = io.BytesIO(bytes(source))
         self.src = source
@@ -417,5 +429,5 @@ def new_file(sink, schema: dt.Schema, compression: Optional[str] = None
     return FileWriter(sink, schema, compression)
 
 
-def open_file(source) -> FileReader:
-    return FileReader(source)
+def open_file(source, use_mmap: bool = False) -> FileReader:
+    return FileReader(source, use_mmap=use_mmap)
