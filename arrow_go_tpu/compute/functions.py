@@ -392,7 +392,7 @@ def is_in(values, options: SetLookupOptions = None, value_set=None):
         sv = np.asarray(jax.device_get(svals))[np.asarray(smask)]
         sv_sorted = jnp.asarray(np.sort(sv)) if sv.size else jnp.zeros(0, svals.dtype)
         if sv_sorted.size:
-            pos = jnp.searchsorted(sv_sorted, col.values)
+            pos = jnp.searchsorted(sv_sorted, col.values, method="sort")
             pos_c = jnp.clip(pos, 0, sv_sorted.shape[0] - 1)
             out_vals = jnp.take(sv_sorted, pos_c) == col.values
         else:

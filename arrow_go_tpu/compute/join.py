@@ -116,8 +116,8 @@ def hash_join(left, right, keys=None, *, left_keys=None, right_keys=None,
 
     # probe: match range per left row
     lq = jnp.where(lvalid, lcodes, BIG - 1)
-    lo = jnp.searchsorted(rk_sorted, lq, side="left")
-    hi = jnp.searchsorted(rk_sorted, lq, side="right")
+    lo = jnp.searchsorted(rk_sorted, lq, side="left", method="sort")
+    hi = jnp.searchsorted(rk_sorted, lq, side="right", method="sort")
     counts = jnp.where(lvalid, hi - lo, 0)
 
     if join_type == "left semi":
@@ -199,10 +199,9 @@ def hash_join(left, right, keys=None, *, left_keys=None, right_keys=None,
 def _right_matched(rk_sorted, ridx_sorted, lq, lvalid, PR):
     """Bool per original right row: appears in any probe match range."""
     # mark matched positions in sorted domain via diff-scatter
-    lo = jnp.searchsorted(rk_sorted, jnp.where(lvalid, lq, jnp.int64(1) << 62),
-                          side="left")
-    hi = jnp.searchsorted(rk_sorted, jnp.where(lvalid, lq, jnp.int64(1) << 62),
-                          side="right")
+    sentinel = jnp.where(lvalid, lq, jnp.int64(1) << 62)
+    lo = jnp.searchsorted(rk_sorted, sentinel, side="left", method="sort")
+    hi = jnp.searchsorted(rk_sorted, sentinel, side="right", method="sort")
     delta = jnp.zeros(PR + 1, jnp.int32)
     delta = delta.at[jnp.where(lvalid, lo, PR + 0 * lo)].add(
         jnp.where(lvalid, 1, 0), mode="drop")

@@ -73,7 +73,7 @@ def encode_codes(values: jax.Array, t: dt.DataType,
     # ranks = rank of rep among set of reps: sort reps of group-starts.
     reps_only = jnp.where(start, sidx, P)                   # P = +inf filler
     sorted_reps = jax.lax.sort(reps_only)
-    code_sorted_domain = jnp.searchsorted(sorted_reps, rep).astype(jnp.int32)
+    code_sorted_domain = jnp.searchsorted(sorted_reps, rep, method="sort").astype(jnp.int32)
 
     codes = jnp.full(P, -1, jnp.int32)
     codes = codes.at[sidx].set(jnp.where(svalid == 1, code_sorted_domain, -1))

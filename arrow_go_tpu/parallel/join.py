@@ -43,15 +43,15 @@ def local_join_inner(lkeys, lvalid, rkeys, rvalid, cap_out: int):
         (shi.astype(jnp.uint64) << jnp.uint64(32)) | slo.astype(jnp.uint64),
         jnp.int64) ^ jnp.int64(-(2**63))
     lq = jnp.where(lvalid, lkeys, BIG - 1)
-    lo = jnp.searchsorted(rk_sorted, lq, side="left")
-    hi = jnp.searchsorted(rk_sorted, lq, side="right")
+    lo = jnp.searchsorted(rk_sorted, lq, side="left", method="sort")
+    hi = jnp.searchsorted(rk_sorted, lq, side="right", method="sort")
     counts = jnp.where(lvalid, hi - lo, 0).astype(jnp.int32)
     offsets = jnp.cumsum(counts)
     total = offsets[-1] if PL else jnp.asarray(0, jnp.int32)
     overflow = total > cap_out
 
     j = jnp.arange(cap_out, dtype=jnp.int32)
-    row = jnp.searchsorted(offsets, j, side="right").astype(jnp.int32)
+    row = jnp.searchsorted(offsets, j, side="right", method="sort").astype(jnp.int32)
     row_c = jnp.clip(row, 0, PL - 1)
     start = jnp.where(row_c > 0, offsets[jnp.maximum(row_c - 1, 0)], 0)
     start = jnp.where(row_c == 0, 0, start)
