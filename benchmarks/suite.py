@@ -24,20 +24,18 @@ import numpy as np
 
 
 def _bench(fn, args, iters=20):
-    """fn(*args, it) with a distinct device scalar `it` per call: the axon
-    runtime memoizes executions with identical inputs, so every iteration
-    must differ. The scalar folds into the first data pass (fused add)."""
+    """Dependency-chain timing: every bench fn returns a device SCALAR that
+    is folded into the next call's input, so the runtime can neither
+    memoize nor ack-and-defer executions; the whole chain is timed and
+    divided by the iteration count."""
     import jax.numpy as jnp
-    out = fn(*args, jnp.asarray(0, jnp.int32))
-    _block(out)
-    times = []
-    for i in range(iters):
-        it = jnp.asarray(i + 1, jnp.int32)
-        t0 = time.perf_counter()
-        out = fn(*args, it)
-        _block(out)
-        times.append(time.perf_counter() - t0)
-    return float(np.median(times))
+    carry = fn(*args, jnp.asarray(0, jnp.int32))
+    _block(carry)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        carry = fn(*args, carry.astype(jnp.int32) & 1023)
+    _block(carry)
+    return (time.perf_counter() - t0) / iters
 
 
 def _block(out):
@@ -78,7 +76,8 @@ def main():
 
         @jax.jit
         def step(v, w, it):
-            return reductions.reduce_xla(v + it.astype(v.dtype), w, n, "sum")
+            s_ = reductions.reduce_xla(v + it.astype(v.dtype), w, n, "sum")
+            return s_.astype(jnp.float64).astype(jnp.int32) & 4095
 
         dt_s = _bench(lambda it: step(col.values, col.validity, it), ())
         report(name, dt_s, n, vals.nbytes)
@@ -89,7 +88,8 @@ def main():
 
     @jax.jit
     def pallas_step(v, w, it):
-        return reductions.reduce_pallas(v + it.astype(v.dtype), w, n, "sum")
+        s_ = reductions.reduce_pallas(v + it.astype(v.dtype), w, n, "sum")
+        return s_.astype(jnp.int32) & 4095
     dt_s = _bench(pallas_step, (col.values, col.validity))
     report("sum_f32_pallas", dt_s, n, vals.nbytes)
 
@@ -103,7 +103,7 @@ def main():
         m = (v + it.astype(v.dtype)) > 500
         idx, cnt = selection.filter_indices(m, w, n)
         out = selection.gather(v, idx)
-        return out, cnt
+        return (cnt + out[0] + out[n // 2]).astype(jnp.int32)
 
     dt_s = _bench(lambda it: filter_take(col.values, col.validity, it), ())
     report("filter_take_i64", dt_s, n, vals.nbytes * 2)
@@ -123,7 +123,7 @@ def main():
             P = k.shape[0]
             s = jnp.zeros(P + 1, jnp.int64).at[
                 jnp.where(res.codes >= 0, res.codes, P)].add(v, mode="drop")
-            return s, res.n_unique
+            return (res.n_unique + s[0] + s[P // 2]).astype(jnp.int32)
 
         dt_s = _bench(agg, (kcol.values, vcol.values))
         report(name, dt_s, nh, keys.nbytes + hvals.nbytes)
@@ -135,7 +135,8 @@ def main():
     @jax.jit
     def do_sort(k, it):
         op = sort.sort_key(k + it.astype(k.dtype), agt.int64, None, n_heavy)
-        return sort.argsort_single(op)
+        perm = sort.argsort_single(op)
+        return (perm[0] + perm[n_heavy // 2] + perm[-1]).astype(jnp.int32)
 
     dt_s = _bench(do_sort, (kcol.values,))
     report("sort_i64", dt_s, n_heavy, keys.nbytes)
@@ -154,8 +155,9 @@ def main():
     def do_join(l, r, it):
         lv = jnp.ones(l.shape[0], jnp.bool_)
         rv = jnp.ones(r.shape[0], jnp.bool_)
-        return local_join_inner(l + it.astype(l.dtype), lv,
-                                r + it.astype(r.dtype), rv, cap)
+        li, ri, total, ov = local_join_inner(l + it.astype(l.dtype), lv,
+                                             r + it.astype(r.dtype), rv, cap)
+        return (total + li[0] + ri[cap // 2]).astype(jnp.int32)
 
     dt_s = _bench(do_join, (lkd.values, rkd.values))
     report("hash_join_local", dt_s, n + m, lk.nbytes + rk.nbytes)
