@@ -188,3 +188,23 @@ def test_lz4_compression_both_directions():
         w.write_batch(pa.record_batch({"x": list(range(1000))}))
     got = ipc.open_stream(sink.getvalue()).read_next_batch()
     assert got.to_pydict() == {"x": list(range(1000))}
+
+
+import os
+
+REF_DIR = "/root/reference/arrow/ipc/testdata"
+
+
+@pytest.mark.skipif(not os.path.isdir(REF_DIR),
+                    reason="reference checkout not present")
+def test_reference_golden_ipc_files():
+    """Golden .arrow/.arrows files written by arrow-go itself."""
+    t = ipc.open_file(os.path.join(REF_DIR, "custom_metadata.arrow")).read_all()
+    assert t.schema.metadata.get("schema_key") == "schema_value"
+    with open(os.path.join(REF_DIR, "custom_metadata_stream.arrows"), "rb") as f:
+        t2 = ipc.open_stream(f).read_all()
+    assert t2.to_pydict() == t.to_pydict()
+    # matches pyarrow's decode of the same files
+    ptab = paipc.open_file(os.path.join(REF_DIR,
+                                        "custom_metadata.arrow")).read_all()
+    assert t.to_pydict() == ptab.to_pydict()

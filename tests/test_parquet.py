@@ -1,6 +1,7 @@
 """Parquet cross-implementation tests vs pyarrow.parquet (both directions),
 covering types, nesting, codecs, row groups, dictionary encoding, stats."""
 import decimal as pydec
+import os
 import io
 
 import numpy as np
@@ -370,3 +371,16 @@ def test_map_column_both_directions():
                                                      pa.int64()))}), buf2)
     assert pq.read_table(buf2.getvalue()).column("m").to_pylist() == \
         [[("x", 1)], None, []]
+
+
+REF_PARQUET = "/root/reference/parquet/cmd/parquet_reader/v0.7.1.parquet"
+
+
+@pytest.mark.skipif(not os.path.exists(REF_PARQUET),
+                    reason="reference checkout not present")
+def test_reference_golden_parquet():
+    """The reference repo's own test parquet file (written by parquet-cpp
+    1.3.2) decodes identically to pyarrow's reading of it."""
+    ours = pq.read_table(REF_PARQUET)
+    theirs = papq.read_table(REF_PARQUET)
+    assert ours.to_pydict() == theirs.to_pydict()
