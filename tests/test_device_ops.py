@@ -165,3 +165,54 @@ def test_take_bounds_check():
     assert int(bad) == 1  # 99 out of range
     ok = selection.take_indices_checked(idx, None, 4, 100)
     assert int(ok) == 0
+
+
+# -- open-addressing hash table (ops/hashtable) ------------------------------
+
+def test_hashtable_group_sum(rng):
+    import collections
+    from arrow_go_tpu.ops import hashtable
+    P, T = 4096, 1024
+    keys = rng.integers(0, 300, P).astype(np.int64)
+    vals = rng.integers(0, 100, P).astype(np.int64)
+    valid = rng.random(P) < 0.9
+    gk, sums, counts, occ, ng = hashtable.group_sum(
+        jnp.asarray(keys), jnp.asarray(vals), jnp.asarray(valid), T)
+    gk, sums, counts, occ = map(np.asarray, (gk, sums, counts, occ))
+    got = {int(gk[i]): (int(sums[i]), int(counts[i]))
+           for i in range(T) if occ[i]}
+    es = collections.defaultdict(int)
+    ec = collections.defaultdict(int)
+    for k, v, m in zip(keys, vals, valid):
+        if m:
+            es[int(k)] += int(v)
+            ec[int(k)] += 1
+    assert got == {k: (es[k], ec[k]) for k in es}
+    assert int(ng) == len(es)
+
+
+def test_hashtable_probe(rng):
+    from arrow_go_tpu.ops import hashtable
+    P, T = 2048, 1024
+    keys = rng.integers(0, 400, P).astype(np.int64)
+    valid = np.ones(P, bool)
+    ht = hashtable.build(jnp.asarray(keys), jnp.asarray(valid), T)
+    q = rng.integers(0, 800, 512).astype(np.int64)
+    found, slots = hashtable.probe(ht.keys, ht.occupied, jnp.asarray(q),
+                                   jnp.ones(512, bool))
+    present = set(keys.tolist())
+    assert np.array_equal(np.asarray(found),
+                          np.array([int(x) in present for x in q]))
+
+
+def test_hashtable_high_load(rng):
+    from arrow_go_tpu.ops import hashtable
+    # all-distinct keys at ~87% load factor still resolves
+    P = T = 1024
+    keys = rng.permutation(10**6)[:900].astype(np.int64)
+    full = np.zeros(P, np.int64)
+    full[:900] = keys
+    valid = np.zeros(P, bool)
+    valid[:900] = True
+    ht = hashtable.build(jnp.asarray(full), jnp.asarray(valid), T)
+    assert int(ht.n_groups) == 900
