@@ -33,7 +33,7 @@ def _bench(fn, args, iters=20):
     _block(carry)
     t0 = time.perf_counter()
     for _ in range(iters):
-        carry = fn(*args, carry.astype(jnp.int32) & 1023)
+        carry = fn(*args, carry)   # fns return a masked int32 scalar
     _block(carry)
     return (time.perf_counter() - t0) / iters
 
@@ -77,7 +77,7 @@ def main():
         @jax.jit
         def step(v, w, it):
             s_ = reductions.reduce_xla(v + it.astype(v.dtype), w, n, "sum")
-            return s_.astype(jnp.float64).astype(jnp.int32) & 4095
+            return (s_ - s_ // 4096 * 4096).astype(jnp.int32)
 
         dt_s = _bench(lambda it: step(col.values, col.validity, it), ())
         report(name, dt_s, n, vals.nbytes)
@@ -126,6 +126,27 @@ def main():
             return (res.n_unique + s[0] + s[P // 2]).astype(jnp.int32)
 
         dt_s = _bench(agg, (kcol.values, vcol.values))
+        report(name, dt_s, nh, keys.nbytes + hvals.nbytes)
+
+    # 3b. hash-table group-by (open addressing, vs the sort-based core)
+    from arrow_go_tpu.ops import hashtable
+    for card, name in [(64, "group_by_hashtable_low"),
+                       (1 << 16, "group_by_hashtable_high")]:
+        nh = n_heavy
+        keys = rng.integers(0, card, nh).astype(np.int64)
+        hvals = vals[:nh]
+        kcol = to_device(agt.from_numpy(keys))
+        vcol = to_device(agt.from_numpy(hvals))
+        Tsize = max(256, 1 << (int(card - 1).bit_length() + 1))
+
+        @jax.jit
+        def hagg(k, v, it):
+            gk, s_, c_, occ, ng = hashtable.group_sum(
+                k + it.astype(k.dtype), v,
+                jnp.ones(k.shape[0], jnp.bool_), Tsize)
+            return (ng + s_[0] + c_[0]).astype(jnp.int32)
+
+        dt_s = _bench(hagg, (kcol.values, vcol.values))
         report(name, dt_s, nh, keys.nbytes + hvals.nbytes)
 
     # 4. sort on 64-bit keys
