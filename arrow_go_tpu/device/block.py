@@ -161,6 +161,30 @@ def to_device(arr: Array, pad: Optional[int] = None) -> DeviceColumn:
             jnp.asarray(codes),
             None if mask is None else jnp.asarray(_pack_words(mask, P)),
             n, dt.dictionary(dt.int32, t), dictionary=dict_host)
+    elif t.id in (dt.TypeId.DECIMAL32, dt.TypeId.DECIMAL64):
+        d = arr.data
+        npdt = t.np_dtype
+        vals = d.buffers[1].view(npdt)[d.offset: d.offset + n]
+        host = np.zeros(P, dtype=npdt)
+        host[:n] = vals
+    elif t.id == dt.TypeId.FIXED_SIZE_BINARY:
+        # fixed bytes -> dictionary codes (device compute sees codes)
+        vals = np.empty(n, dtype=object)
+        m = arr.validity_bools()
+        zero = b"\x00" * t.byte_width
+        for i in range(n):
+            vals[i] = arr.value(i) if m[i] else zero
+        uniq, codes_np = np.unique(vals, return_inverse=True)
+        codes = np.zeros(P, dtype=np.int32)
+        codes[:n] = codes_np.astype(np.int32)
+        from ..array.builders import FixedSizeBinaryBuilder
+        fb = FixedSizeBinaryBuilder(t)
+        for u in uniq.tolist():
+            fb.append(u)
+        return DeviceColumn(
+            jnp.asarray(codes),
+            None if mask is None else jnp.asarray(_pack_words(mask, P)),
+            n, dt.dictionary(dt.int32, t), dictionary=fb.finish())
     elif t.id == dt.TypeId.DECIMAL128:
         from ..array.arrays import DecimalArray
         assert isinstance(arr, DecimalArray)
@@ -200,6 +224,16 @@ def from_device(col: DeviceColumn) -> Array:
             vb = Buffer(bitutil.pack_bits(mask))
         return make_array(ArrayData(t, n, [vb, Buffer.wrap(codes)],
                                     dictionary=col.dictionary.data,
+                                    null_count=nc))
+    if t.id in (dt.TypeId.DECIMAL32, dt.TypeId.DECIMAL64):
+        from ..array.arrays import ArrayData
+        from ..memory.buffer import Buffer
+        raw = np.ascontiguousarray(vals.astype(t.np_dtype))
+        nc = None if mask is None else int(n - mask.sum())
+        vb = None
+        if mask is not None and not mask.all():
+            vb = Buffer(bitutil.pack_bits(mask))
+        return make_array(ArrayData(t, n, [vb, Buffer.wrap(raw)],
                                     null_count=nc))
     if t.id == dt.TypeId.DECIMAL128:
         from ..array.arrays import ArrayData

@@ -79,15 +79,15 @@ def write_type(b: flatbuffers.Builder, t: dt.DataType):
         return T_DECIMAL, _end(b)
     if tid == dt.TypeId.DATE32:
         _start(b, 1)
-        b.PrependInt16Slot(0, 0, 0)
+        b.PrependInt16Slot(0, 0, -1)  # spec default is MILLISECOND: force
         return T_DATE, _end(b)
     if tid == dt.TypeId.DATE64:
         _start(b, 1)
-        b.PrependInt16Slot(0, 1, 0)
+        b.PrependInt16Slot(0, 1, -1)
         return T_DATE, _end(b)
     if tid in (dt.TypeId.TIME32, dt.TypeId.TIME64):
         _start(b, 2)
-        b.PrependInt16Slot(0, int(t.unit), 0)
+        b.PrependInt16Slot(0, int(t.unit), -1)  # default ms: force write
         b.PrependInt32Slot(1, t.bit_width, 32)
         return T_TIME, _end(b)
     if tid == dt.TypeId.TIMESTAMP:
@@ -99,7 +99,7 @@ def write_type(b: flatbuffers.Builder, t: dt.DataType):
         return T_TIMESTAMP, _end(b)
     if tid == dt.TypeId.DURATION:
         _start(b, 1)
-        b.PrependInt16Slot(0, int(t.unit), 0)
+        b.PrependInt16Slot(0, int(t.unit), -1)  # default ms: force write
         return T_DURATION, _end(b)
     if tid == dt.TypeId.INTERVAL_MONTHS:
         _start(b, 1)
@@ -266,14 +266,14 @@ def read_type(disc: int, tr: Reader, children: list) -> dt.DataType:
                 256: dt.decimal256}[bw]
         return ctor(tr.i32(0), tr.i32(1))
     if disc == T_DATE:
-        return dt.date32 if tr.i16(0) == 0 else dt.date64
+        return dt.date32 if tr.i16(0, 1) == 0 else dt.date64
     if disc == T_TIME:
-        unit = dt.TimeUnit(tr.i16(0))
+        unit = dt.TimeUnit(tr.i16(0, 1))
         return dt.Time32Type(unit) if tr.i32(1, 32) == 32 else dt.Time64Type(unit)
     if disc == T_TIMESTAMP:
         return dt.TimestampType(dt.TimeUnit(tr.i16(0)), tr.string(1))
     if disc == T_DURATION:
-        return dt.DurationType(dt.TimeUnit(tr.i16(0)))
+        return dt.DurationType(dt.TimeUnit(tr.i16(0, 1)))
     if disc == T_INTERVAL:
         return (dt.month_interval, dt.day_time_interval,
                 dt.month_day_nano_interval)[tr.i16(0)]

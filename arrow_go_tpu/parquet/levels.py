@@ -75,6 +75,29 @@ def prune_to_leaf(arr: Array, field: dt.Field, path: Tuple[int, ...]
     return arr, field
 
 
+def fsl_storage_field(f: dt.Field) -> dt.Field:
+    """Fixed-size-list column viewed as plain list storage (parquet has no
+    FSL group encoding; round-trips as list, matching pyarrow)."""
+    t = f.type
+    lt = dt.ListType(dt.Field(t.value_field.name, t.value_field.type,
+                              t.value_field.nullable))
+    return dt.Field(f.name, lt, f.nullable)
+
+
+def fsl_storage_data(data):
+    from ..array.arrays import ArrayData
+    from ..memory.buffer import Buffer
+    t = data.type
+    k = t.list_size
+    lt = dt.ListType(dt.Field(t.value_field.name, t.value_field.type,
+                              t.value_field.nullable))
+    offsets = (np.arange(data.length + 1, dtype=np.int64) * k
+               + data.offset * k).astype(np.int32)
+    bufs = [data.buffers[0] if data.buffers else None, Buffer.wrap(offsets)]
+    return ArrayData(lt, data.length, bufs, data.children,
+                     null_count=data._null_count, offset=0)
+
+
 def map_storage_field(f: dt.Field) -> dt.Field:
     """Map column viewed as its list<struct<key,value>> storage."""
     t = f.type
@@ -101,7 +124,8 @@ def leaf_paths(t: dt.DataType) -> List[Tuple[int, ...]]:
             for sub in leaf_paths(f.type):
                 out.append((i,) + sub)
         return out
-    if t.id in (dt.TypeId.LIST, dt.TypeId.LARGE_LIST):
+    if t.id in (dt.TypeId.LIST, dt.TypeId.LARGE_LIST,
+                dt.TypeId.FIXED_SIZE_LIST):
         return leaf_paths(t.value_type)
     return [()]
 

@@ -158,6 +158,10 @@ def schema_to_elements(schema: dt.Schema) -> Tuple[List[fmt.SchemaElement],
                  path + (f.name, "key_value"), d + 1, max_rep + 1,
                  ancestry + [el, mid])
             return
+        if t.id == dt.TypeId.FIXED_SIZE_LIST:
+            # FSL stores as a plain LIST group
+            t = dt.ListType(dt.Field(t.value_field.name, t.value_field.type,
+                                     t.value_field.nullable))
         if t.id in (dt.TypeId.LIST, dt.TypeId.LARGE_LIST):
             el = fmt.SchemaElement(name=f.name, repetition_type=int(rep),
                                    num_children=1,

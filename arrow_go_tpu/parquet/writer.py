@@ -337,6 +337,10 @@ def _write(table: Table, sink: BinaryIO, row_group_size: Optional[int],
                 from ..array.arrays import make_array
                 f = lv.map_storage_field(f)
                 col = make_array(lv.map_storage_data(col.data))
+            elif f.type.id == dt.TypeId.FIXED_SIZE_LIST:
+                from ..array.arrays import make_array
+                f = lv.fsl_storage_field(f)
+                col = make_array(lv.fsl_storage_data(col.data))
             paths = lv.leaf_paths(f.type)
             for path in paths:
                 pruned_arr, pruned_f = lv.prune_to_leaf(col, f, path)
