@@ -29,8 +29,10 @@ def concat_arrays(arrays: Sequence[Array], type: Optional[dt.DataType] = None) -
     for a in arrays:
         if a.type != t:
             raise ValueError(f"concat type mismatch: {a.type} vs {t}")
-    if len(arrays) == 1:
+    if len(arrays) == 1 and arrays[0].data.offset == 0:
         return arrays[0]
+    # a single sliced array falls through: concat doubles as "materialize
+    # at offset 0" (used by parquet read_rows before leaf merging)
     total = sum(len(a) for a in arrays)
     nc = sum(a.null_count for a in arrays)
 

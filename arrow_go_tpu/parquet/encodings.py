@@ -219,6 +219,32 @@ def levels_encode_v1(levels: np.ndarray, bit_width: int) -> bytes:
 #  delta_byte_array.go, byte_stream_split_decode_*.s)
 # ---------------------------------------------------------------------------
 
+def _pack_bits(values: np.ndarray, w: int) -> bytes:
+    """LSB-first bit-pack at any width w <= 64 (native kernel for w <= 32,
+    numpy bit-matrix fallback above)."""
+    if w == 0 or len(values) == 0:
+        return b""
+    if w <= 32:
+        return bytes(native.bitpack32(np.ascontiguousarray(
+            values, dtype=np.uint32), w))
+    vals = np.ascontiguousarray(values, dtype=np.uint64)
+    bits = ((vals[:, None] >> np.arange(w, dtype=np.uint64)) & 1
+            ).astype(np.uint8)
+    return np.packbits(bits.ravel(), bitorder="little").tobytes()
+
+
+def _unpack_bits(data: bytes, n: int, w: int) -> np.ndarray:
+    """Inverse of _pack_bits -> uint64 values."""
+    if w == 0:
+        return np.zeros(n, dtype=np.uint64)
+    if w <= 32:
+        return native.bitunpack32(data, n, w).astype(np.uint64)
+    bits = np.unpackbits(np.frombuffer(data, dtype=np.uint8),
+                         bitorder="little")[:n * w]
+    return (bits.reshape(n, w).astype(np.uint64)
+            << np.arange(w, dtype=np.uint64)).sum(axis=1, dtype=np.uint64)
+
+
 class _VarReader:
     __slots__ = ("data", "pos")
 
@@ -269,8 +295,8 @@ def delta_binary_packed_decode(data: bytes, n: Optional[int] = None
             if w == 0:
                 deltas = np.zeros(take, dtype=np.int64)
             else:
-                deltas = native.bitunpack32(data[r.pos:r.pos + nbytes], take,
-                                            w).astype(np.int64)
+                deltas = _unpack_bits(data[r.pos:r.pos + nbytes], take,
+                                      w).astype(np.int64)
             r.pos += nbytes
             out[got:got + take] = deltas + min_delta
             got += take
@@ -306,3 +332,87 @@ def byte_stream_split_decode(data: bytes, n: int, byte_width: int
     streams = np.frombuffer(data, dtype=np.uint8,
                             count=n * byte_width).reshape(byte_width, n)
     return np.ascontiguousarray(streams.T)
+
+
+# ---------------------------------------------------------------------------
+# DELTA_* / BYTE_STREAM_SPLIT encoders
+# (reference parquet/internal/encoding/delta_bit_packing.go DeltaBitPack
+#  encoder, delta_length_byte_array.go, delta_byte_array.go,
+#  byte_stream_split.go — same formats, numpy block math instead of
+#  per-value Put loops)
+# ---------------------------------------------------------------------------
+
+def _zigzag64(x: int) -> int:
+    return (x << 1) ^ (x >> 63)
+
+
+def delta_binary_packed_encode(values, block_size: int = 128,
+                               miniblocks: int = 4) -> bytes:
+    """DELTA_BINARY_PACKED encoder (parquet-format Delta Encoding).
+    Default geometry 128/4 matches the reference writer."""
+    v = np.ascontiguousarray(values, dtype=np.int64)
+    total = len(v)
+    out = bytearray()
+    _uvarint(out, block_size)
+    _uvarint(out, miniblocks)
+    _uvarint(out, total)
+    _uvarint(out, _zigzag64(int(v[0]) if total else 0))
+    if total <= 1:
+        return bytes(out)
+    with np.errstate(over="ignore"):
+        deltas = np.subtract(v[1:], v[:-1])
+    vpm = block_size // miniblocks
+    for bstart in range(0, len(deltas), block_size):
+        block = deltas[bstart:bstart + block_size]
+        min_delta = int(block.min())
+        _uvarint(out, _zigzag64(min_delta))
+        adjusted = (block.astype(np.uint64)
+                    - np.uint64(min_delta & 0xFFFFFFFFFFFFFFFF))
+        widths = bytearray()
+        payloads = []
+        for m in range(miniblocks):
+            sub = adjusted[m * vpm:(m + 1) * vpm]
+            if len(sub) == 0:
+                # trailing miniblocks with no values: width byte present,
+                # payload omitted (spec: readers must not read them)
+                widths.append(0)
+                continue
+            w = int(sub.max()).bit_length()
+            widths.append(w)
+            if len(sub) < vpm:
+                sub = np.concatenate(
+                    [sub, np.zeros(vpm - len(sub), dtype=np.uint64)])
+            payloads.append(_pack_bits(sub, w))
+        out.extend(widths)
+        for p in payloads:
+            out.extend(p)
+    return bytes(out)
+
+
+def delta_length_byte_array_encode(values: List[bytes]) -> bytes:
+    lengths = np.fromiter((len(x) for x in values), dtype=np.int64,
+                          count=len(values))
+    return delta_binary_packed_encode(lengths) + b"".join(values)
+
+
+def delta_byte_array_encode(values: List[bytes]) -> bytes:
+    prefix_lens = np.zeros(len(values), dtype=np.int64)
+    suffixes: List[bytes] = []
+    prev = b""
+    for i, cur in enumerate(values):
+        cur = bytes(cur)
+        p = 0
+        lim = min(len(prev), len(cur))
+        while p < lim and prev[p] == cur[p]:
+            p += 1
+        prefix_lens[i] = p
+        suffixes.append(cur[p:])
+        prev = cur
+    return (delta_binary_packed_encode(prefix_lens)
+            + delta_length_byte_array_encode(suffixes))
+
+
+def byte_stream_split_encode(raw: np.ndarray) -> bytes:
+    """Interleaved values -> k byte-streams. raw is uint8 [n, byte_width]
+    (the transpose of byte_stream_split_decode's output)."""
+    return np.ascontiguousarray(raw.T).tobytes()

@@ -65,8 +65,34 @@ class ParquetFile:
     def num_row_groups(self) -> int:
         return len(self.metadata.row_groups or [])
 
-    def read_row_group(self, i: int,
-                       columns: Optional[List[str]] = None) -> RecordBatch:
+    def read_rows(self, offset: int, num_rows: int,
+                  columns: Optional[List[str]] = None) -> Table:
+        """Read a contiguous row range [offset, offset+num_rows) — the
+        SeekToRow analog (reference parquet/file/row_group_reader.go
+        SeekToRow + column_reader record skipping). Row groups outside the
+        range are never touched; inside a group, flat-column pages wholly
+        outside the range are skipped without decompression when their row
+        counts place them out of range."""
+        batches: List[RecordBatch] = []
+        row0 = 0
+        for i, rg in enumerate(self.metadata.row_groups or []):
+            n = rg.num_rows or 0
+            lo = max(offset, row0)
+            hi = min(offset + num_rows, row0 + n)
+            if lo < hi:
+                batches.append(self.read_row_group(
+                    i, columns, row_range=(lo - row0, hi - lo)))
+            row0 += n
+        if not batches:
+            sch = self.schema if columns is None else dt.Schema(
+                [f for f in self.schema.fields if f.name in columns],
+                self.schema.metadata)
+            return Table(sch, [ChunkedArray([], f.type) for f in sch.fields], 0)
+        return Table.from_batches(batches)
+
+    def read_row_group(self, i: int, columns: Optional[List[str]] = None,
+                       row_range: Optional[Tuple[int, int]] = None
+                       ) -> RecordBatch:
         rg = self.metadata.row_groups[i]
         cols: List[Array] = []
         fields: List[dt.Field] = []
@@ -83,13 +109,21 @@ class ParquetFile:
             for path in paths:
                 desc = self.leaves[li]
                 chunk = rg.columns[li]
-                defs, reps, values = self._read_column_chunk(chunk, desc)
+                defs, reps, values, base = self._read_column_chunk(
+                    chunk, desc, row_range)
                 pruned_f = lv.prune_field(f, path)
                 if desc.max_rep_level == 0 and pruned_f.type.id not in (
                         dt.TypeId.STRUCT,):
                     data = self._flat_assemble(pruned_f, desc, defs, values)
                 else:
                     data = lv.rebuild_nested(pruned_f, defs, reps, values)
+                if row_range is not None:
+                    from ..array.concat import concat_arrays
+                    s, cnt = row_range
+                    # materialize at offset 0: leaves of one field may have
+                    # skipped different pages, merge needs aligned rows
+                    data = concat_arrays(
+                        [make_array(data).slice(s - base, cnt)]).data
                 leaf_datas.append(data)
                 li += 1
             data = lv.merge_leaf_datas(f, leaf_datas)
@@ -100,7 +134,8 @@ class ParquetFile:
             cols.append(make_array(data))
             fields.append(orig_f)
         schema = dt.Schema(fields, self.schema.metadata)
-        return RecordBatch(schema, cols, rg.num_rows or 0)
+        nrows = row_range[1] if row_range is not None else (rg.num_rows or 0)
+        return RecordBatch(schema, cols, nrows)
 
     def read_table(self, columns: Optional[List[str]] = None,
                    filters: Optional[List[tuple]] = None) -> Table:
@@ -118,12 +153,20 @@ class ParquetFile:
     # -- column chunk machinery ---------------------------------------------
 
     def _read_column_chunk(self, chunk: fmt.ColumnChunk,
-                           desc: psch.ColumnDescriptor):
+                           desc: psch.ColumnDescriptor,
+                           row_range: Optional[Tuple[int, int]] = None):
         meta = chunk.meta_data
         start = meta.dictionary_page_offset or meta.data_page_offset
         self.src.seek(start)
         raw = self.src.read(meta.total_compressed_size)
         codec = meta.codec or 0
+
+        # page skipping only when a page's row count equals its value count
+        # (flat columns); nested chunks decode fully and slice records later
+        skip = row_range if (row_range is not None
+                             and desc.max_rep_level == 0) else None
+        rows_seen = 0      # rows before the current page
+        base_row = None    # first row present in the decoded parts
 
         pos = 0
         dictionary = None
@@ -138,6 +181,19 @@ class ParquetFile:
             page_raw = raw[pos: pos + comp_size]
             pos += comp_size
             ptype = fmt.PageType(hdr.type)
+            if skip is not None and ptype in (fmt.PageType.DATA_PAGE,
+                                              fmt.PageType.DATA_PAGE_V2):
+                dph = (hdr.data_page_header if ptype == fmt.PageType.DATA_PAGE
+                       else hdr.data_page_header_v2)
+                nv = dph.num_values or 0
+                s, cnt = skip
+                if rows_seen + nv <= s or rows_seen >= s + cnt:
+                    rows_seen += nv
+                    remaining -= nv
+                    continue
+                if base_row is None:
+                    base_row = rows_seen
+                rows_seen += nv
             if ptype == fmt.PageType.DICTIONARY_PAGE:
                 payload = comp.decompress(codec, page_raw,
                                           hdr.uncompressed_page_size)
@@ -205,7 +261,7 @@ class ParquetFile:
         reps = np.concatenate(reps_parts) if reps_parts else np.zeros(0, np.uint32)
         values = _concat_phys(values_parts)
         arr = _physical_to_arrow(values, desc)
-        return defs, reps, arr
+        return defs, reps, arr, (base_row or 0)
 
     def _decode_values(self, encoding: fmt.Encoding, data: bytes, n: int,
                        desc: psch.ColumnDescriptor, dictionary):

@@ -12,7 +12,7 @@ import numpy as np
 from .. import dtypes as dt
 from ..array.arrays import Array, make_array
 from ..array.record import RecordBatch, Table
-from ..compute.errors import ArrowNotImplemented
+from ..compute.errors import ArrowInvalid, ArrowNotImplemented
 from . import compress as comp
 from . import encodings as enc
 from . import format as fmt
@@ -106,10 +106,56 @@ def _stats_for(phys: fmt.Type, values, null_count: int) -> Optional[fmt.Statisti
     return st
 
 
+_ENCODING_NAMES = {
+    "plain": fmt.Encoding.PLAIN,
+    "delta_binary_packed": fmt.Encoding.DELTA_BINARY_PACKED,
+    "delta_length_byte_array": fmt.Encoding.DELTA_LENGTH_BYTE_ARRAY,
+    "delta_byte_array": fmt.Encoding.DELTA_BYTE_ARRAY,
+    "byte_stream_split": fmt.Encoding.BYTE_STREAM_SPLIT,
+}
+
+_BSS_WIDTHS = {fmt.Type.FLOAT: 4, fmt.Type.DOUBLE: 8,
+               fmt.Type.INT32: 4, fmt.Type.INT64: 8}
+
+
+def _encode_values(encoding: fmt.Encoding, phys_type: fmt.Type, phys,
+                   type_length: int) -> bytes:
+    """Encode physical values with a non-dictionary value encoding
+    (reference parquet/internal/encoding TypedEncoder dispatch,
+    typed_encoder.gen.go)."""
+    if encoding == fmt.Encoding.PLAIN:
+        return enc.plain_encode(phys_type, phys, type_length)
+    if encoding == fmt.Encoding.DELTA_BINARY_PACKED:
+        if phys_type not in (fmt.Type.INT32, fmt.Type.INT64):
+            raise ArrowInvalid("DELTA_BINARY_PACKED requires INT32/INT64")
+        return enc.delta_binary_packed_encode(phys)
+    if encoding == fmt.Encoding.DELTA_LENGTH_BYTE_ARRAY:
+        if phys_type != fmt.Type.BYTE_ARRAY:
+            raise ArrowInvalid("DELTA_LENGTH_BYTE_ARRAY requires BYTE_ARRAY")
+        return enc.delta_length_byte_array_encode(phys)
+    if encoding == fmt.Encoding.DELTA_BYTE_ARRAY:
+        if phys_type not in (fmt.Type.BYTE_ARRAY,
+                             fmt.Type.FIXED_LEN_BYTE_ARRAY):
+            raise ArrowInvalid("DELTA_BYTE_ARRAY requires BYTE_ARRAY/FLBA")
+        return enc.delta_byte_array_encode(phys)
+    if encoding == fmt.Encoding.BYTE_STREAM_SPLIT:
+        w = _BSS_WIDTHS.get(phys_type, type_length)
+        if phys_type in _BSS_WIDTHS:
+            raw = np.ascontiguousarray(phys).view(np.uint8).reshape(-1, w)
+        elif phys_type == fmt.Type.FIXED_LEN_BYTE_ARRAY:
+            raw = np.frombuffer(b"".join(phys), dtype=np.uint8).reshape(-1, w)
+        else:
+            raise ArrowInvalid("BYTE_STREAM_SPLIT requires FLOAT/DOUBLE/"
+                               "INT32/INT64/FLBA")
+        return enc.byte_stream_split_encode(raw)
+    raise ArrowNotImplemented(f"value encoding {encoding}")
+
+
 def _encode_column_chunk(
         sink: BinaryIO, leaf_arr: Array, field: dt.Field,
         desc: psch.ColumnDescriptor, codec: int, use_dictionary: bool,
-        make_bloom: bool = False, data_page_size: Optional[int] = None):
+        make_bloom: bool = False, data_page_size: Optional[int] = None,
+        encoding: Optional[str] = None):
     """Write pages for one column chunk; return its metadata."""
     t = field.type
     nested = t.id in (dt.TypeId.LIST, dt.TypeId.LARGE_LIST, dt.TypeId.STRUCT)
@@ -132,10 +178,13 @@ def _encode_column_chunk(
         level_bytes += enc.levels_encode_v1(
             def_levels, enc.bit_width_for(desc.max_def_level))
 
+    explicit_enc = _ENCODING_NAMES[encoding.lower()] if encoding else None
     encodings_used = [int(fmt.Encoding.RLE)]
     dict_page_bytes = None
     is_dict = False
     vt = values_arr.type
+    if explicit_enc is not None and explicit_enc != fmt.Encoding.PLAIN:
+        use_dictionary = False
     if use_dictionary and (vt.id in (dt.TypeId.DICTIONARY,)
                            or vt.is_binary_like):
         is_dict = True
@@ -160,10 +209,11 @@ def _encode_column_chunk(
     else:
         phys = _physical_values(values_arr, desc.physical_type,
                                 desc.type_length)
-        data_bytes = enc.plain_encode(desc.physical_type, phys,
-                                      desc.type_length)
-        value_encoding = int(fmt.Encoding.PLAIN)
-        encodings_used.append(int(fmt.Encoding.PLAIN))
+        venc = explicit_enc if explicit_enc is not None else fmt.Encoding.PLAIN
+        data_bytes = _encode_values(venc, desc.physical_type, phys,
+                                    desc.type_length)
+        value_encoding = int(venc)
+        encodings_used.append(int(venc))
         phys_for_stats = phys
 
     stats = _stats_for(desc.physical_type, phys_for_stats, null_count)
@@ -222,8 +272,9 @@ def _encode_column_chunk(
                     pdata = bytes([width]) + enc.rle_encode(pc, width)
                 else:
                     pv = _slice_phys(phys, p0, p1)
-                    pdata = enc.plain_encode(desc.physical_type, pv,
-                                             desc.type_length)
+                    pdata = _encode_values(
+                        fmt.Encoding(value_encoding), desc.physical_type, pv,
+                        desc.type_length)
                 page_ranges.append((start, end, lvl, pdata))
 
     data_page_offset = None
@@ -313,6 +364,9 @@ class _Props:
         return self.per_column.get(name, {}).get("use_dictionary",
                                                  self.use_dictionary)
 
+    def encoding_for(self, name: str) -> Optional[str]:
+        return self.per_column.get(name, {}).get("encoding")
+
 
 def _write(table: Table, sink: BinaryIO, row_group_size: Optional[int],
            props: "_Props") -> None:
@@ -348,7 +402,7 @@ def _write(table: Table, sink: BinaryIO, row_group_size: Optional[int],
                 chunk, extras = _encode_column_chunk(
                     sink, pruned_arr, pruned_f, desc, props.codec_for(f.name),
                     props.dict_for(f.name), write_bloom_filters,
-                    props.data_page_size)
+                    props.data_page_size, props.encoding_for(f.name))
                 chunks.append(chunk)
                 rg_extras.append(extras)
                 li += 1
