@@ -1,4 +1,7 @@
 """Parquet format support (reference parquet/* 63k LoC stack, SURVEY.md §2d)."""
 from . import format  # noqa: F401
+from .encryption import (  # noqa: F401
+    ColumnEncryptionProperties, FileDecryptionProperties,
+    FileEncryptionProperties)
 from .reader import ParquetFile, read_table  # noqa: F401
 from .writer import write_table  # noqa: F401

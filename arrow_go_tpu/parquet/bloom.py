@@ -117,7 +117,10 @@ class BloomFilter:
 
     # -- serialization -----------------------------------------------------
 
-    def serialize(self) -> bytes:
+    def serialize_parts(self) -> tuple:
+        """(header thrift bytes, bitset bytes) — separate so encryption can
+        frame them as distinct modules (reference aes.go BloomFilterHeader /
+        BloomFilterBitset modules)."""
         hdr = BloomFilterHeader(
             numBytes=self.num_blocks * BYTES_PER_BLOCK,
             algorithm=BloomFilterAlgorithm(BLOCK=SplitBlockAlgorithm()),
@@ -125,7 +128,11 @@ class BloomFilter:
             compression=BloomFilterCompression(UNCOMPRESSED=Uncompressed()))
         w = CompactWriter()
         w.write_struct(hdr)
-        return bytes(w.out) + self.blocks.astype("<u4").tobytes()
+        return bytes(w.out), self.blocks.astype("<u4").tobytes()
+
+    def serialize(self) -> bytes:
+        hdr_b, bits = self.serialize_parts()
+        return hdr_b + bits
 
     @staticmethod
     def deserialize(data: bytes) -> "BloomFilter":

@@ -213,13 +213,31 @@ class ColumnMetaData(ThriftStruct):
               15: ("bloom_filter_length", "i32")}
 
 
+class EncryptionWithFooterKey(ThriftStruct):
+    FIELDS = {}
+
+
+class EncryptionWithColumnKey(ThriftStruct):
+    FIELDS = {1: ("path_in_schema", ("list", "string")),
+              2: ("key_metadata", "binary")}
+
+
+class ColumnCryptoMetaData(ThriftStruct):
+    """Union (reference parquet.thrift ColumnCryptoMetaData,
+    gen-go/parquet/parquet.go:11353)."""
+    FIELDS = {1: ("ENCRYPTION_WITH_FOOTER_KEY", EncryptionWithFooterKey),
+              2: ("ENCRYPTION_WITH_COLUMN_KEY", EncryptionWithColumnKey)}
+
+
 class ColumnChunk(ThriftStruct):
     FIELDS = {1: ("file_path", "string"), 2: ("file_offset", "i64"),
               3: ("meta_data", ColumnMetaData),
               4: ("offset_index_offset", "i64"),
               5: ("offset_index_length", "i32"),
               6: ("column_index_offset", "i64"),
-              7: ("column_index_length", "i32")}
+              7: ("column_index_length", "i32"),
+              8: ("crypto_metadata", ColumnCryptoMetaData),
+              9: ("encrypted_column_metadata", "binary")}
 
 
 class SortingColumn(ThriftStruct):
@@ -243,6 +261,26 @@ class ColumnOrder(ThriftStruct):
     FIELDS = {1: ("TYPE_ORDER", TypeDefinedOrder)}
 
 
+class AesGcmV1(ThriftStruct):
+    FIELDS = {1: ("aad_prefix", "binary"), 2: ("aad_file_unique", "binary"),
+              3: ("supply_aad_prefix", "bool")}
+
+
+class AesGcmCtrV1(ThriftStruct):
+    FIELDS = {1: ("aad_prefix", "binary"), 2: ("aad_file_unique", "binary"),
+              3: ("supply_aad_prefix", "bool")}
+
+
+class EncryptionAlgorithm(ThriftStruct):
+    """Union (reference gen-go/parquet/parquet.go:14915)."""
+    FIELDS = {1: ("AES_GCM_V1", AesGcmV1), 2: ("AES_GCM_CTR_V1", AesGcmCtrV1)}
+
+
+class FileCryptoMetaData(ThriftStruct):
+    FIELDS = {1: ("encryption_algorithm", EncryptionAlgorithm),
+              2: ("key_metadata", "binary")}
+
+
 class FileMetaData(ThriftStruct):
     FIELDS = {1: ("version", "i32"),
               2: ("schema", ("list", SchemaElement)),
@@ -250,7 +288,9 @@ class FileMetaData(ThriftStruct):
               4: ("row_groups", ("list", RowGroup)),
               5: ("key_value_metadata", ("list", KeyValue)),
               6: ("created_by", "string"),
-              7: ("column_orders", ("list", ColumnOrder))}
+              7: ("column_orders", ("list", ColumnOrder)),
+              8: ("encryption_algorithm", EncryptionAlgorithm),
+              9: ("footer_signing_key_metadata", "binary")}
 
 
 class DataPageHeader(ThriftStruct):

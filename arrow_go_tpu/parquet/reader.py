@@ -17,18 +17,21 @@ from ..memory import bitutil
 from ..memory.buffer import Buffer
 from . import compress as comp
 from . import encodings as enc
+from . import encryption as encm
 from . import format as fmt
 from . import levels as lv
 from . import schema as psch
 from .thrift import CompactReader
 
 MAGIC = b"PAR1"
+MAGIC_ENCRYPTED = b"PARE"
 
 
 class ParquetFile:
     """Random-access parquet reader."""
 
-    def __init__(self, source: Union[str, BinaryIO, bytes]):
+    def __init__(self, source: Union[str, BinaryIO, bytes],
+                 decryption: Optional[encm.FileDecryptionProperties] = None):
         if isinstance(source, str):
             source = open(source, "rb")
         elif isinstance(source, (bytes, bytearray, memoryview)):
@@ -39,23 +42,124 @@ class ParquetFile:
         if size < 12:
             raise ArrowInvalid("file too small for parquet")
         self.src.seek(0)
-        if self.src.read(4) != MAGIC:
+        if self.src.read(4) not in (MAGIC, MAGIC_ENCRYPTED):
             raise ArrowInvalid("bad parquet magic")
         self.src.seek(size - 8)
         tail = self.src.read(8)
-        if tail[4:] != MAGIC:
+        if tail[4:] not in (MAGIC, MAGIC_ENCRYPTED):
             raise ArrowInvalid("bad parquet trailing magic")
         (flen,) = struct.unpack("<I", tail[:4])
         self.src.seek(size - 8 - flen)
         footer = self.src.read(flen)
-        self.metadata: fmt.FileMetaData = CompactReader(footer).read_struct(
-            fmt.FileMetaData)
+        self._decryption = decryption
+        self._file_aad = b""
+        self._gcm_pages = True
+        self._footer_key: Optional[bytes] = None
+        if tail[4:] == MAGIC_ENCRYPTED:
+            self.metadata = self._decrypt_footer(footer)
+        else:
+            self.metadata: fmt.FileMetaData = CompactReader(
+                footer).read_struct(fmt.FileMetaData)
+            if self.metadata.encryption_algorithm is not None:
+                self._setup_plaintext_footer_crypto(footer)
+        self._col_crypto = {}
+        if self._file_aad:
+            self._resolve_column_crypto()
         self.schema, self.leaves = psch.elements_to_schema(self.metadata.schema)
         kv = self.metadata.key_value_metadata or []
         if kv:
             md = dt.Metadata(keys=[e.key for e in kv],
                              values=[e.value or "" for e in kv])
             self.schema = self.schema.with_metadata(md)
+
+    # -- modular encryption (reference parquet/file/file_reader.go +
+    #    internal/encryption/decryptor.go) --------------------------------
+
+    def _algo_setup(self, algo: fmt.EncryptionAlgorithm) -> None:
+        a = algo.AES_GCM_V1 or algo.AES_GCM_CTR_V1
+        self._gcm_pages = algo.AES_GCM_V1 is not None
+        prefix = a.aad_prefix or b""
+        if a.supply_aad_prefix:
+            if self._decryption is None or not self._decryption.aad_prefix:
+                raise ArrowInvalid("file requires the caller to supply the "
+                                   "AAD prefix")
+            prefix = self._decryption.aad_prefix
+        self._file_aad = bytes(prefix) + bytes(a.aad_file_unique or b"")
+
+    def _decrypt_footer(self, blob: bytes) -> fmt.FileMetaData:
+        if self._decryption is None:
+            raise ArrowInvalid("encrypted-footer parquet file: pass "
+                               "decryption=FileDecryptionProperties(...)")
+        rd = CompactReader(blob)
+        fcmd = rd.read_struct(fmt.FileCryptoMetaData)
+        self._algo_setup(fcmd.encryption_algorithm)
+        self._footer_key = self._decryption.footer_key_for(
+            fcmd.key_metadata or b"")
+        pt, _ = encm.decrypt_module(
+            self._footer_key, encm.footer_aad(self._file_aad), blob, rd.pos)
+        return CompactReader(pt).read_struct(fmt.FileMetaData)
+
+    def _setup_plaintext_footer_crypto(self, footer: bytes) -> None:
+        """Plaintext footer of an encrypted file: columns may be encrypted;
+        footer is signed (nonce+tag appended before the length)."""
+        self._algo_setup(self.metadata.encryption_algorithm)
+        if self._decryption is None:
+            return  # metadata-only / plaintext-column access still allowed
+        try:
+            self._footer_key = self._decryption.footer_key_for(
+                self.metadata.footer_signing_key_metadata or b"")
+        except ArrowInvalid:
+            self._footer_key = None
+        if (self._footer_key is not None
+                and self._decryption.check_plaintext_footer_integrity):
+            sig_len = encm.NONCE_LEN + encm.TAG_LEN
+            plain, sig = footer[:-sig_len], footer[-sig_len:]
+            if not encm.verify_footer_signature(
+                    self._footer_key, encm.footer_aad(self._file_aad),
+                    plain, sig):
+                raise ArrowInvalid("plaintext footer signature verification "
+                                   "failed")
+
+    def _resolve_column_crypto(self) -> None:
+        """Build {(rg, col) -> ctx} and splice decrypted column metadata
+        back into the chunks (reference metadata/column_chunk.go:95)."""
+        for rg_i, rg in enumerate(self.metadata.row_groups or []):
+            rg_ord = rg.ordinal if rg.ordinal is not None else rg_i
+            for li, chunk in enumerate(rg.columns or []):
+                cm = chunk.crypto_metadata
+                if cm is None:
+                    continue
+                # missing keys surface on column ACCESS, not file open —
+                # plaintext columns of a partially-encrypted file stay
+                # readable without any keys
+                try:
+                    if cm.ENCRYPTION_WITH_COLUMN_KEY is not None:
+                        ck = cm.ENCRYPTION_WITH_COLUMN_KEY
+                        if self._decryption is None:
+                            raise ArrowInvalid(
+                                "encrypted column without decryption "
+                                "properties")
+                        path = ".".join(ck.path_in_schema or [])
+                        key = self._decryption.column_key_for(
+                            path, ck.key_metadata or b"")
+                    else:
+                        if self._footer_key is None:
+                            raise ArrowInvalid(
+                                "column encrypted with footer key but no "
+                                "footer key available")
+                        key = self._footer_key
+                except ArrowInvalid as e:
+                    self._col_crypto[(rg_i, li)] = e
+                    continue
+                ctx = encm._ColumnCryptoContext(key, self._file_aad, rg_ord,
+                                                li, self._gcm_pages)
+                self._col_crypto[(rg_i, li)] = ctx
+                if chunk.encrypted_column_metadata:
+                    pt, _ = encm.decrypt_module(
+                        key, ctx.aad(encm.COLUMN_META_MODULE),
+                        chunk.encrypted_column_metadata)
+                    chunk.meta_data = CompactReader(pt).read_struct(
+                        fmt.ColumnMetaData)
 
     @property
     def num_rows(self) -> int:
@@ -109,8 +213,11 @@ class ParquetFile:
             for path in paths:
                 desc = self.leaves[li]
                 chunk = rg.columns[li]
+                ctx = self._col_crypto.get((i, li))
+                if isinstance(ctx, Exception):
+                    raise ctx
                 defs, reps, values, base = self._read_column_chunk(
-                    chunk, desc, row_range)
+                    chunk, desc, row_range, ctx)
                 pruned_f = lv.prune_field(f, path)
                 if desc.max_rep_level == 0 and pruned_f.type.id not in (
                         dt.TypeId.STRUCT,):
@@ -154,7 +261,8 @@ class ParquetFile:
 
     def _read_column_chunk(self, chunk: fmt.ColumnChunk,
                            desc: psch.ColumnDescriptor,
-                           row_range: Optional[Tuple[int, int]] = None):
+                           row_range: Optional[Tuple[int, int]] = None,
+                           ctx=None):
         meta = chunk.meta_data
         start = meta.dictionary_page_offset or meta.data_page_offset
         self.src.seek(start)
@@ -173,14 +281,36 @@ class ParquetFile:
         defs_parts, reps_parts = [], []
         values_parts: List = []
         remaining = meta.num_values
+        first_page = True
+        page_ord = 0  # data-page ordinal for module AADs (dict not counted)
         while remaining > 0 and pos < len(raw):
-            rd = CompactReader(raw, pos)
-            hdr: fmt.PageHeader = rd.read_struct(fmt.PageHeader)
-            pos = rd.pos
+            if ctx is not None:
+                # header module AAD depends on page kind; only the first
+                # frame can be the dictionary page
+                hdr_is_dict = first_page and meta.dictionary_page_offset \
+                    is not None
+                h_aad = ctx.aad(encm.DICT_PAGE_HEADER_MODULE) if hdr_is_dict \
+                    else ctx.aad(encm.DATA_PAGE_HEADER_MODULE, page_ord)
+                hb, used = encm.decrypt_module(ctx.key, h_aad, raw, pos)
+                hdr = CompactReader(hb).read_struct(fmt.PageHeader)
+                pos += used
+            else:
+                rd = CompactReader(raw, pos)
+                hdr = rd.read_struct(fmt.PageHeader)
+                pos = rd.pos
+            first_page = False
             comp_size = hdr.compressed_page_size
             page_raw = raw[pos: pos + comp_size]
             pos += comp_size
             ptype = fmt.PageType(hdr.type)
+            if ctx is not None:
+                if ptype == fmt.PageType.DICTIONARY_PAGE:
+                    p_aad = ctx.aad(encm.DICT_PAGE_MODULE)
+                else:
+                    p_aad = ctx.aad(encm.DATA_PAGE_MODULE, page_ord)
+                    page_ord += 1
+                page_raw, _ = encm.decrypt_module(ctx.key, p_aad, page_raw,
+                                                  gcm=ctx.gcm_pages)
             if skip is not None and ptype in (fmt.PageType.DATA_PAGE,
                                               fmt.PageType.DATA_PAGE_V2):
                 dph = (hdr.data_page_header if ptype == fmt.PageType.DATA_PAGE
@@ -420,6 +550,12 @@ def read_column_index(self, rg: int, col: int):
         return None
     self.src.seek(chunk.column_index_offset)
     raw = self.src.read(chunk.column_index_length)
+    ctx = self._col_crypto.get((rg, col))
+    if isinstance(ctx, Exception):
+        raise ctx
+    if ctx is not None:
+        raw, _ = encm.decrypt_module(
+            ctx.key, ctx.aad(encm.COLUMN_INDEX_MODULE), raw)
     return CompactReader(raw).read_struct(fmt.ColumnIndex)
 
 
@@ -429,6 +565,12 @@ def read_offset_index(self, rg: int, col: int):
         return None
     self.src.seek(chunk.offset_index_offset)
     raw = self.src.read(chunk.offset_index_length)
+    ctx = self._col_crypto.get((rg, col))
+    if isinstance(ctx, Exception):
+        raise ctx
+    if ctx is not None:
+        raw, _ = encm.decrypt_module(
+            ctx.key, ctx.aad(encm.OFFSET_INDEX_MODULE), raw)
     return CompactReader(raw).read_struct(fmt.OffsetIndex)
 
 
@@ -441,6 +583,15 @@ def read_bloom_filter(self, rg: int, col: int):
     self.src.seek(meta.bloom_filter_offset)
     ln = meta.bloom_filter_length or (1 << 20)
     raw = self.src.read(ln)
+    ctx = self._col_crypto.get((rg, col))
+    if isinstance(ctx, Exception):
+        raise ctx
+    if ctx is not None:
+        hdr_b, used = encm.decrypt_module(
+            ctx.key, ctx.aad(encm.BLOOM_HEADER_MODULE), raw)
+        bits, _ = encm.decrypt_module(
+            ctx.key, ctx.aad(encm.BLOOM_BITSET_MODULE), raw, used)
+        raw = hdr_b + bits
     return BloomFilter.deserialize(raw)
 
 
@@ -502,5 +653,7 @@ def _decode_stats(st, desc):
 
 
 def read_table(source, columns: Optional[List[str]] = None,
-               filters: Optional[List[tuple]] = None) -> Table:
-    return ParquetFile(source).read_table(columns, filters)
+               filters: Optional[List[tuple]] = None,
+               decryption: Optional[encm.FileDecryptionProperties] = None
+               ) -> Table:
+    return ParquetFile(source, decryption).read_table(columns, filters)

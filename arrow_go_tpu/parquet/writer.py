@@ -15,12 +15,14 @@ from ..array.record import RecordBatch, Table
 from ..compute.errors import ArrowInvalid, ArrowNotImplemented
 from . import compress as comp
 from . import encodings as enc
+from . import encryption as encm
 from . import format as fmt
 from . import levels as lv
 from . import schema as psch
 from .thrift import CompactWriter
 
 MAGIC = b"PAR1"
+MAGIC_ENCRYPTED = b"PARE"
 CREATED_BY = "arrow_go_tpu v0.1.0"
 
 
@@ -155,7 +157,7 @@ def _encode_column_chunk(
         sink: BinaryIO, leaf_arr: Array, field: dt.Field,
         desc: psch.ColumnDescriptor, codec: int, use_dictionary: bool,
         make_bloom: bool = False, data_page_size: Optional[int] = None,
-        encoding: Optional[str] = None):
+        encoding: Optional[str] = None, crypto=None):
     """Write pages for one column chunk; return its metadata."""
     t = field.type
     nested = t.id in (dt.TypeId.LIST, dt.TypeId.LARGE_LIST, dt.TypeId.STRUCT)
@@ -235,6 +237,10 @@ def _encode_column_chunk(
     if is_dict and dict_page_bytes is not None:
         dict_page_offset = sink.tell()
         compressed = comp.compress(codec, dict_page_bytes)
+        if crypto is not None:
+            compressed = encm.encrypt_module(
+                crypto.key, crypto.aad(encm.DICT_PAGE_MODULE), compressed,
+                crypto.gcm_pages)
         hdr = fmt.PageHeader(
             type=int(fmt.PageType.DICTIONARY_PAGE),
             uncompressed_page_size=len(dict_page_bytes),
@@ -243,6 +249,9 @@ def _encode_column_chunk(
                 num_values=len(values_arr.dictionary),
                 encoding=int(fmt.Encoding.PLAIN)))
         hb = _thrift_bytes(hdr)
+        if crypto is not None:
+            hb = encm.encrypt_module(
+                crypto.key, crypto.aad(encm.DICT_PAGE_HEADER_MODULE), hb)
         sink.write(hb)
         sink.write(compressed)
         total_unc += len(hb) + len(dict_page_bytes)
@@ -279,9 +288,13 @@ def _encode_column_chunk(
 
     data_page_offset = None
     page_locs = []
-    for start, end, lvl_b, data_b in page_ranges:
+    for p_ord, (start, end, lvl_b, data_b) in enumerate(page_ranges):
         page_payload = lvl_b + data_b
         compressed = comp.compress(codec, page_payload)
+        if crypto is not None:
+            compressed = encm.encrypt_module(
+                crypto.key, crypto.aad(encm.DATA_PAGE_MODULE, p_ord),
+                compressed, crypto.gcm_pages)
         off = sink.tell()
         if data_page_offset is None:
             data_page_offset = off
@@ -295,6 +308,10 @@ def _encode_column_chunk(
                 repetition_level_encoding=int(fmt.Encoding.RLE),
                 statistics=stats if len(page_ranges) == 1 else None))
         hb = _thrift_bytes(hdr)
+        if crypto is not None:
+            hb = encm.encrypt_module(
+                crypto.key, crypto.aad(encm.DATA_PAGE_HEADER_MODULE, p_ord),
+                hb)
         sink.write(hb)
         sink.write(compressed)
         total_unc += len(hb) + len(page_payload)
@@ -324,7 +341,9 @@ def write_table(table, sink, row_group_size: Optional[int] = None,
                 write_page_index: bool = True,
                 write_bloom_filters: bool = False,
                 data_page_size: Optional[int] = None,
-                column_properties: Optional[dict] = None) -> None:
+                column_properties: Optional[dict] = None,
+                encryption: Optional[encm.FileEncryptionProperties] = None
+                ) -> None:
     """Write a Table/RecordBatch to a parquet file.
 
     column_properties: per-column overrides, e.g.
@@ -340,10 +359,10 @@ def write_table(table, sink, row_group_size: Optional[int] = None,
                    write_bloom_filters, data_page_size,
                    column_properties or {})
     if hasattr(sink, "write"):
-        _write(table, sink, row_group_size, props)
+        _write(table, sink, row_group_size, props, encryption)
     else:
         with open(sink, "wb") as f:
-            _write(table, f, row_group_size, props)
+            _write(table, f, row_group_size, props, encryption)
 
 
 class _Props:
@@ -368,12 +387,54 @@ class _Props:
         return self.per_column.get(name, {}).get("encoding")
 
 
+def _column_crypto_ctx(encryption, leaves, rg: int, li: int):
+    """Resolve the per-chunk crypto context (None = plaintext column)."""
+    if encryption is None:
+        return None, None, None
+    path = ".".join(leaves[li].path)
+    key, key_meta, uses_footer = encryption.column_setup(path)
+    if key is None:
+        return None, None, None
+    ctx = encm._ColumnCryptoContext(
+        key, encryption.file_aad, rg, li,
+        gcm_pages=(encryption.algorithm == encm.AES_GCM_V1))
+    return ctx, key_meta, uses_footer
+
+
+def _populate_crypto_metadata(chunk: fmt.ColumnChunk, desc, ctx,
+                              col_key_meta: bytes, uses_footer: bool,
+                              encryption) -> None:
+    """Set crypto_metadata / encrypted_column_metadata on one chunk
+    (reference metadata/column_chunk.go PopulateCryptoData:433)."""
+    if uses_footer:
+        chunk.crypto_metadata = fmt.ColumnCryptoMetaData(
+            ENCRYPTION_WITH_FOOTER_KEY=fmt.EncryptionWithFooterKey())
+    else:
+        chunk.crypto_metadata = fmt.ColumnCryptoMetaData(
+            ENCRYPTION_WITH_COLUMN_KEY=fmt.EncryptionWithColumnKey(
+                path_in_schema=list(desc.path), key_metadata=col_key_meta))
+    encrypted_footer = not encryption.plaintext_footer
+    if not encrypted_footer or not uses_footer:
+        meta_blob = _thrift_bytes(chunk.meta_data)
+        chunk.encrypted_column_metadata = encm.encrypt_module(
+            ctx.key, ctx.aad(encm.COLUMN_META_MODULE), meta_blob)
+        if encrypted_footer:
+            chunk.meta_data = None
+        else:
+            # plaintext footer keeps a redacted copy for old readers
+            chunk.meta_data.statistics = None
+            chunk.meta_data.encoding_stats = None
+
+
 def _write(table: Table, sink: BinaryIO, row_group_size: Optional[int],
-           props: "_Props") -> None:
+           props: "_Props",
+           encryption: Optional[encm.FileEncryptionProperties] = None
+           ) -> None:
     write_page_index = props.page_index
     write_bloom_filters = props.bloom
     elements, leaves = psch.schema_to_elements(table.schema)
-    sink.write(MAGIC)
+    encrypted_footer = encryption is not None and not encryption.plaintext_footer
+    sink.write(MAGIC_ENCRYPTED if encrypted_footer else MAGIC)
 
     row_group_size = row_group_size or max(table.num_rows, 1)
     row_groups: List[fmt.RowGroup] = []
@@ -399,17 +460,23 @@ def _write(table: Table, sink: BinaryIO, row_group_size: Optional[int],
             for path in paths:
                 pruned_arr, pruned_f = lv.prune_to_leaf(col, f, path)
                 desc = leaves[li]
+                ctx, col_key_meta, uses_footer = _column_crypto_ctx(
+                    encryption, leaves, len(row_groups), li)
                 chunk, extras = _encode_column_chunk(
                     sink, pruned_arr, pruned_f, desc, props.codec_for(f.name),
                     props.dict_for(f.name), write_bloom_filters,
-                    props.data_page_size, props.encoding_for(f.name))
+                    props.data_page_size, props.encoding_for(f.name), ctx)
+                extras["crypto"] = (ctx, col_key_meta, uses_footer, desc)
                 chunks.append(chunk)
                 rg_extras.append(extras)
                 li += 1
         total = sum(c.meta_data.total_compressed_size for c in chunks)
+        # ordinal is REQUIRED for encrypted files: module AADs embed it and
+        # readers take it from this field, not the list position
         row_groups.append(fmt.RowGroup(
             columns=chunks, total_byte_size=total, num_rows=rb.num_rows,
-            file_offset=rg_start, total_compressed_size=total))
+            file_offset=rg_start, total_compressed_size=total,
+            ordinal=len(row_groups)))
         all_extras.append(rg_extras)
 
     # bloom filters (before indexes, reference layout)
@@ -419,7 +486,17 @@ def _write(table: Table, sink: BinaryIO, row_group_size: Optional[int],
                 if extras["bloom"] is None:
                     continue
                 off = sink.tell()
-                blob = extras["bloom"].serialize()
+                ctx = extras["crypto"][0]
+                if ctx is not None:
+                    hdr_b, bits_b = extras["bloom"].serialize_parts()
+                    blob = (encm.encrypt_module(
+                                ctx.key, ctx.aad(encm.BLOOM_HEADER_MODULE),
+                                hdr_b)
+                            + encm.encrypt_module(
+                                ctx.key, ctx.aad(encm.BLOOM_BITSET_MODULE),
+                                bits_b))
+                else:
+                    blob = extras["bloom"].serialize()
                 sink.write(blob)
                 chunk.meta_data.bloom_filter_offset = off
                 chunk.meta_data.bloom_filter_length = len(blob)
@@ -439,6 +516,10 @@ def _write(table: Table, sink: BinaryIO, row_group_size: Optional[int],
                                  is not None else 0])
                 off = sink.tell()
                 blob = _thrift_bytes(ci)
+                ctx = extras["crypto"][0]
+                if ctx is not None:
+                    blob = encm.encrypt_module(
+                        ctx.key, ctx.aad(encm.COLUMN_INDEX_MODULE), blob)
                 sink.write(blob)
                 chunk.column_index_offset = off
                 chunk.column_index_length = len(blob)
@@ -448,9 +529,21 @@ def _write(table: Table, sink: BinaryIO, row_group_size: Optional[int],
                                               [extras["page_location"]]))
                 off = sink.tell()
                 blob = _thrift_bytes(oi)
+                ctx = extras["crypto"][0]
+                if ctx is not None:
+                    blob = encm.encrypt_module(
+                        ctx.key, ctx.aad(encm.OFFSET_INDEX_MODULE), blob)
                 sink.write(blob)
                 chunk.offset_index_offset = off
                 chunk.offset_index_length = len(blob)
+
+    if encryption is not None:
+        for rg, rg_extras in zip(row_groups, all_extras):
+            for chunk, extras in zip(rg.columns, rg_extras):
+                ctx, col_key_meta, uses_footer, desc = extras["crypto"]
+                if ctx is not None:
+                    _populate_crypto_metadata(chunk, desc, ctx, col_key_meta,
+                                              uses_footer, encryption)
 
     meta = fmt.FileMetaData(
         version=2, schema=elements, num_rows=table.num_rows,
@@ -461,6 +554,35 @@ def _write(table: Table, sink: BinaryIO, row_group_size: Optional[int],
                             for k, v in zip(table.schema.metadata.keys,
                                             table.schema.metadata.values)]
         or None)
+    if encryption is not None and not encryption.plaintext_footer:
+        # encrypted footer: [FileCryptoMetaData][encrypted FileMetaData]
+        # [u32 combined len]["PARE"] (reference file/file_writer.go
+        # closeEncryptedFile)
+        fcmd = fmt.FileCryptoMetaData(
+            encryption_algorithm=encryption.algorithm_struct(),
+            key_metadata=encryption.footer_key_metadata or None)
+        fb = _thrift_bytes(fcmd)
+        ef = encm.encrypt_module(
+            encryption.footer_key, encm.footer_aad(encryption.file_aad),
+            _thrift_bytes(meta))
+        sink.write(fb)
+        sink.write(ef)
+        sink.write(struct.pack("<I", len(fb) + len(ef)))
+        sink.write(MAGIC_ENCRYPTED)
+        return
+    if encryption is not None:
+        # plaintext footer mode: footer readable, signed with the footer key
+        meta.encryption_algorithm = encryption.algorithm_struct()
+        meta.footer_signing_key_metadata = \
+            encryption.footer_key_metadata or None
+        mb = _thrift_bytes(meta)
+        sig = encm.sign_footer(
+            encryption.footer_key, encm.footer_aad(encryption.file_aad), mb)
+        sink.write(mb)
+        sink.write(sig)
+        sink.write(struct.pack("<I", len(mb) + len(sig)))
+        sink.write(MAGIC)
+        return
     mb = _thrift_bytes(meta)
     sink.write(mb)
     sink.write(struct.pack("<I", len(mb)))
