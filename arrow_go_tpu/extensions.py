@@ -71,9 +71,28 @@ class OpaqueType(dt.ExtensionType):
         self.vendor_name = vendor_name
 
 
+class VariantType(dt.ExtensionType):
+    """parquet.variant — struct<metadata: binary, value: binary> storage
+    (reference arrow/extensions/variant.go:57 NewDefaultVariantType;
+    shredded typed_value fields are future work)."""
+
+    def __init__(self, storage: Optional[dt.DataType] = None):
+        if storage is None:
+            storage = dt.struct([dt.field("metadata", dt.binary, False),
+                                 dt.field("value", dt.binary, False)])
+        if storage.id != dt.TypeId.STRUCT:
+            raise ArrowInvalid("parquet.variant storage must be a struct")
+        names = [f.name for f in storage.fields()]
+        if "metadata" not in names or "value" not in names:
+            raise ArrowInvalid(
+                "parquet.variant storage needs metadata+value fields")
+        super().__init__(storage, "parquet.variant")
+
+
 uuid = UuidType()
 json_ = JsonType()
 bool8 = Bool8Type()
+variant = VariantType()
 
-for _e in (uuid, json_, bool8):
+for _e in (uuid, json_, bool8, variant):
     register_extension_type(_e)

@@ -162,6 +162,10 @@ class Float16LType(ThriftStruct):
     FIELDS = {}
 
 
+class VariantLType(ThriftStruct):
+    FIELDS = {1: ("specification_version", "i8")}
+
+
 class LogicalType(ThriftStruct):
     FIELDS = {1: ("STRING", StringType), 2: ("MAP", MapLType),
               3: ("LIST", ListLType), 4: ("ENUM", EnumType),
@@ -169,7 +173,8 @@ class LogicalType(ThriftStruct):
               7: ("TIME", TimeLType), 8: ("TIMESTAMP", TimestampLType),
               10: ("INTEGER", IntLType), 11: ("UNKNOWN", NullLType),
               12: ("JSON", JsonLType), 13: ("BSON", BsonLType),
-              14: ("UUID", UUIDLType), 15: ("FLOAT16", Float16LType)}
+              14: ("UUID", UUIDLType), 15: ("FLOAT16", Float16LType),
+              16: ("VARIANT", VariantLType)}
 
 
 class SchemaElement(ThriftStruct):

@@ -203,6 +203,8 @@ class ParquetFile:
         li = 0
         for f in self.schema.fields:
             orig_f = f
+            if f.type.id == dt.TypeId.EXTENSION:
+                f = dt.Field(f.name, f.type.storage_type, f.nullable)
             if f.type.id == dt.TypeId.MAP:
                 f = lv.map_storage_field(f)
             paths = lv.leaf_paths(f.type)
@@ -234,7 +236,7 @@ class ParquetFile:
                 leaf_datas.append(data)
                 li += 1
             data = lv.merge_leaf_datas(f, leaf_datas)
-            if orig_f.type.id == dt.TypeId.MAP:
+            if orig_f.type.id in (dt.TypeId.MAP, dt.TypeId.EXTENSION):
                 data = ArrayData(orig_f.type, data.length, data.buffers,
                                  data.children, null_count=data._null_count,
                                  offset=data.offset)

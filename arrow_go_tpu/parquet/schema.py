@@ -134,9 +134,19 @@ def schema_to_elements(schema: dt.Schema) -> Tuple[List[fmt.SchemaElement],
         t = f.type
         rep = fmt.Repetition.OPTIONAL if f.nullable else fmt.Repetition.REQUIRED
         d = max_def + (1 if f.nullable else 0)
+        group_logical = None
+        if t.id == dt.TypeId.EXTENSION:
+            # extensions store as their storage type; parquet.variant gets
+            # the VARIANT group annotation (reference pqarrow/schema.go
+            # variant handling, schema/logical_types.go:1120)
+            if t.extension_name == "parquet.variant":
+                group_logical = fmt.LogicalType(
+                    VARIANT=fmt.VariantLType(specification_version=1))
+            t = t.storage_type
         if t.id == dt.TypeId.STRUCT:
             el = fmt.SchemaElement(name=f.name, repetition_type=int(rep),
-                                   num_children=t.num_fields)
+                                   num_children=t.num_fields,
+                                   logicalType=group_logical)
             elements.append(el)
             for cf in t.fields():
                 walk(cf, path + (f.name,), d, max_rep, ancestry + [el])
@@ -300,7 +310,12 @@ def elements_to_schema(elements: List[fmt.SchemaElement]
                 return dt.Field(el.name, t, nullable)
             fields = [read_node(path + (el.name,), d, r, ancestry + [el])
                       for _ in range(el.num_children)]
-            return dt.Field(el.name, dt.struct(fields), nullable)
+            st = dt.struct(fields)
+            if (el.logicalType is not None
+                    and el.logicalType.VARIANT is not None):
+                from ..extensions import VariantType
+                return dt.Field(el.name, VariantType(st), nullable)
+            return dt.Field(el.name, st, nullable)
         t = arrow_type_of(el)
         leaves.append(ColumnDescriptor(
             path + (el.name,), fmt.Type(el.type), el.type_length or 0,

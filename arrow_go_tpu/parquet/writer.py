@@ -448,12 +448,18 @@ def _write(table: Table, sink: BinaryIO, row_group_size: Optional[int],
         rg_extras: List[dict] = []
         li = 0
         for f, col in zip(rb.schema.fields, rb.columns):
+            if f.type.id == dt.TypeId.EXTENSION:
+                from ..array.arrays import ArrayData
+                st = f.type.storage_type
+                f = dt.Field(f.name, st, f.nullable)
+                d = col.data
+                col = make_array(ArrayData(
+                    st, d.length, d.buffers, d.children, d.dictionary,
+                    d._null_count, d.offset))
             if f.type.id == dt.TypeId.MAP:
-                from ..array.arrays import make_array
                 f = lv.map_storage_field(f)
                 col = make_array(lv.map_storage_data(col.data))
             elif f.type.id == dt.TypeId.FIXED_SIZE_LIST:
-                from ..array.arrays import make_array
                 f = lv.fsl_storage_field(f)
                 col = make_array(lv.fsl_storage_data(col.data))
             paths = lv.leaf_paths(f.type)
