@@ -140,6 +140,124 @@ def cast_device(col: DeviceColumn, to_t: dt.DataType,
     return DeviceColumn(out, col.validity, col.length, to_t)
 
 
+def _format_value(v, t: dt.DataType) -> str:
+    """Arrow cast-to-string formatting (reference string_casts.go:
+    bool -> true/false, integers decimal, floats shortest-repr,
+    temporals ISO)."""
+    if t.id == dt.TypeId.BOOL:
+        return "true" if v else "false"
+    if t.is_floating:
+        f = float(v)
+        if f != f:
+            return "nan"
+        if f in (float("inf"), float("-inf")):
+            return "inf" if f > 0 else "-inf"
+        if f == int(f) and abs(f) < 1e16:
+            return str(int(f))
+        return repr(f)
+    if t.is_integer:
+        return str(int(v))
+    if t.is_decimal:
+        return str(v)
+    if t.is_temporal:
+        import datetime as _dt_
+        if isinstance(v, (int, np.integer)):  # physical representation
+            if t.id == dt.TypeId.DATE32:
+                v = _dt_.date(1970, 1, 1) + _dt_.timedelta(days=int(v))
+            elif t.id == dt.TypeId.DATE64:
+                v = (_dt_.datetime(1970, 1, 1)
+                     + _dt_.timedelta(milliseconds=int(v))).date()
+            elif t.id == dt.TypeId.TIMESTAMP:
+                us = int(v) * 10**6 // t.unit.multiplier
+                v = _dt_.datetime(1970, 1, 1) + _dt_.timedelta(microseconds=us)
+            elif t.id in (dt.TypeId.TIME32, dt.TypeId.TIME64):
+                us = int(v) * 10**6 // t.unit.multiplier
+                v = (_dt_.datetime(1970, 1, 1)
+                     + _dt_.timedelta(microseconds=us)).time()
+            else:
+                return str(int(v))
+        out = v.isoformat()
+        return out.replace("T", " ") if hasattr(v, "hour") else out
+    return str(v)
+
+
+def _parse_value(s, to_t: dt.DataType):
+    """String -> typed value (reference string_casts.go parse kernels)."""
+    import datetime as _dt_
+    import decimal as _dec
+    if isinstance(s, (bytes, bytearray)):
+        s = bytes(s).decode("utf-8")
+    s = s.strip()
+    if to_t.is_integer:
+        return int(s, 10)
+    if to_t.is_floating:
+        return float(s)
+    if to_t.id == dt.TypeId.BOOL:
+        low = s.lower()
+        if low in ("true", "1"):
+            return True
+        if low in ("false", "0"):
+            return False
+        raise ValueError(f"cannot parse {s!r} as bool")
+    if to_t.is_decimal:
+        return _dec.Decimal(s)
+    if to_t.id == dt.TypeId.DATE32:
+        return _dt_.date.fromisoformat(s)
+    if to_t.id == dt.TypeId.TIMESTAMP:
+        return _dt_.datetime.fromisoformat(s.replace(" ", "T"))
+    if to_t.id in (dt.TypeId.TIME32, dt.TypeId.TIME64):
+        return _dt_.time.fromisoformat(s)
+    raise ArrowNotImplemented(f"parse string -> {to_t}")
+
+
+def cast_host(arr, to_t: dt.DataType,
+              options: Optional[CastOptions] = None):
+    """Host cast path: any cast with a binary-like side (strings live
+    host-side by design; the device path handles fixed-width types)."""
+    from ..array.arrays import Array, make_array
+    from ..array.arrays import array as build_array
+    from ..array.record import ChunkedArray
+    options = options or CastOptions()
+    if isinstance(arr, ChunkedArray):
+        arr = arr.combine()
+    from_t = arr.type
+    if from_t == to_t:
+        return arr
+    if from_t.id == dt.TypeId.DICTIONARY:
+        return cast_host(arr.decode(), to_t, options)
+
+    if from_t.is_binary_like and to_t.is_binary_like:
+        # zero-copy re-type (string <-> binary share the layout)
+        d = arr.data
+        from ..array.arrays import ArrayData
+        return make_array(ArrayData(to_t, d.length, d.buffers, d.children,
+                                    d.dictionary, d._null_count, d.offset))
+
+    out = []
+    if from_t.is_binary_like:
+        for i in range(len(arr)):
+            if arr.is_null(i):
+                out.append(None)
+                continue
+            try:
+                out.append(_parse_value(arr.value(i), to_t))
+            except (ValueError, ArithmeticError) as e:
+                raise ArrowInvalid(f"cast {from_t} -> {to_t}: {e}")
+        return build_array(out, to_t)
+    if to_t.is_binary_like:
+        for i in range(len(arr)):
+            if arr.is_null(i):
+                out.append(None)
+                continue
+            v = arr.value(i)
+            s = _format_value(v, from_t)
+            out.append(s.encode() if to_t.id in (dt.TypeId.BINARY,
+                                                 dt.TypeId.LARGE_BINARY)
+                       else s)
+        return build_array(out, to_t)
+    raise ArrowNotImplemented(f"host cast {from_t} -> {to_t}")
+
+
 def _narrowing(a: dt.DataType, b: dt.DataType) -> bool:
     if a.is_floating and b.is_integer:
         return True

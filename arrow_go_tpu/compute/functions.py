@@ -623,9 +623,10 @@ def register_all(reg: FunctionRegistry) -> None:
     reg.register(Function("is_finite", FunctionKind.SCALAR, Arity.unary(),
                           lambda a, options=None: kernels.is_finite(a)))
 
-    # cast
+    # cast (raw args: host path handles binary-like sides, device path the
+    # fixed-width lattice)
     reg.register(Function("cast", FunctionKind.SCALAR, Arity.unary(),
-                          _exec_cast))
+                          _exec_cast, raw_args=True))
 
     # selection meta functions
     reg.register(Function("filter", FunctionKind.META, Arity.binary(),
@@ -704,4 +705,22 @@ def _exec_cast(a, options=None):
         opts = options.get("options")
     else:
         raise ArrowInvalid("cast requires target type")
-    return cast_mod.cast_device(a, to_t, opts)
+    from ..array.arrays import Array
+    from ..array.record import ChunkedArray
+    from ..device.block import DeviceColumn, from_device, to_device
+
+    if isinstance(a, DeviceColumn):
+        if to_t.is_binary_like or to_t.is_decimal:
+            return cast_mod.cast_host(from_device(a), to_t, opts)
+        return cast_mod.cast_device(a, to_t, opts)
+    if isinstance(a, (Array, ChunkedArray)):
+        from_t = a.type
+        storage = from_t.value_type if from_t.id == dt.TypeId.DICTIONARY \
+            else from_t
+        if storage.is_binary_like or to_t.is_binary_like or \
+                storage.is_decimal or to_t.is_decimal:
+            return cast_mod.cast_host(a, to_t, opts)
+        if isinstance(a, ChunkedArray):
+            a = a.combine()
+        return from_device(cast_mod.cast_device(to_device(a), to_t, opts))
+    raise ArrowInvalid(f"cannot cast {type(a)}")

@@ -335,3 +335,43 @@ def test_sliced_array_input():
     a = agt.array([1, 2, 3, 4, 5]).slice(1, 3)
     assert pc.sum(a) == 9
     assert pc.add(a, 0).to_pylist() == [2, 3, 4]
+
+
+def test_string_casts_host_paths():
+    """String<->typed casts (reference internal/kernels/string_casts.go),
+    formatting parity with pyarrow's cast-to-string."""
+    import datetime
+    import decimal
+    assert pc.cast(agt.array(["1", "-42", None, " 7 "]),
+                   dt.int64).to_pylist() == [1, -42, None, 7]
+    assert pc.cast(agt.array(["true", "False", "1", "0"]),
+                   dt.bool_).to_pylist() == [True, False, True, False]
+    assert pc.cast(agt.array([1.0, 1.5, -0.25, 0.1 + 0.2]),
+                   dt.string).to_pylist() == \
+        ["1", "1.5", "-0.25", "0.30000000000000004"]
+    assert pc.cast(agt.array([True, False, None]),
+                   dt.string).to_pylist() == ["true", "false", None]
+    assert pc.cast(agt.array(["2020-01-02"]), dt.date32).to_pylist() == [18263]
+    assert pc.cast(agt.array([datetime.date(2020, 1, 2)], dt.date32),
+                   dt.string).to_pylist() == ["2020-01-02"]
+    assert pc.cast(agt.array([datetime.datetime(2020, 1, 2, 3, 4, 5)],
+                             dt.timestamp("us")),
+                   dt.string).to_pylist() == ["2020-01-02 03:04:05"]
+    assert pc.cast(agt.array(["123.456"]),
+                   dt.decimal128(10, 3)).to_pylist() == \
+        [decimal.Decimal("123.456")]
+    assert pc.cast(agt.array([decimal.Decimal("1.25")], dt.decimal128(5, 2)),
+                   dt.string).to_pylist() == ["1.25"]
+    assert pc.cast(agt.array(["abc"]), dt.binary).to_pylist() == [b"abc"]
+    with pytest.raises(Exception):
+        pc.cast(agt.array(["xx"]), dt.int64)
+    # dictionary-of-strings decodes then parses
+    denc = pc.call_function("dictionary_encode", [agt.array(["5", "6", "5"])])
+    assert pc.cast(denc, dt.int64).to_pylist() == [5, 6, 5]
+    # matches pyarrow formatting
+    pa = pytest.importorskip("pyarrow")
+    import pyarrow.compute as papc
+    vals = [0.1 + 0.2, 1.0, -2.5, 1e16, 123.0, None]
+    ours = pc.cast(agt.array(vals), dt.string).to_pylist()
+    theirs = papc.cast(pa.array(vals), pa.string()).to_pylist()
+    assert ours == theirs
