@@ -599,6 +599,16 @@ def register_all(reg: FunctionRegistry) -> None:
                           lambda a, options=None: kernels.round_to_multiple(
                               a, **(options or {"multiple": 1.0}))))
 
+    # temporal rounding (reference arithmetic.go:593-625 floor/ceil/
+    # round_temporal with RoundTemporalOptions)
+    from . import temporal as _temporal
+    for name, fn in (("floor_temporal", _temporal.floor_temporal),
+                     ("ceil_temporal", _temporal.ceil_temporal),
+                     ("round_temporal", _temporal.round_temporal)):
+        reg.register(Function(
+            name, FunctionKind.SCALAR, Arity.unary(),
+            (lambda f: lambda a, options=None: f(a, **(options or {})))(fn)))
+
     # comparisons
     for op in ("equal", "not_equal", "less", "less_equal", "greater",
                "greater_equal"):
@@ -618,6 +628,7 @@ def register_all(reg: FunctionRegistry) -> None:
                           lambda a, options=None: kernels.is_null(a)))
     reg.register(Function("is_valid", FunctionKind.SCALAR, Arity.unary(),
                           lambda a, options=None: kernels.is_valid(a)))
+    reg.add_alias("is_not_null", "is_valid")
     reg.register(Function("is_nan", FunctionKind.SCALAR, Arity.unary(),
                           lambda a, options=None: kernels.is_nan(a)))
     reg.register(Function("is_finite", FunctionKind.SCALAR, Arity.unary(),
@@ -649,6 +660,16 @@ def register_all(reg: FunctionRegistry) -> None:
     # vector sort
     reg.register(Function("sort_indices", FunctionKind.VECTOR, Arity.unary(),
                           sort_indices, raw_args=True))
+
+    # run-end encode/decode (reference vector_run_ends.go:45-90)
+    from . import run_ends as _ree
+    reg.register(Function(
+        "run_end_encode", FunctionKind.VECTOR, Arity.unary(),
+        lambda a, options=None: _ree.run_end_encode(a, **(options or {})),
+        raw_args=True))
+    reg.register(Function(
+        "run_end_decode", FunctionKind.VECTOR, Arity.unary(),
+        lambda a, options=None: _ree.run_end_decode(a), raw_args=True))
 
     # set lookup
     reg.register(Function("is_in", FunctionKind.SCALAR, Arity.unary(),

@@ -247,6 +247,10 @@ class OCFReader:
         elif self.codec == "snappy":
             from .. import native
             payload = native.snappy_decompress(payload[:-4])  # crc32 suffix
+        elif self.codec == "zstandard":
+            import zstandard
+            payload = zstandard.ZstdDecompressor().decompress(
+                payload, max_output_size=1 << 31)
         elif self.codec != "null":
             raise ArrowNotImplemented(f"avro codec {self.codec}")
         br = _Bin(payload)
