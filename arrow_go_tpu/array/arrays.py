@@ -303,6 +303,75 @@ class LargeStringArray(BinaryArray):
     _decode = True
 
 
+class BinaryViewArray(Array):
+    """Variable-length binary with 16-byte view structs + variadic data
+    buffers (Arrow spec BinaryView layout; reference
+    arrow/array/binary_view.go / arrow/datatype.go BinaryView layout).
+
+    View struct (little-endian): int32 length; if length <= 12 the bytes
+    are inline at +4, else 4-byte prefix at +4, int32 buffer index at +8,
+    int32 offset into that variadic buffer at +12.
+    """
+    _decode = False
+
+    @property
+    def views(self) -> np.ndarray:
+        d = self._data
+        return d.buffers[1].data[d.offset * 16:(d.offset + d.length) * 16]
+
+    def value_bytes(self, i: int) -> bytes:
+        d = self._data
+        base = (d.offset + i) * 16
+        raw = d.buffers[1].data
+        ln = int(raw[base:base + 4].view(np.int32)[0])
+        if ln <= 12:
+            return raw[base + 4: base + 4 + ln].tobytes()
+        buf_idx = int(raw[base + 8: base + 12].view(np.int32)[0])
+        off = int(raw[base + 12: base + 16].view(np.int32)[0])
+        return d.buffers[2 + buf_idx].data[off: off + ln].tobytes()
+
+    def value(self, i: int):
+        b = self.value_bytes(i)
+        return b.decode("utf-8") if self._decode else b
+
+    def value_lengths(self) -> np.ndarray:
+        v = self.views
+        if len(v) == 0:
+            return np.zeros(0, dtype=np.int64)
+        return v.view(np.int32).reshape(-1, 4)[:, 0].astype(np.int64)
+
+
+class StringViewArray(BinaryViewArray):
+    _decode = True
+
+
+class ListViewArray(Array):
+    """List with independent (offsets, sizes) buffers (Arrow spec
+    ListView; reference arrow/array/list.go ListView/LargeListView)."""
+
+    @property
+    def offsets(self) -> np.ndarray:
+        d = self._data
+        return d.buffers[1].view(d.type.offset_dtype)[d.offset: d.offset + d.length]
+
+    @property
+    def sizes(self) -> np.ndarray:
+        d = self._data
+        return d.buffers[2].view(d.type.offset_dtype)[d.offset: d.offset + d.length]
+
+    @property
+    def values(self) -> Array:
+        return make_array(self._data.children[0])
+
+    def value(self, i: int):
+        off, sz = int(self.offsets[i]), int(self.sizes[i])
+        return self.values.slice(off, sz).to_pylist()
+
+
+class LargeListViewArray(ListViewArray):
+    pass
+
+
 class ListArray(Array):
     @property
     def offsets(self) -> np.ndarray:
@@ -477,7 +546,11 @@ _ARRAY_CLASSES = {
     dt.TypeId.FIXED_SIZE_BINARY: FixedSizeBinaryArray,
     dt.TypeId.BINARY: BinaryArray, dt.TypeId.STRING: StringArray,
     dt.TypeId.LARGE_BINARY: LargeBinaryArray, dt.TypeId.LARGE_STRING: LargeStringArray,
+    dt.TypeId.BINARY_VIEW: BinaryViewArray,
+    dt.TypeId.STRING_VIEW: StringViewArray,
     dt.TypeId.LIST: ListArray, dt.TypeId.LARGE_LIST: LargeListArray,
+    dt.TypeId.LIST_VIEW: ListViewArray,
+    dt.TypeId.LARGE_LIST_VIEW: LargeListViewArray,
     dt.TypeId.FIXED_SIZE_LIST: FixedSizeListArray,
     dt.TypeId.STRUCT: StructArray, dt.TypeId.MAP: MapArray,
     dt.TypeId.SPARSE_UNION: UnionArray, dt.TypeId.DENSE_UNION: UnionArray,

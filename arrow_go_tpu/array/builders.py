@@ -232,6 +232,82 @@ class BinaryBuilder(Builder):
         return make_array(out)
 
 
+class BinaryViewBuilder(Builder):
+    """Builds BinaryView/StringView arrays: 16-byte view structs with
+    values <= 12 bytes inlined, longer values in one variadic data buffer
+    (buffer index 0). Reference arrow/array/binary_view builder."""
+
+    def __init__(self, type: dt.DataType = dt.binary_view):
+        super().__init__(type)
+        self._views = bytearray()
+        self._data = bytearray()
+
+    def append(self, v) -> None:
+        if isinstance(v, str):
+            v = v.encode("utf-8")
+        v = bytes(v)
+        self._valid.append(True)
+        ln = len(v)
+        if ln <= 12:
+            self._views.extend(np.int32(ln).tobytes())
+            self._views.extend(v)
+            self._views.extend(b"\0" * (12 - ln))
+        else:
+            off = len(self._data)
+            self._data.extend(v)
+            self._views.extend(np.array([ln], dtype=np.int32).tobytes())
+            self._views.extend(v[:4])
+            self._views.extend(np.array([0, off], dtype=np.int32).tobytes())
+
+    def append_null(self) -> None:
+        self._valid.append(False)
+        self._views.extend(b"\0" * 16)
+
+    def finish(self) -> Array:
+        bufs = [self._validity_buffer(),
+                Buffer.from_bytes(bytes(self._views))]
+        if self._data:
+            bufs.append(Buffer.from_bytes(bytes(self._data)))
+        out = ArrayData(self.type, len(self._valid), bufs,
+                        null_count=self.null_count)
+        self._valid, self._views, self._data = [], bytearray(), bytearray()
+        return make_array(out)
+
+
+class ListViewBuilder(Builder):
+    """Builds ListView/LargeListView arrays: independent offsets + sizes
+    buffers over a child values array."""
+
+    def __init__(self, type: dt.ListViewType):
+        super().__init__(type)
+        self.value_builder = make_builder(type.value_type)
+        self._offsets: List[int] = []
+        self._sizes: List[int] = []
+
+    def append(self, v) -> None:
+        self._valid.append(True)
+        self._offsets.append(len(self.value_builder))
+        self.value_builder.append_values(v)
+        self._sizes.append(len(self.value_builder) - self._offsets[-1])
+
+    def append_null(self) -> None:
+        self._valid.append(False)
+        self._offsets.append(len(self.value_builder))
+        self._sizes.append(0)
+
+    def finish(self) -> Array:
+        values = self.value_builder.finish()
+        odt = self.type.offset_dtype
+        out = ArrayData(
+            self.type, len(self._valid),
+            [self._validity_buffer(),
+             Buffer.wrap(np.array(self._offsets, dtype=odt)),
+             Buffer.wrap(np.array(self._sizes, dtype=odt))],
+            children=[values.data], null_count=self.null_count)
+        self._valid, self._offsets, self._sizes = [], [], []
+        return make_array(out)
+
+
 class ListBuilder(Builder):
     def __init__(self, type: dt.ListType):
         super().__init__(type)
@@ -437,8 +513,12 @@ def make_builder(type: dt.DataType) -> Builder:
     if tid in (dt.TypeId.BINARY, dt.TypeId.STRING,
                dt.TypeId.LARGE_BINARY, dt.TypeId.LARGE_STRING):
         return BinaryBuilder(type)
+    if tid in (dt.TypeId.BINARY_VIEW, dt.TypeId.STRING_VIEW):
+        return BinaryViewBuilder(type)
     if tid in (dt.TypeId.LIST, dt.TypeId.LARGE_LIST):
         return ListBuilder(type)
+    if tid in (dt.TypeId.LIST_VIEW, dt.TypeId.LARGE_LIST_VIEW):
+        return ListViewBuilder(type)
     if tid == dt.TypeId.MAP:
         return MapBuilder(type)
     if tid == dt.TypeId.FIXED_SIZE_LIST:

@@ -64,6 +64,10 @@ def can_cast(from_t: dt.DataType, to_t: dt.DataType) -> bool:
         return True
     if to_t.is_binary_like and (from_t.is_numeric or from_t.id == dt.TypeId.BOOL):
         return True
+    list_kinds = (dt.TypeId.LIST, dt.TypeId.LARGE_LIST, dt.TypeId.LIST_VIEW,
+                  dt.TypeId.LARGE_LIST_VIEW, dt.TypeId.FIXED_SIZE_LIST)
+    if from_t.id in list_kinds and to_t.id in list_kinds:
+        return can_cast(from_t.value_type, to_t.value_type)
     return False
 
 
@@ -227,11 +231,46 @@ def cast_host(arr, to_t: dt.DataType,
         return cast_host(arr.decode(), to_t, options)
 
     if from_t.is_binary_like and to_t.is_binary_like:
-        # zero-copy re-type (string <-> binary share the layout)
-        d = arr.data
-        from ..array.arrays import ArrayData
-        return make_array(ArrayData(to_t, d.length, d.buffers, d.children,
-                                    d.dictionary, d._null_count, d.offset))
+        view_ids = (dt.TypeId.BINARY_VIEW, dt.TypeId.STRING_VIEW)
+        from_view, to_view = from_t.id in view_ids, to_t.id in view_ids
+        same_layout = (from_view == to_view and
+                       (from_view or
+                        from_t.offset_dtype == to_t.offset_dtype))
+        if same_layout:
+            # zero-copy re-type (string <-> binary share the layout;
+            # string_view <-> binary_view likewise)
+            d = arr.data
+            from ..array.arrays import ArrayData
+            return make_array(ArrayData(to_t, d.length, d.buffers,
+                                        d.children, d.dictionary,
+                                        d._null_count, d.offset))
+        # physical layout changes (offsets <-> views, 32 <-> 64 bit
+        # offsets): rebuild through a builder
+        from ..array.builders import make_builder
+        b = make_builder(to_t)
+        decode = to_t.id in (dt.TypeId.STRING, dt.TypeId.LARGE_STRING,
+                             dt.TypeId.STRING_VIEW)
+        for i in range(len(arr)):
+            if arr.is_null(i):
+                b.append_null()
+                continue
+            v = arr.value_bytes(i)
+            b.append(v.decode("utf-8") if decode else v)
+        return b.finish()
+
+    list_kinds = (dt.TypeId.LIST, dt.TypeId.LARGE_LIST, dt.TypeId.LIST_VIEW,
+                  dt.TypeId.LARGE_LIST_VIEW, dt.TypeId.FIXED_SIZE_LIST)
+    if from_t.id in list_kinds and to_t.id in list_kinds:
+        # list <-> list_view <-> large variants: rebuild offsets/sizes
+        # (reference cast list kernels, internal/kernels/cast.go list paths)
+        from ..array.builders import make_builder
+        b = make_builder(to_t)
+        for i in range(len(arr)):
+            if arr.is_null(i):
+                b.append_null()
+            else:
+                b.append(arr.value(i))
+        return b.finish()
 
     out = []
     if from_t.is_binary_like:

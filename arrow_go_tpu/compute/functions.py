@@ -738,8 +738,12 @@ def _exec_cast(a, options=None):
         from_t = a.type
         storage = from_t.value_type if from_t.id == dt.TypeId.DICTIONARY \
             else from_t
+        list_kinds = (dt.TypeId.LIST, dt.TypeId.LARGE_LIST,
+                      dt.TypeId.LIST_VIEW, dt.TypeId.LARGE_LIST_VIEW,
+                      dt.TypeId.FIXED_SIZE_LIST)
         if storage.is_binary_like or to_t.is_binary_like or \
-                storage.is_decimal or to_t.is_decimal:
+                storage.is_decimal or to_t.is_decimal or \
+                (storage.id in list_kinds and to_t.id in list_kinds):
             return cast_mod.cast_host(a, to_t, opts)
         if isinstance(a, ChunkedArray):
             a = a.combine()

@@ -152,8 +152,8 @@ def to_device(arr: Array, pad: Optional[int] = None) -> DeviceColumn:
         uniq, codes_np = np.unique(vals, return_inverse=True)
         codes = np.zeros(P, dtype=np.int32)
         codes[:n] = codes_np.astype(np.int32)
-        from ..array.builders import BinaryBuilder
-        bb = BinaryBuilder(t)
+        from ..array.builders import make_builder
+        bb = make_builder(t)
         for u in uniq.tolist():
             bb.append(u)
         dict_host = bb.finish()

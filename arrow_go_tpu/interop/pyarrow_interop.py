@@ -47,6 +47,8 @@ def type_to_pyarrow(t: dt.DataType):
         dt.TypeId.LARGE_BINARY: pa.large_binary(),
         dt.TypeId.DATE32: pa.date32(), dt.TypeId.DATE64: pa.date64(),
         dt.TypeId.INTERVAL_MONTH_DAY_NANO: pa.month_day_nano_interval(),
+        dt.TypeId.STRING_VIEW: pa.string_view(),
+        dt.TypeId.BINARY_VIEW: pa.binary_view(),
     }
     if tid in simple:
         return simple[tid]
@@ -73,6 +75,12 @@ def type_to_pyarrow(t: dt.DataType):
                                  t.value_field.nullable))
     if tid == dt.TypeId.LARGE_LIST:
         return pa.large_list(type_to_pyarrow(t.value_type))
+    if tid == dt.TypeId.LIST_VIEW:
+        return pa.list_view(pa.field(t.value_field.name,
+                                     type_to_pyarrow(t.value_type),
+                                     t.value_field.nullable))
+    if tid == dt.TypeId.LARGE_LIST_VIEW:
+        return pa.large_list_view(type_to_pyarrow(t.value_type))
     if tid == dt.TypeId.FIXED_SIZE_LIST:
         return pa.list_(type_to_pyarrow(t.value_type), t.list_size)
     if tid == dt.TypeId.STRUCT:
@@ -110,7 +118,8 @@ def type_from_pyarrow(t) -> dt.DataType:
               "double": dt.float64, "string": dt.string, "binary": dt.binary,
               "large_string": dt.large_string, "large_binary": dt.large_binary,
               "date32[day]": dt.date32, "date64[ms]": dt.date64,
-              "month_day_nano_interval": dt.month_day_nano_interval}
+              "month_day_nano_interval": dt.month_day_nano_interval,
+              "string_view": dt.string_view, "binary_view": dt.binary_view}
     s = str(t)
     if s in simple:
         return simple[s]
@@ -141,6 +150,14 @@ def type_from_pyarrow(t) -> dt.DataType:
         return dt.large_list(dt.Field(t.value_field.name,
                                       type_from_pyarrow(t.value_type),
                                       t.value_field.nullable))
+    if pt.is_list_view(t):
+        return dt.ListViewType(dt.Field(t.value_field.name,
+                                        type_from_pyarrow(t.value_type),
+                                        t.value_field.nullable))
+    if pt.is_large_list_view(t):
+        return dt.LargeListViewType(dt.Field(t.value_field.name,
+                                             type_from_pyarrow(t.value_type),
+                                             t.value_field.nullable))
     if pt.is_list(t):
         return dt.list_(dt.Field(t.value_field.name,
                                  type_from_pyarrow(t.value_type),
@@ -272,6 +289,12 @@ def _data_from_pyarrow(parr, t: dt.DataType) -> Array:
         bufs = [_pa_buf_to_ours(parr.buffers()[0])]
         child = array_from_pyarrow(parr.values).data
         return make_array(ArrayData(t, len(parr), bufs, [child],
+                                    null_count=parr.null_count,
+                                    offset=parr.offset))
+    if t.id in (dt.TypeId.BINARY_VIEW, dt.TypeId.STRING_VIEW):
+        # views: validity + views + ALL variadic data buffers
+        bufs = [_pa_buf_to_ours(b) for b in parr.buffers()]
+        return make_array(ArrayData(t, len(parr), bufs,
                                     null_count=parr.null_count,
                                     offset=parr.offset))
     flat = (t.is_fixed_width or t.is_binary_like or t.is_decimal)

@@ -90,9 +90,11 @@ def _validity_bytes(data: ArrayData) -> bytes:
 
 
 def collect_body(data: ArrayData, nodes: List[FieldNode],
-                 buffers: List[bytes]) -> None:
+                 buffers: List[bytes],
+                 variadic: Optional[List[int]] = None) -> None:
     """Recursive visit: append FieldNodes + raw buffer bytes
-    (reference writer.go visit)."""
+    (reference writer.go visit). `variadic` collects the per-view-field
+    variadic data-buffer counts (spec RecordBatch.variadicBufferCounts)."""
     if data.offset or _has_offset_children(data):
         data = compact(data)
     t = data.type
@@ -106,11 +108,11 @@ def collect_body(data: ArrayData, nodes: List[FieldNode],
         if tid == dt.TypeId.DENSE_UNION:
             buffers.append(data.buffers[1].data[: data.length * 4].tobytes())
         for c in data.children:
-            collect_body(c, nodes, buffers)
+            collect_body(c, nodes, buffers, variadic)
         return
     if tid == dt.TypeId.RUN_END_ENCODED:
         for c in data.children:
-            collect_body(c, nodes, buffers)
+            collect_body(c, nodes, buffers, variadic)
         return
 
     buffers.append(_validity_bytes(data))
@@ -131,6 +133,20 @@ def collect_body(data: ArrayData, nodes: List[FieldNode],
         w = t.index_type.np_dtype.itemsize
         buffers.append(data.buffers[1].data[: data.length * w].tobytes())
         return
+    if tid in (dt.TypeId.BINARY_VIEW, dt.TypeId.STRING_VIEW):
+        buffers.append(data.buffers[1].data[: data.length * 16].tobytes())
+        data_bufs = data.buffers[2:]
+        for db in data_bufs:
+            buffers.append(db.data.tobytes())
+        if variadic is not None:
+            variadic.append(len(data_bufs))
+        return
+    if tid in (dt.TypeId.LIST_VIEW, dt.TypeId.LARGE_LIST_VIEW):
+        ow = t.offset_dtype.itemsize
+        buffers.append(data.buffers[1].data[: data.length * ow].tobytes())
+        buffers.append(data.buffers[2].data[: data.length * ow].tobytes())
+        collect_body(data.children[0], nodes, buffers, variadic)
+        return
     if t.is_binary_like:
         ow = t.offset_dtype.itemsize
         offsets = data.buffers[1].data[: (data.length + 1) * ow]
@@ -142,11 +158,11 @@ def collect_body(data: ArrayData, nodes: List[FieldNode],
     if tid in (dt.TypeId.LIST, dt.TypeId.LARGE_LIST, dt.TypeId.MAP):
         ow = t.offset_dtype.itemsize
         buffers.append(data.buffers[1].data[: (data.length + 1) * ow].tobytes())
-        collect_body(data.children[0], nodes, buffers)
+        collect_body(data.children[0], nodes, buffers, variadic)
         return
     if tid in (dt.TypeId.FIXED_SIZE_LIST, dt.TypeId.STRUCT):
         for c in data.children:
-            collect_body(c, nodes, buffers)
+            collect_body(c, nodes, buffers, variadic)
         return
     raise NotImplementedError(f"IPC body for {t}")
 
@@ -160,8 +176,9 @@ def build_record_batch_message(
     wraps the RecordBatch in a DictionaryBatch header."""
     nodes: List[FieldNode] = []
     raw: List[bytes] = []
+    variadic: List[int] = []
     for col in columns:
-        collect_body(col, nodes, raw)
+        collect_body(col, nodes, raw, variadic)
 
     # optionally compress each buffer (ZSTD, int64 length prefix)
     if compression == "zstd":
@@ -214,6 +231,13 @@ def build_record_batch_message(
         b.PrependInt64(node.length)
     node_vec = b.EndVector()
 
+    var_vec = None
+    if variadic:
+        b.StartVector(8, len(variadic), 8)
+        for v in reversed(variadic):
+            b.PrependInt64(v)
+        var_vec = b.EndVector()
+
     comp_off = None
     if compression in ("zstd", "lz4"):
         b.StartObject(2)
@@ -228,6 +252,8 @@ def build_record_batch_message(
     b.PrependUOffsetTRelativeSlot(2, buf_vec, 0)
     if comp_off is not None:
         b.PrependUOffsetTRelativeSlot(3, comp_off, 0)
+    if var_vec is not None:
+        b.PrependUOffsetTRelativeSlot(4, var_vec, 0)
     rb_off = b.EndObject()
 
     header_type = md.MSG_RECORD_BATCH
@@ -282,6 +308,7 @@ class BodyReader:
         self.body = body
         self.node_i = 0
         self.buf_i = 0
+        self.var_i = 0
         comp = rb.table(3)
         self.codec = None
         if comp is not None:
@@ -304,6 +331,13 @@ class BodyReader:
         length = self.rb.tab.Get(N.Int64Flags, pos)
         nulls = self.rb.tab.Get(N.Int64Flags, pos + 8)
         return FieldNode(length, nulls)
+
+    def next_variadic(self) -> int:
+        """Next per-view-field variadic buffer count (slot 4 of
+        RecordBatch: variadicBufferCounts)."""
+        v = self.rb.vector_i64(4, self.var_i)
+        self.var_i += 1
+        return v
 
     def next_buffer(self) -> bytes:
         pos = self.rb.vector_struct_pos(2, self.buf_i, 16)
@@ -370,6 +404,16 @@ def load_array(br: BodyReader, t: dt.DataType,
             if dict_arr is not None:
                 data.dictionary = dict_arr
         return data
+    if tid in (dt.TypeId.BINARY_VIEW, dt.TypeId.STRING_VIEW):
+        views = buf()
+        nvar = br.next_variadic()
+        bufs = [vb, views] + [buf() for _ in range(nvar)]
+        return ArrayData(t, n, bufs, null_count=nc)
+    if tid in (dt.TypeId.LIST_VIEW, dt.TypeId.LARGE_LIST_VIEW):
+        bufs = [vb, buf(), buf()]
+        child = load_array(br, t.fields()[0].type, dictionaries, dict_id_of,
+                           t.fields()[0])
+        return ArrayData(t, n, bufs, [child], null_count=nc)
     if t.is_binary_like:
         return ArrayData(t, n, [vb, buf(), buf()], null_count=nc)
     if tid in (dt.TypeId.LIST, dt.TypeId.LARGE_LIST, dt.TypeId.MAP):

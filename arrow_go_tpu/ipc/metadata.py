@@ -146,6 +146,18 @@ def write_type(b: flatbuffers.Builder, t: dt.DataType):
     if tid == dt.TypeId.RUN_END_ENCODED:
         _start(b, 0)
         return T_REE, _end(b)
+    if tid == dt.TypeId.BINARY_VIEW:
+        _start(b, 0)
+        return T_BINARY_VIEW, _end(b)
+    if tid == dt.TypeId.STRING_VIEW:
+        _start(b, 0)
+        return T_UTF8_VIEW, _end(b)
+    if tid == dt.TypeId.LIST_VIEW:
+        _start(b, 0)
+        return T_LIST_VIEW, _end(b)
+    if tid == dt.TypeId.LARGE_LIST_VIEW:
+        _start(b, 0)
+        return T_LARGE_LIST_VIEW, _end(b)
     raise NotImplementedError(f"IPC write of type {t}")
 
 
@@ -300,6 +312,14 @@ def read_type(disc: int, tr: Reader, children: list) -> dt.DataType:
             children, codes)
     if disc == T_REE:
         return dt.RunEndEncodedType(children[0].type, children[1].type)
+    if disc == T_BINARY_VIEW:
+        return dt.binary_view
+    if disc == T_UTF8_VIEW:
+        return dt.string_view
+    if disc == T_LIST_VIEW:
+        return dt.ListViewType(children[0])
+    if disc == T_LARGE_LIST_VIEW:
+        return dt.LargeListViewType(children[0])
     raise NotImplementedError(f"IPC read of type discriminant {disc}")
 
 

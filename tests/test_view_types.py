@@ -1,0 +1,153 @@
+"""View types (BinaryView/StringView/ListView/LargeListView): arrays,
+builders, IPC with variadic buffers, casts, device ingest — verified
+against pyarrow (reference arrow/array/binary_view.go, list views, and
+the VariadicBufferCounts IPC protocol in format/Message.fbs)."""
+import io
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.ipc as paipc
+import pytest
+
+import arrow_go_tpu as agt
+from arrow_go_tpu import compute as pc
+from arrow_go_tpu import dtypes as dt
+from arrow_go_tpu.array.builders import make_builder
+from arrow_go_tpu.array.concat import concat_arrays
+from arrow_go_tpu.array.record import RecordBatch
+from arrow_go_tpu.interop.pyarrow_interop import (array_from_pyarrow,
+                                                  array_to_pyarrow)
+from arrow_go_tpu.ipc import StreamReader, StreamWriter
+
+SVALS = ["short", "a" * 25, None, "", "exactly12chr", "exactly13chrs"]
+BVALS = [b"x" * 40, None, b"yo", b"", b"k" * 13]
+LVALS = [[1, 2, 3], None, [], [7], [9, 9]]
+LVT = dt.ListViewType(dt.Field("item", dt.int64, True))
+
+
+def mk(t, vals):
+    b = make_builder(t)
+    for v in vals:
+        b.append(v) if v is not None else b.append_null()
+    return b.finish()
+
+
+def test_view_builders_and_access():
+    sv = mk(dt.string_view, SVALS)
+    assert sv.to_pylist() == SVALS
+    assert sv.null_count == 1
+    bv = mk(dt.binary_view, BVALS)
+    assert bv.to_pylist() == BVALS
+    lv = mk(LVT, LVALS)
+    assert lv.to_pylist() == LVALS
+    llv = mk(dt.LargeListViewType(dt.Field("item", dt.string, True)),
+             [["a", "b"], None, ["c"]])
+    assert llv.to_pylist() == [["a", "b"], None, ["c"]]
+    # slicing
+    assert sv.slice(1, 3).to_pylist() == SVALS[1:4]
+    assert lv.slice(2, 2).to_pylist() == LVALS[2:4]
+
+
+def test_view_ipc_roundtrip_ours():
+    sv, bv, lv = mk(dt.string_view, SVALS[:5]), mk(dt.binary_view, BVALS), \
+        mk(LVT, LVALS)
+    schema = dt.Schema([dt.Field("s", dt.string_view, True),
+                        dt.Field("b", dt.binary_view, True),
+                        dt.Field("l", LVT, True)])
+    rb = RecordBatch(schema, [sv, bv, lv], 5)
+    buf = io.BytesIO()
+    w = StreamWriter(buf, schema)
+    w.write(rb)
+    w.close()
+    buf.seek(0)
+    out = next(iter(StreamReader(buf)))
+    for i, c in enumerate(out.columns):
+        assert c.to_pylist() == rb.columns[i].to_pylist()
+
+
+def test_view_ipc_pyarrow_reads_ours():
+    sv, lv = mk(dt.string_view, SVALS[:5]), mk(LVT, LVALS)
+    schema = dt.Schema([dt.Field("s", dt.string_view, True),
+                        dt.Field("l", LVT, True)])
+    buf = io.BytesIO()
+    w = StreamWriter(buf, schema)
+    w.write(RecordBatch(schema, [sv, lv], 5))
+    w.close()
+    pt = paipc.open_stream(buf.getvalue()).read_all()
+    pt.validate(full=True)
+    assert pt.column("s").to_pylist() == sv.to_pylist()
+    assert pt.column("l").to_pylist() == lv.to_pylist()
+
+
+def test_view_ipc_ours_reads_pyarrow():
+    pas = pa.schema([pa.field("s", pa.string_view()),
+                     pa.field("b", pa.binary_view()),
+                     pa.field("l", pa.list_view(pa.int64())),
+                     pa.field("ll", pa.large_list_view(pa.utf8()))])
+    prb = pa.record_batch(
+        [pa.array(["hello", "world" * 8, None], pa.string_view()),
+         pa.array([b"\x01" * 30, b"", None], pa.binary_view()),
+         pa.array([[1], [2, 3], None], pa.list_view(pa.int64())),
+         pa.array([["x"], None, ["y", "z"]], pa.large_list_view(pa.utf8()))],
+        schema=pas)
+    sink = pa.BufferOutputStream()
+    pw = paipc.new_stream(sink, pas)
+    pw.write(prb)
+    pw.close()
+    ob = next(iter(StreamReader(io.BytesIO(sink.getvalue().to_pybytes()))))
+    for i in range(4):
+        assert ob.columns[i].to_pylist() == prb.column(i).to_pylist()
+
+
+def test_view_pyarrow_interop_direct():
+    sv = mk(dt.string_view, SVALS)
+    psv = array_to_pyarrow(sv)
+    assert psv.type == pa.string_view()
+    assert psv.to_pylist() == SVALS
+    back = array_from_pyarrow(psv)
+    assert back.type == dt.string_view
+    assert back.to_pylist() == SVALS
+    plv = pa.array(LVALS, pa.list_view(pa.int64()))
+    ours = array_from_pyarrow(plv)
+    assert ours.to_pylist() == LVALS
+
+
+def test_view_casts():
+    sv = mk(dt.string_view, SVALS)
+    s = pc.cast(sv, dt.string)
+    assert s.type == dt.string and s.to_pylist() == SVALS
+    back = pc.cast(s, dt.string_view)
+    assert back.type == dt.string_view and back.to_pylist() == SVALS
+    bv = pc.cast(sv, dt.binary_view)  # zero-copy retype
+    assert bv.to_pylist() == [v.encode() if isinstance(v, str) else v
+                              for v in SVALS]
+    lb = pc.cast(mk(LVT, LVALS), dt.list_(dt.int64))
+    assert lb.type.id == dt.TypeId.LIST and lb.to_pylist() == LVALS
+    lv2 = pc.cast(lb, LVT)
+    assert lv2.type.id == dt.TypeId.LIST_VIEW and lv2.to_pylist() == LVALS
+
+
+def test_view_concat_and_compute():
+    a = mk(dt.string_view, ["a", "bb" * 10])
+    b = mk(dt.string_view, [None, "ccc"])
+    cat = concat_arrays([a, b], dt.string_view)
+    assert cat.to_pylist() == ["a", "bb" * 10, None, "ccc"]
+    # device ingest: dictionary-encodes, equality compute works
+    sv = mk(dt.string_view, ["x", "y", "x", None])
+    eq = pc.equal(sv, "x")
+    assert eq.to_pylist() == [True, False, True, None]
+    # filter/take on view arrays
+    took = pc.take(sv, agt.array([2, 0], dt.int32))
+    assert took.to_pylist() == ["x", "x"]
+
+
+def test_view_sliced_ipc_compaction():
+    sv = mk(dt.string_view, SVALS).slice(1, 4)
+    schema = dt.Schema([dt.Field("s", dt.string_view, True)])
+    buf = io.BytesIO()
+    w = StreamWriter(buf, schema)
+    w.write(RecordBatch(schema, [sv], 4))
+    w.close()
+    pt = paipc.open_stream(buf.getvalue()).read_all()
+    pt.validate(full=True)
+    assert pt.column("s").to_pylist() == SVALS[1:5]
