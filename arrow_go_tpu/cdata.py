@@ -45,6 +45,13 @@ struct ArrowArray {
   void (*release)(struct ArrowArray*);
   void* private_data;
 };
+struct ArrowArrayStream {
+  int (*get_schema)(struct ArrowArrayStream*, struct ArrowSchema* out);
+  int (*get_next)(struct ArrowArrayStream*, struct ArrowArray* out);
+  const char* (*get_last_error)(struct ArrowArrayStream*);
+  void (*release)(struct ArrowArrayStream*);
+  void* private_data;
+};
 """)
 
 ARROW_FLAG_NULLABLE = 2
@@ -401,3 +408,186 @@ def schema_handles() -> Tuple[int, int]:
     a = ffi.new("struct ArrowArray *")
     _keep.add([s, a])
     return int(ffi.cast("intptr_t", s)), int(ffi.cast("intptr_t", a))
+
+
+# ---------------------------------------------------------------------------
+# ArrowArrayStream (reference arrow/cdata ArrowArrayStream in abi.h +
+# cdata.go ImportCRecordBatchStream / ExportRecordBatchReader)
+# ---------------------------------------------------------------------------
+
+def _batch_to_struct_data(rb) -> ArrayData:
+    """RecordBatch -> top-level struct ArrayData (the C stream convention)."""
+    t = dt.struct([dt.Field(f.name, f.type, f.nullable)
+                   for f in rb.schema.fields])
+    return ArrayData(t, rb.num_rows, [None],
+                     children=[c.data for c in rb.columns], null_count=0)
+
+
+def _struct_data_to_batch(data: ArrayData, schema: dt.Schema):
+    from .array.record import RecordBatch
+    cols = [make_array(c) for c in data.children]
+    return RecordBatch(schema, cols, data.length)
+
+
+class _StreamState:
+    __slots__ = ("schema", "it", "error")
+
+    def __init__(self, schema: dt.Schema, it):
+        self.schema = schema
+        self.it = it
+        self.error = b""
+
+
+_streams: Dict[int, _StreamState] = {}
+
+
+def _stream_state(ptr) -> Optional[_StreamState]:
+    return _streams.get(int(ffi.cast("intptr_t", ptr.private_data)))
+
+
+@ffi.callback("int(struct ArrowArrayStream*, struct ArrowSchema*)")
+def _stream_get_schema(ptr, out):
+    st = _stream_state(ptr)
+    if st is None:
+        return 22  # EINVAL
+    try:
+        t = dt.struct([dt.Field(f.name, f.type, f.nullable)
+                       for f in st.schema.fields])
+        export_schema(dt.Field("", t, False), out)
+        return 0
+    except Exception as e:  # noqa: BLE001 - must not unwind into C
+        st.error = str(e).encode() + b"\0"
+        return 5  # EIO
+
+
+@ffi.callback("int(struct ArrowArrayStream*, struct ArrowArray*)")
+def _stream_get_next(ptr, out):
+    st = _stream_state(ptr)
+    if st is None:
+        return 22
+    try:
+        rb = next(st.it, None)
+        if rb is None:
+            out.release = ffi.NULL  # end of stream
+            return 0
+        data = _batch_to_struct_data(rb)
+        keep: list = []
+        _fill_array(out, data, keep)
+        h = _keep.add(keep)
+        out.private_data = ffi.cast("void*", h)
+        out.release = _release_array
+        return 0
+    except Exception as e:  # noqa: BLE001
+        st.error = str(e).encode() + b"\0"
+        return 5
+
+
+@ffi.callback("const char*(struct ArrowArrayStream*)")
+def _stream_get_last_error(ptr):
+    st = _stream_state(ptr)
+    if st is None or not st.error:
+        return ffi.NULL
+    buf = ffi.new("char[]", st.error)
+    _keep.add([buf])
+    return buf
+
+
+@ffi.callback("void(struct ArrowArrayStream*)")
+def _stream_release(ptr):
+    _streams.pop(int(ffi.cast("intptr_t", ptr.private_data)), None)
+    ptr.release = ffi.NULL
+
+
+_stream_next_handle = [1]
+
+
+def export_stream(source, out_stream_ptr) -> None:
+    """Export a Table / iterable of RecordBatches as an ArrowArrayStream.
+
+    `source` is a Table, or a (schema, iterator-of-RecordBatch) pair, or
+    anything with `.schema` and `__iter__` yielding RecordBatches.
+    """
+    from .array.record import Table
+    if isinstance(source, Table):
+        schema, it = source.schema, iter(source.to_batches())
+    elif isinstance(source, tuple):
+        schema, it = source[0], iter(source[1])
+    else:
+        schema, it = source.schema, iter(source)
+    c = _as_ptr(out_stream_ptr, "struct ArrowArrayStream *")
+    h = _stream_next_handle[0]
+    _stream_next_handle[0] += 1
+    _streams[h] = _StreamState(schema, it)
+    c.private_data = ffi.cast("void*", h)
+    c.get_schema = _stream_get_schema
+    c.get_next = _stream_get_next
+    c.get_last_error = _stream_get_last_error
+    c.release = _stream_release
+
+
+class RecordBatchStreamReader:
+    """Pull-based consumer of a foreign ArrowArrayStream (copies out)."""
+
+    def __init__(self, stream_ptr):
+        self._c = _as_ptr(stream_ptr, "struct ArrowArrayStream *")
+        s = ffi.new("struct ArrowSchema *")
+        rc = self._c.get_schema(self._c, s)
+        if rc != 0:
+            raise ArrowInvalid(f"get_schema failed: {self._last_error(rc)}")
+        f = import_field(s)
+        if s.release != ffi.NULL:
+            s.release(s)
+        self.schema = dt.Schema([dt.Field(cf.name, cf.type, cf.nullable)
+                                 for cf in f.type.fields()])
+        self._struct_type = f.type
+        self._done = False
+
+    def _last_error(self, rc: int) -> str:
+        if self._c.get_last_error != ffi.NULL:
+            e = self._c.get_last_error(self._c)
+            if e != ffi.NULL:
+                return ffi.string(e).decode(errors="replace")
+        return f"errno {rc}"
+
+    def read_next_batch(self):
+        if self._done:
+            return None
+        a = ffi.new("struct ArrowArray *")
+        rc = self._c.get_next(self._c, a)
+        if rc != 0:
+            raise ArrowInvalid(f"get_next failed: {self._last_error(rc)}")
+        if a.release == ffi.NULL:  # end of stream
+            self._done = True
+            self._release_stream()
+            return None
+        data = _import_data(a, self._struct_type)
+        if a.release != ffi.NULL:
+            a.release(a)
+        return _struct_data_to_batch(data, self.schema)
+
+    def _release_stream(self):
+        if self._c.release != ffi.NULL:
+            self._c.release(self._c)
+
+    def __iter__(self):
+        while True:
+            rb = self.read_next_batch()
+            if rb is None:
+                return
+            yield rb
+
+    def read_all(self):
+        from .array.record import Table
+        return Table.from_batches(list(self), self.schema)
+
+
+def import_stream(stream_ptr) -> RecordBatchStreamReader:
+    """ArrowArrayStream* (address or cffi ptr) -> stream reader."""
+    return RecordBatchStreamReader(stream_ptr)
+
+
+def stream_handle() -> int:
+    """Allocate an ArrowArrayStream struct; returns its address."""
+    s = ffi.new("struct ArrowArrayStream *")
+    _keep.add([s])
+    return int(ffi.cast("intptr_t", s))

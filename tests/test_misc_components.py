@@ -195,3 +195,53 @@ def test_decimal_128bit_magnitudes():
         [D.Decimal(-2 * 10**30), D.Decimal(2 * 10**30)]
     e15 = agt.array([D.Decimal(10**15)], dt.decimal128(38, 0))
     assert pc.multiply(e15, e15).to_pylist() == [D.Decimal(10**30)]
+
+
+# -- c stream interface -------------------------------------------------------
+
+def test_cdata_stream_export_to_pyarrow():
+    pa = pytest.importorskip("pyarrow")
+    from arrow_go_tpu import cdata
+    from arrow_go_tpu.array.record import RecordBatch, Table
+    schema = dt.Schema([dt.Field("a", dt.int64, True),
+                        dt.Field("s", dt.string, True)])
+    rb1 = RecordBatch(schema, [agt.array([1, 2, None]),
+                               agt.array(["x", "y", None], dt.string)], 3)
+    rb2 = RecordBatch(schema, [agt.array([4]),
+                               agt.array(["z"], dt.string)], 1)
+    t = Table.from_batches([rb1, rb2], schema)
+    h = cdata.stream_handle()
+    cdata.export_stream(t, h)
+    pr = pa.RecordBatchReader._import_from_c(h)
+    pt = pr.read_all()
+    pt.validate(full=True)
+    assert pt.column("a").to_pylist() == [1, 2, None, 4]
+    assert pt.column("s").to_pylist() == ["x", "y", None, "z"]
+
+
+def test_cdata_stream_import_from_pyarrow():
+    pa = pytest.importorskip("pyarrow")
+    from arrow_go_tpu import cdata
+    pas = pa.schema([("k", pa.int32()), ("v", pa.float64())])
+    batches = [pa.record_batch([pa.array([1, 2], pa.int32()),
+                                pa.array([0.5, None])], schema=pas),
+               pa.record_batch([pa.array([3], pa.int32()),
+                                pa.array([2.5])], schema=pas)]
+    reader = pa.RecordBatchReader.from_batches(pas, batches)
+    h = cdata.stream_handle()
+    reader._export_to_c(h)
+    tbl = cdata.import_stream(h).read_all()
+    assert tbl.column("k").to_pylist() == [1, 2, 3]
+    assert tbl.column("v").to_pylist() == [0.5, None, 2.5]
+
+
+def test_cdata_stream_roundtrip_ours():
+    from arrow_go_tpu import cdata
+    from arrow_go_tpu.array.record import RecordBatch, Table
+    schema = dt.Schema([dt.Field("x", dt.float64, True)])
+    rb = RecordBatch(schema, [agt.array([1.5, None, 2.5])], 3)
+    t = Table.from_batches([rb], schema)
+    h = cdata.stream_handle()
+    cdata.export_stream(t, h)
+    back = cdata.import_stream(h).read_all()
+    assert back.column("x").to_pylist() == [1.5, None, 2.5]
