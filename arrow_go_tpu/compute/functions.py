@@ -622,6 +622,7 @@ def register_all(reg: FunctionRegistry) -> None:
                               _mk_bool(op)))
     reg.register(Function("invert", FunctionKind.SCALAR, Arity.unary(),
                           lambda a, options=None: kernels.invert(a)))
+    reg.add_alias("not", "invert")  # reference scalar_bool.go "not"
 
     # validity predicates
     reg.register(Function("is_null", FunctionKind.SCALAR, Arity.unary(),

@@ -71,6 +71,60 @@ class OpaqueType(dt.ExtensionType):
         self.vendor_name = vendor_name
 
 
+class TimestampWithOffsetType(dt.ExtensionType):
+    """arrow.timestamp_with_offset — a timestamp column carrying a per-row
+    timezone offset (reference arrow/extensions/timestamp_with_offset.go:36).
+
+    Storage: struct<timestamp: timestamp[unit, tz=UTC] not null,
+    offset_minutes: int16 | dictionary(int16) | ree(int16) not null>.
+    """
+
+    def __init__(self, unit: str = "s",
+                 offset_type: Optional[dt.DataType] = None):
+        if offset_type is None:
+            offset_type = dt.int16
+        if not self._offset_type_ok(offset_type):
+            raise ArrowInvalid(
+                f"invalid offset type {offset_type} for "
+                "arrow.timestamp_with_offset")
+        storage = dt.struct([
+            dt.field("timestamp", dt.timestamp(unit, "UTC"), False),
+            dt.field("offset_minutes", offset_type, False),
+        ])
+        super().__init__(storage, "arrow.timestamp_with_offset")
+        self.unit = unit
+        self.offset_type = offset_type
+
+    @staticmethod
+    def _offset_type_ok(t: dt.DataType) -> bool:
+        # int16, dictionary with int16 values, or run-end-encoded int16
+        # (reference timestamp_with_offset.go:40 isOffsetTypeOk)
+        if t.id == dt.TypeId.INT16:
+            return True
+        if t.id == dt.TypeId.DICTIONARY:
+            return t.value_type.id == dt.TypeId.INT16
+        if t.id == dt.TypeId.RUN_END_ENCODED:
+            return t.values_type.id == dt.TypeId.INT16
+        return False
+
+    @classmethod
+    def from_storage(cls, storage: dt.DataType) -> "TimestampWithOffsetType":
+        """Validate + wrap a storage type (isDataTypeCompatible analog)."""
+        if storage.id != dt.TypeId.STRUCT or len(storage.fields()) != 2:
+            raise ArrowInvalid("storage must be a 2-field struct")
+        ts_f, off_f = storage.fields()
+        if (ts_f.name != "timestamp" or ts_f.nullable
+                or ts_f.type.id != dt.TypeId.TIMESTAMP
+                or ts_f.type.tz != "UTC"):
+            raise ArrowInvalid(
+                "field 0 must be non-null timestamp[*, tz=UTC]")
+        if (off_f.name != "offset_minutes" or off_f.nullable
+                or not cls._offset_type_ok(off_f.type)):
+            raise ArrowInvalid(
+                "field 1 must be non-null offset_minutes int16")
+        return cls(ts_f.type.unit, off_f.type)
+
+
 class VariantType(dt.ExtensionType):
     """parquet.variant — struct<metadata: binary, value: binary> storage
     (reference arrow/extensions/variant.go:57 NewDefaultVariantType;
@@ -93,6 +147,7 @@ uuid = UuidType()
 json_ = JsonType()
 bool8 = Bool8Type()
 variant = VariantType()
+timestamp_with_offset = TimestampWithOffsetType()
 
-for _e in (uuid, json_, bool8, variant):
+for _e in (uuid, json_, bool8, variant, timestamp_with_offset):
     register_extension_type(_e)

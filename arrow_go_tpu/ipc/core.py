@@ -99,6 +99,14 @@ def collect_body(data: ArrayData, nodes: List[FieldNode],
         data = compact(data)
     t = data.type
     tid = t.id
+    if tid == dt.TypeId.EXTENSION:
+        # extension arrays serialize as their storage array
+        # (reference writer.go visits storage; name rides field metadata)
+        sd = ArrayData(t.storage_type, data.length, data.buffers,
+                       data.children, data.dictionary, data._null_count,
+                       data.offset)
+        collect_body(sd, nodes, buffers, variadic)
+        return
     nodes.append(FieldNode(data.length, data.null_count))
 
     if tid == dt.TypeId.NULL:
@@ -365,6 +373,10 @@ class BodyReader:
 def load_array(br: BodyReader, t: dt.DataType,
                dictionaries: Optional[dict] = None,
                dict_id_of=None, field: Optional[dt.Field] = None) -> ArrayData:
+    if t.id == dt.TypeId.EXTENSION:
+        sd = load_array(br, t.storage_type, dictionaries, dict_id_of, field)
+        return ArrayData(t, sd.length, sd.buffers, sd.children,
+                         sd.dictionary, sd._null_count, sd.offset)
     node = br.next_node()
     n, nc = node.length, node.null_count
     tid = t.id

@@ -180,6 +180,19 @@ def write_kv_vector(b, md: dt.Metadata):
 
 def write_field(b: flatbuffers.Builder, f: dt.Field, dict_ids: dict):
     t = f.type
+    field_md = f.metadata
+    if t.id == dt.TypeId.EXTENSION:
+        # extension types serialize as storage + ARROW:extension:* field
+        # metadata (Arrow spec; reference arrow/datatype_extension.go)
+        keys = list(field_md.keys) if field_md else []
+        vals = list(field_md.values) if field_md else []
+        keys += ["ARROW:extension:name"]
+        vals += [t.extension_name]
+        if t.serialized:
+            keys += ["ARROW:extension:metadata"]
+            vals += [t.serialized.decode("utf-8", "surrogateescape")]
+        field_md = dt.Metadata(keys=keys, values=vals)
+        t = t.storage_type
     storage = t
     dict_off = None
     if t.id == dt.TypeId.DICTIONARY:
@@ -205,7 +218,7 @@ def write_field(b: flatbuffers.Builder, f: dt.Field, dict_ids: dict):
 
     disc, type_off = write_type(b, storage)
     name_off = b.CreateString(f.name)
-    md_off = write_kv_vector(b, f.metadata)
+    md_off = write_kv_vector(b, field_md)
 
     _start(b, 7)
     b.PrependUOffsetTRelativeSlot(0, name_off, 0)
@@ -332,15 +345,27 @@ def read_field(r: Reader, dict_memo: dict) -> dt.Field:
                 for i in range(r.vector_len(5))]
     t = read_type(disc, tr, children)
     enc = r.table(4)
+    md = read_kv_vector(r, 6)
+    did = None
     if enc is not None:
         did = enc.i64(0)
         it = enc.table(1)
         idx_type = _INT_TYPES[(it.i32(0), it.bool_(1))] if it else dt.int32
         t = dt.DictionaryType(idx_type, t, enc.bool_(2))
-        f = dt.Field(name, t, nullable, read_kv_vector(r, 6))
+    ext_name = md.get("ARROW:extension:name") if md else None
+    if ext_name:
+        serialized = (md.get("ARROW:extension:metadata") or "").encode(
+            "utf-8", "surrogateescape")
+        t = dt.ExtensionType(t, ext_name, serialized)
+        keep = [(k, v) for k, v in zip(md.keys, md.values)
+                if not k.startswith("ARROW:extension:")]
+        md = dt.Metadata(keys=[k for k, _ in keep],
+                         values=[v for _, v in keep]) if keep \
+            else dt.EMPTY_METADATA
+    f = dt.Field(name, t, nullable, md)
+    if did is not None:
         dict_memo[did] = f
-        return f
-    return dt.Field(name, t, nullable, read_kv_vector(r, 6))
+    return f
 
 
 def read_schema(r: Reader, dict_memo: dict) -> dt.Schema:
