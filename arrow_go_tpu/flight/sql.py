@@ -52,7 +52,138 @@ SCHEMA_TABLES = dt.Schema([
     dt.Field("db_schema_name", dt.string),
     dt.Field("table_name", dt.string, False),
     dt.Field("table_type", dt.string, False)])
+SCHEMA_TABLES_WITH_SCHEMA = dt.Schema(
+    SCHEMA_TABLES.fields + [dt.Field("table_schema", dt.binary, False)])
 SCHEMA_TABLE_TYPES = dt.Schema([dt.Field("table_type", dt.string, False)])
+SCHEMA_PRIMARY_KEYS = dt.Schema([
+    dt.Field("catalog_name", dt.string),
+    dt.Field("db_schema_name", dt.string),
+    dt.Field("table_name", dt.string, False),
+    dt.Field("column_name", dt.string, False),
+    dt.Field("key_sequence", dt.int32, False),
+    dt.Field("key_name", dt.string)])
+SCHEMA_IMPORTED_EXPORTED_KEYS = dt.Schema([
+    dt.Field("pk_catalog_name", dt.string),
+    dt.Field("pk_db_schema_name", dt.string),
+    dt.Field("pk_table_name", dt.string, False),
+    dt.Field("pk_column_name", dt.string, False),
+    dt.Field("fk_catalog_name", dt.string),
+    dt.Field("fk_db_schema_name", dt.string),
+    dt.Field("fk_table_name", dt.string, False),
+    dt.Field("fk_column_name", dt.string, False),
+    dt.Field("key_sequence", dt.int32, False),
+    dt.Field("fk_key_name", dt.string),
+    dt.Field("pk_key_name", dt.string),
+    dt.Field("update_rule", dt.uint8, False),
+    dt.Field("delete_rule", dt.uint8, False)])
+SCHEMA_IMPORTED_KEYS = SCHEMA_IMPORTED_EXPORTED_KEYS
+SCHEMA_EXPORTED_KEYS = SCHEMA_IMPORTED_EXPORTED_KEYS
+SCHEMA_CROSS_REFERENCE = SCHEMA_IMPORTED_EXPORTED_KEYS
+SQL_INFO_VALUE_TYPE = dt.DenseUnionType([
+    dt.Field("string_value", dt.string),
+    dt.Field("bool_value", dt.bool_),
+    dt.Field("bigint_value", dt.int64),
+    dt.Field("int32_bitmask", dt.int32),
+    dt.Field("string_list", dt.ListType(dt.field("item", dt.string))),
+    dt.Field("int32_to_int32_list_map",
+             dt.MapType(dt.int32, dt.ListType(dt.field("item", dt.int32)))),
+], [0, 1, 2, 3, 4, 5])
+SCHEMA_SQL_INFO = dt.Schema([
+    dt.Field("info_name", dt.uint32, False),
+    dt.Field("value", SQL_INFO_VALUE_TYPE, False)])
+SCHEMA_XDBC_TYPE_INFO = dt.Schema([
+    dt.Field("type_name", dt.string, False),
+    dt.Field("data_type", dt.int32, False),
+    dt.Field("column_size", dt.int32),
+    dt.Field("literal_prefix", dt.string),
+    dt.Field("literal_suffix", dt.string),
+    dt.Field("create_params", dt.ListType(dt.field("item", dt.string, False))),
+    dt.Field("nullable", dt.int32, False),
+    dt.Field("case_sensitive", dt.bool_, False),
+    dt.Field("searchable", dt.int32, False),
+    dt.Field("unsigned_attribute", dt.bool_),
+    dt.Field("fixed_prec_scale", dt.bool_, False),
+    dt.Field("auto_increment", dt.bool_),
+    dt.Field("local_type_name", dt.string),
+    dt.Field("minimum_scale", dt.int32),
+    dt.Field("maximum_scale", dt.int32),
+    dt.Field("sql_data_type", dt.int32, False),
+    dt.Field("datetime_subcode", dt.int32),
+    dt.Field("num_prec_radix", dt.int32),
+    dt.Field("interval_precision", dt.int32)])
+
+
+# SqlInfo ids (subset of the spec's enum; reference gen FlightSql.pb.go)
+class SqlInfo:
+    FLIGHT_SQL_SERVER_NAME = 0
+    FLIGHT_SQL_SERVER_VERSION = 1
+    FLIGHT_SQL_SERVER_ARROW_VERSION = 2
+    FLIGHT_SQL_SERVER_READ_ONLY = 3
+    FLIGHT_SQL_SERVER_SQL = 4
+    FLIGHT_SQL_SERVER_SUBSTRAIT = 5
+    FLIGHT_SQL_SERVER_TRANSACTION = 8
+    SQL_DDL_CATALOG = 500
+    SQL_DDL_SCHEMA = 501
+    SQL_DDL_TABLE = 502
+    SQL_IDENTIFIER_CASE = 503
+    SQL_IDENTIFIER_QUOTE_CHAR = 504
+    SQL_QUOTED_IDENTIFIER_CASE = 505
+    SQL_ALL_TABLES_ARE_SELECTABLE = 506
+    SQL_NULL_ORDERING = 507
+    SQL_KEYWORDS = 508
+
+
+def _sql_info_table(info: Dict[int, object]) -> Table:
+    """Build the SqlInfo result (uint32 info_name + dense-union value)."""
+    import arrow_go_tpu as agt
+    import numpy as np
+    from ..array.arrays import ArrayData, make_array
+    from ..array import builders
+    from ..memory.buffer import Buffer
+
+    names = sorted(info)
+    type_codes = np.zeros(len(names), np.int8)
+    offsets = np.zeros(len(names), np.int32)
+    strings, bools, ints, masks, slists = [], [], [], [], []
+    for i, k in enumerate(names):
+        v = info[k]
+        if isinstance(v, bool):
+            type_codes[i], offsets[i] = 1, len(bools)
+            bools.append(v)
+        elif isinstance(v, int):
+            type_codes[i], offsets[i] = 2, len(ints)
+            ints.append(v)
+        elif isinstance(v, str):
+            type_codes[i], offsets[i] = 0, len(strings)
+            strings.append(v)
+        elif isinstance(v, (list, tuple)):
+            type_codes[i], offsets[i] = 4, len(slists)
+            slists.append(list(v))
+        else:
+            raise ArrowInvalid(f"unsupported SqlInfo value {v!r}")
+
+    children = [
+        agt.array(strings, dt.string)._data,
+        agt.array(bools, dt.bool_)._data,
+        agt.array(ints, dt.int64)._data,
+        agt.array(masks, dt.int32)._data,
+    ]
+    lb = builders.make_builder(dt.ListType(dt.field("item", dt.string)))
+    for sl in slists:
+        lb.append(sl)
+    children.append(lb.finish()._data)
+    mb = builders.make_builder(
+        dt.MapType(dt.int32, dt.ListType(dt.field("item", dt.int32))))
+    children.append(mb.finish()._data)
+
+    union_data = ArrayData(
+        SQL_INFO_VALUE_TYPE, len(names),
+        [Buffer(type_codes.view(np.uint8)),
+         Buffer(offsets.view(np.uint8))],
+        children, null_count=0)
+    cols = [agt.array(np.asarray(names, np.uint32), dt.uint32),
+            make_array(union_data)]
+    return Table.from_batches([RecordBatch(SCHEMA_SQL_INFO, cols)])
 
 
 class FlightSQLServerBase(FlightServerBase):
@@ -97,18 +228,72 @@ class FlightSQLServerBase(FlightServerBase):
     def execute_update(self, ctx, query: str) -> int:
         raise ArrowNotImplemented("ExecuteUpdate")
 
+    def do_get_primary_keys(self, ctx, cmd):
+        raise ArrowNotImplemented("DoGetPrimaryKeys")
+
+    def do_get_imported_keys(self, ctx, cmd):
+        raise ArrowNotImplemented("DoGetImportedKeys")
+
+    def do_get_exported_keys(self, ctx, cmd):
+        raise ArrowNotImplemented("DoGetExportedKeys")
+
+    def do_get_cross_reference(self, ctx, cmd):
+        raise ArrowNotImplemented("DoGetCrossReference")
+
+    def do_get_xdbc_type_info(self, ctx, cmd):
+        raise ArrowNotImplemented("DoGetXdbcTypeInfo")
+
+    def sql_info(self, ctx, ids) -> Dict[int, object]:
+        """Return {SqlInfo id: value}; `ids` empty means all registered
+        (reference server.go RegisterSqlInfo + GetSqlInfo)."""
+        info = getattr(self, "_registered_sql_info", {})
+        if ids:
+            info = {k: v for k, v in info.items() if k in set(ids)}
+        return info
+
+    def register_sql_info(self, id_: int, value) -> None:
+        if not hasattr(self, "_registered_sql_info"):
+            self._registered_sql_info: Dict[int, object] = {}
+        self._registered_sql_info[id_] = value
+
+    def get_flight_info_substrait(self, ctx, plan: bytes,
+                                  descriptor) -> FlightInfo:
+        raise ArrowNotImplemented("GetFlightInfoSubstraitPlan")
+
+    def execute_ingest(self, ctx, cmd, reader) -> int:
+        """CommandStatementIngest: bulk-load the DoPut stream into `cmd.table`
+        (reference flightsql/server.go DoPutCommandStatementIngest)."""
+        raise ArrowNotImplemented("ExecuteIngest")
+
+    def bind_prepared_statement(self, ctx, handle: bytes, reader) -> bytes:
+        """Bind DoPut parameter batches to a prepared statement; returns the
+        (possibly updated) handle (reference DoPutPreparedStatementQuery)."""
+        raise ArrowNotImplemented("BindPreparedStatement")
+
+    def execute_prepared_update(self, ctx, handle: bytes, reader) -> int:
+        raise ArrowNotImplemented("ExecutePreparedUpdate")
+
+    def begin_transaction(self, ctx) -> bytes:
+        raise ArrowNotImplemented("BeginTransaction")
+
+    def end_transaction(self, ctx, transaction_id: bytes,
+                        commit: bool) -> None:
+        raise ArrowNotImplemented("EndTransaction")
+
     # -- dispatch ----------------------------------------------------------
+    _GET_SCHEMAS = {}  # filled below class body
+
     def get_flight_info(self, ctx, descriptor: FlightDescriptor) -> FlightInfo:
         cmd = unpack_any(descriptor.command)
         if isinstance(cmd, sqlpb.CommandStatementQuery):
             return self.get_flight_info_statement(ctx, cmd.query, descriptor)
-        if isinstance(cmd, (sqlpb.CommandGetTables, sqlpb.CommandGetCatalogs,
-                            sqlpb.CommandGetDbSchemas,
-                            sqlpb.CommandGetTableTypes)):
-            schema = {sqlpb.CommandGetTables: SCHEMA_TABLES,
-                      sqlpb.CommandGetCatalogs: SCHEMA_CATALOGS,
-                      sqlpb.CommandGetDbSchemas: SCHEMA_DB_SCHEMAS,
-                      sqlpb.CommandGetTableTypes: SCHEMA_TABLE_TYPES}[type(cmd)]
+        if isinstance(cmd, sqlpb.CommandStatementSubstraitPlan):
+            return self.get_flight_info_substrait(
+                ctx, cmd.plan.plan, descriptor)
+        schema = self._GET_SCHEMAS.get(type(cmd))
+        if schema is not None:
+            if isinstance(cmd, sqlpb.CommandGetTables) and cmd.include_schema:
+                schema = SCHEMA_TABLES_WITH_SCHEMA
             return FlightInfo(schema, descriptor,
                               [FlightEndpoint(Ticket(descriptor.command))],
                               -1, -1)
@@ -133,10 +318,46 @@ class FlightSQLServerBase(FlightServerBase):
             return self.do_get_db_schemas(ctx, cmd)
         if isinstance(cmd, sqlpb.CommandGetTableTypes):
             return self.do_get_table_types(ctx)
+        if isinstance(cmd, sqlpb.CommandGetPrimaryKeys):
+            return self.do_get_primary_keys(ctx, cmd)
+        if isinstance(cmd, sqlpb.CommandGetImportedKeys):
+            return self.do_get_imported_keys(ctx, cmd)
+        if isinstance(cmd, sqlpb.CommandGetExportedKeys):
+            return self.do_get_exported_keys(ctx, cmd)
+        if isinstance(cmd, sqlpb.CommandGetCrossReference):
+            return self.do_get_cross_reference(ctx, cmd)
+        if isinstance(cmd, sqlpb.CommandGetSqlInfo):
+            return _sql_info_table(self.sql_info(ctx, list(cmd.info)))
+        if isinstance(cmd, sqlpb.CommandGetXdbcTypeInfo):
+            return self.do_get_xdbc_type_info(ctx, cmd)
         if isinstance(cmd, sqlpb.CommandPreparedStatementQuery):
             return self.do_get_prepared_statement(
                 ctx, cmd.prepared_statement_handle)
         raise ArrowNotImplemented(f"DoGet for {type(cmd).__name__}")
+
+    def do_put(self, ctx, descriptor, reader):
+        cmd = unpack_any(descriptor.command)
+        if isinstance(cmd, sqlpb.CommandStatementUpdate):
+            n = self.execute_update(ctx, cmd.query)
+            yield sqlpb.DoPutUpdateResult(record_count=n).SerializeToString()
+            return
+        if isinstance(cmd, sqlpb.CommandStatementIngest):
+            n = self.execute_ingest(ctx, cmd, reader)
+            yield sqlpb.DoPutUpdateResult(record_count=n).SerializeToString()
+            return
+        if isinstance(cmd, sqlpb.CommandPreparedStatementQuery):
+            handle = self.bind_prepared_statement(
+                ctx, cmd.prepared_statement_handle, reader)
+            res = sqlpb.DoPutPreparedStatementResult(
+                prepared_statement_handle=handle)
+            yield pack_any(res)
+            return
+        if isinstance(cmd, sqlpb.CommandPreparedStatementUpdate):
+            n = self.execute_prepared_update(
+                ctx, cmd.prepared_statement_handle, reader)
+            yield sqlpb.DoPutUpdateResult(record_count=n).SerializeToString()
+            return
+        raise ArrowNotImplemented(f"DoPut for {type(cmd).__name__}")
 
     def do_action(self, ctx, action: Action) -> Iterator[Result]:
         if action.type == "CreatePreparedStatement":
@@ -151,11 +372,38 @@ class FlightSQLServerBase(FlightServerBase):
             req = unpack_any(action.body)
             self.close_prepared_statement(ctx, req.prepared_statement_handle)
             return
+        if action.type == "BeginTransaction":
+            tid = self.begin_transaction(ctx)
+            yield Result(pack_any(
+                sqlpb.ActionBeginTransactionResult(transaction_id=tid)))
+            return
+        if action.type == "EndTransaction":
+            req = unpack_any(action.body)
+            commit = (req.action ==
+                      sqlpb.ActionEndTransactionRequest.END_TRANSACTION_COMMIT)
+            self.end_transaction(ctx, req.transaction_id, commit)
+            return
         raise ArrowNotImplemented(f"action {action.type}")
 
     def list_actions(self, ctx):
         yield ("CreatePreparedStatement", "create a prepared statement")
         yield ("ClosePreparedStatement", "close a prepared statement")
+        yield ("BeginTransaction", "begin a transaction")
+        yield ("EndTransaction", "commit or roll back a transaction")
+
+
+FlightSQLServerBase._GET_SCHEMAS = {
+    sqlpb.CommandGetTables: SCHEMA_TABLES,
+    sqlpb.CommandGetCatalogs: SCHEMA_CATALOGS,
+    sqlpb.CommandGetDbSchemas: SCHEMA_DB_SCHEMAS,
+    sqlpb.CommandGetTableTypes: SCHEMA_TABLE_TYPES,
+    sqlpb.CommandGetPrimaryKeys: SCHEMA_PRIMARY_KEYS,
+    sqlpb.CommandGetImportedKeys: SCHEMA_IMPORTED_EXPORTED_KEYS,
+    sqlpb.CommandGetExportedKeys: SCHEMA_IMPORTED_EXPORTED_KEYS,
+    sqlpb.CommandGetCrossReference: SCHEMA_IMPORTED_EXPORTED_KEYS,
+    sqlpb.CommandGetSqlInfo: SCHEMA_SQL_INFO,
+    sqlpb.CommandGetXdbcTypeInfo: SCHEMA_XDBC_TYPE_INFO,
+}
 
 
 class FlightSQLClient:
@@ -219,6 +467,86 @@ class FlightSQLClient:
     def get_table_types(self) -> Table:
         return self._get(sqlpb.CommandGetTableTypes())
 
+    def get_primary_keys(self, table: str, catalog=None,
+                         db_schema=None) -> Table:
+        return self._get(sqlpb.CommandGetPrimaryKeys(
+            catalog=catalog, db_schema=db_schema, table=table))
+
+    def get_imported_keys(self, table: str, catalog=None,
+                          db_schema=None) -> Table:
+        return self._get(sqlpb.CommandGetImportedKeys(
+            catalog=catalog, db_schema=db_schema, table=table))
+
+    def get_exported_keys(self, table: str, catalog=None,
+                          db_schema=None) -> Table:
+        return self._get(sqlpb.CommandGetExportedKeys(
+            catalog=catalog, db_schema=db_schema, table=table))
+
+    def get_cross_reference(self, pk_table: str, fk_table: str,
+                            pk_catalog=None, pk_db_schema=None,
+                            fk_catalog=None, fk_db_schema=None) -> Table:
+        return self._get(sqlpb.CommandGetCrossReference(
+            pk_catalog=pk_catalog, pk_db_schema=pk_db_schema,
+            pk_table=pk_table, fk_catalog=fk_catalog,
+            fk_db_schema=fk_db_schema, fk_table=fk_table))
+
+    def get_sql_info(self, info=()) -> Table:
+        return self._get(sqlpb.CommandGetSqlInfo(info=list(info)))
+
+    def get_xdbc_type_info(self, data_type: Optional[int] = None) -> Table:
+        return self._get(sqlpb.CommandGetXdbcTypeInfo(data_type=data_type))
+
+    def execute_substrait(self, plan: bytes, version: str = "") -> Table:
+        cmd = sqlpb.CommandStatementSubstraitPlan(
+            plan=sqlpb.SubstraitPlan(plan=plan, version=version))
+        return self._get(cmd)
+
+    def execute_ingest(self, data, table: str, *, catalog=None,
+                       db_schema=None, temporary: bool = False,
+                       if_exists: str = "fail",
+                       transaction_id: Optional[bytes] = None) -> int:
+        """Bulk-load `data` (Table or RecordBatch) into `table`
+        (reference flightsql/client.go ExecuteIngest)."""
+        tdo = sqlpb.CommandStatementIngest.TableDefinitionOptions(
+            if_not_exist=sqlpb.CommandStatementIngest.TableDefinitionOptions
+            .TABLE_NOT_EXIST_OPTION_CREATE,
+            if_exists={"fail": 1, "append": 2, "replace": 3}[if_exists])
+        cmd = sqlpb.CommandStatementIngest(
+            table_definition_options=tdo, table=table, catalog=catalog,
+            schema=db_schema, temporary=temporary,
+            transaction_id=transaction_id)
+        desc = FlightDescriptor.for_command(pack_any(cmd))
+        batches = (data.to_batches() if isinstance(data, Table) else [data])
+        acks = self._inner.do_put(desc, data.schema, batches)
+        n = 0
+        for a in acks:
+            res = sqlpb.DoPutUpdateResult()
+            res.ParseFromString(a)
+            n += res.record_count
+        return n
+
+    def begin_transaction(self) -> bytes:
+        results = list(self._inner.do_action(
+            Action("BeginTransaction",
+                   pack_any(sqlpb.ActionBeginTransactionRequest()))))
+        res = unpack_any(results[0].body)
+        return res.transaction_id
+
+    def _end_transaction(self, tid: bytes, commit: bool) -> None:
+        act = (sqlpb.ActionEndTransactionRequest.END_TRANSACTION_COMMIT
+               if commit else
+               sqlpb.ActionEndTransactionRequest.END_TRANSACTION_ROLLBACK)
+        list(self._inner.do_action(Action(
+            "EndTransaction",
+            pack_any(sqlpb.ActionEndTransactionRequest(
+                transaction_id=tid, action=act)))))
+
+    def commit(self, transaction_id: bytes) -> None:
+        self._end_transaction(transaction_id, True)
+
+    def rollback(self, transaction_id: bytes) -> None:
+        self._end_transaction(transaction_id, False)
+
     def prepare(self, query: str) -> "PreparedStatement":
         req = sqlpb.ActionCreatePreparedStatementRequest(query=query)
         results = list(self._inner.do_action(
@@ -243,6 +571,38 @@ class PreparedStatement:
         info = self._client._inner.get_flight_info(desc)
         return self._client._inner.do_get(info.endpoints[0].ticket).read_all()
 
+    def set_parameters(self, data) -> None:
+        """DoPut parameter-binding (reference client.go bindParameters); the
+        server may return an updated handle in DoPutPreparedStatementResult."""
+        cmd = sqlpb.CommandPreparedStatementQuery(
+            prepared_statement_handle=self.handle)
+        desc = FlightDescriptor.for_command(pack_any(cmd))
+        batches = (data.to_batches() if isinstance(data, Table) else [data])
+        acks = self._client._inner.do_put(desc, data.schema, batches)
+        for a in acks:
+            if not a:
+                continue
+            res = unpack_any(a)
+            if res.prepared_statement_handle:
+                self.handle = res.prepared_statement_handle
+
+    def execute_update(self, data=None) -> int:
+        cmd = sqlpb.CommandPreparedStatementUpdate(
+            prepared_statement_handle=self.handle)
+        desc = FlightDescriptor.for_command(pack_any(cmd))
+        if data is not None:
+            batches = (data.to_batches()
+                       if isinstance(data, Table) else [data])
+            acks = self._client._inner.do_put(desc, data.schema, batches)
+        else:
+            acks = self._client._inner.do_put(desc, dt.Schema([]), [])
+        n = 0
+        for a in acks:
+            res = sqlpb.DoPutUpdateResult()
+            res.ParseFromString(a)
+            n += res.record_count
+        return n
+
     def close(self) -> None:
         req = sqlpb.ActionClosePreparedStatementRequest(
             prepared_statement_handle=self.handle)
@@ -262,9 +622,22 @@ class SQLiteFlightSQLServer(FlightSQLServerBase):
                  db_path: str = ":memory:"):
         super().__init__(location)
         import sqlite3
-        self._conn = sqlite3.connect(db_path, check_same_thread=False)
+        # autocommit mode: transactions are driven explicitly via the
+        # BeginTransaction/EndTransaction Flight SQL actions
+        self._conn = sqlite3.connect(db_path, check_same_thread=False,
+                                     isolation_level=None)
         self._lock = threading.Lock()
         self._prepared: Dict[bytes, str] = {}
+        self._bound: Dict[bytes, list] = {}
+        self.register_sql_info(SqlInfo.FLIGHT_SQL_SERVER_NAME,
+                               "arrow_go_tpu sqlite example")
+        self.register_sql_info(SqlInfo.FLIGHT_SQL_SERVER_VERSION, "1.0.0")
+        self.register_sql_info(SqlInfo.FLIGHT_SQL_SERVER_READ_ONLY, False)
+        self.register_sql_info(SqlInfo.FLIGHT_SQL_SERVER_SQL, True)
+        self.register_sql_info(SqlInfo.FLIGHT_SQL_SERVER_TRANSACTION, 1)
+        self.register_sql_info(SqlInfo.SQL_IDENTIFIER_QUOTE_CHAR, '"')
+        self.register_sql_info(
+            SqlInfo.SQL_KEYWORDS, ["SELECT", "FROM", "WHERE", "INSERT"])
 
     def _query_to_table(self, query: str) -> Table:
         import arrow_go_tpu as agt
@@ -308,10 +681,26 @@ class SQLiteFlightSQLServer(FlightSQLServerBase):
         names = [r[0] for r in rows]
         types = ["TABLE" if r[1] == "table" else "VIEW" for r in rows]
         n = len(names)
-        return Table.from_batches([RecordBatch(SCHEMA_TABLES, [
-            agt.array(["main"] * n, dt.string),
-            agt.array(["main"] * n, dt.string),
-            agt.array(names, dt.string), agt.array(types, dt.string)], n)])
+        cols = [agt.array(["main"] * n, dt.string),
+                agt.array(["main"] * n, dt.string),
+                agt.array(names, dt.string), agt.array(types, dt.string)]
+        schema = SCHEMA_TABLES
+        if cmd.include_schema:
+            sql_to_arrow = {"INTEGER": dt.int64, "REAL": dt.float64,
+                            "TEXT": dt.string, "BLOB": dt.binary}
+            blobs = []
+            for t in names:
+                with self._lock:
+                    info = self._conn.execute(
+                        f'PRAGMA table_info("{t}")').fetchall()
+                fs = [dt.Field(r[1],
+                               sql_to_arrow.get((r[2] or "").upper(),
+                                                dt.string),
+                               not r[3]) for r in info]
+                blobs.append(_schema_to_ipc_bytes(dt.Schema(fs)))
+            cols.append(agt.array(blobs, dt.binary))
+            schema = SCHEMA_TABLES_WITH_SCHEMA
+        return Table.from_batches([RecordBatch(schema, cols, n)])
 
     def do_get_table_types(self, ctx):
         import arrow_go_tpu as agt
@@ -319,9 +708,14 @@ class SQLiteFlightSQLServer(FlightSQLServerBase):
             SCHEMA_TABLE_TYPES, [agt.array(["TABLE", "VIEW"])], 2)])
 
     def create_prepared_statement(self, ctx, query):
+        import sqlite3
         handle = uuid.uuid4().bytes
         self._prepared[handle] = query
-        t = self._query_to_table(query)
+        try:
+            t = self._query_to_table(query)
+        except sqlite3.ProgrammingError:
+            # parameterized query: schema known only after binding
+            return handle, None
         return handle, t.schema
 
     def do_get_prepared_statement(self, ctx, handle: bytes):
@@ -330,13 +724,240 @@ class SQLiteFlightSQLServer(FlightSQLServerBase):
     def close_prepared_statement(self, ctx, handle: bytes) -> None:
         self._prepared.pop(handle, None)
 
-    def do_put(self, ctx, descriptor, reader):
-        cmd = unpack_any(descriptor.command)
-        if isinstance(cmd, sqlpb.CommandStatementUpdate):
+    def execute_update(self, ctx, query: str) -> int:
+        with self._lock:
+            cur = self._conn.execute(query)
+        return cur.rowcount
+
+    # -- catalog metadata ---------------------------------------------------
+    def do_get_primary_keys(self, ctx, cmd):
+        import arrow_go_tpu as agt
+        import numpy as np
+        with self._lock:
+            rows = self._conn.execute(
+                f'PRAGMA table_info("{cmd.table}")').fetchall()
+        pk = sorted([r for r in rows if r[5] > 0], key=lambda r: r[5])
+        n = len(pk)
+        return Table.from_batches([RecordBatch(SCHEMA_PRIMARY_KEYS, [
+            agt.array(["main"] * n, dt.string),
+            agt.array(["main"] * n, dt.string),
+            agt.array([cmd.table] * n, dt.string),
+            agt.array([r[1] for r in pk], dt.string),
+            agt.array(np.asarray([r[5] for r in pk], np.int32), dt.int32),
+            agt.array([None] * n, dt.string)], n)])
+
+    def _foreign_keys(self, fk_table: str):
+        with self._lock:
+            return self._conn.execute(
+                f'PRAGMA foreign_key_list("{fk_table}")').fetchall()
+
+    def _fk_rows_to_table(self, fk_table: str, fks) -> Table:
+        import arrow_go_tpu as agt
+        import numpy as np
+        n = len(fks)
+        # PRAGMA columns: id, seq, table(pk), from(fk col), to(pk col),
+        # on_update, on_delete, match
+        rule = {"CASCADE": 0, "RESTRICT": 1, "SET NULL": 2,
+                "NO ACTION": 3, "SET DEFAULT": 4}
+        return Table.from_batches([RecordBatch(
+            SCHEMA_IMPORTED_EXPORTED_KEYS, [
+                agt.array(["main"] * n, dt.string),
+                agt.array(["main"] * n, dt.string),
+                agt.array([r[2] for r in fks], dt.string),
+                agt.array([r[4] or "" for r in fks], dt.string),
+                agt.array(["main"] * n, dt.string),
+                agt.array(["main"] * n, dt.string),
+                agt.array([fk_table] * n, dt.string),
+                agt.array([r[3] for r in fks], dt.string),
+                agt.array(np.asarray([r[1] + 1 for r in fks], np.int32),
+                          dt.int32),
+                agt.array([None] * n, dt.string),
+                agt.array([None] * n, dt.string),
+                agt.array(np.asarray([rule.get(r[5], 3) for r in fks],
+                                     np.uint8), dt.uint8),
+                agt.array(np.asarray([rule.get(r[6], 3) for r in fks],
+                                     np.uint8), dt.uint8)], n)])
+
+    def do_get_imported_keys(self, ctx, cmd):
+        # keys this table imports (its foreign keys)
+        return self._fk_rows_to_table(cmd.table, self._foreign_keys(cmd.table))
+
+    def do_get_exported_keys(self, ctx, cmd):
+        # keys other tables import FROM cmd.table
+        import itertools
+        with self._lock:
+            tables = [r[0] for r in self._conn.execute(
+                "SELECT name FROM sqlite_master WHERE type='table'")]
+        out = []
+        for t in tables:
+            out.extend((t, fk) for fk in self._foreign_keys(t)
+                       if fk[2] == cmd.table)
+        rows = [fk for _, fk in out]
+        tabs = [t for t, _ in out]
+        # reuse the row builder with per-row fk_table names
+        agg = self._fk_rows_to_table("", [])
+        if not out:
+            return agg
+        import arrow_go_tpu as agt
+        import numpy as np
+        n = len(rows)
+        rule = {"CASCADE": 0, "RESTRICT": 1, "SET NULL": 2,
+                "NO ACTION": 3, "SET DEFAULT": 4}
+        return Table.from_batches([RecordBatch(
+            SCHEMA_IMPORTED_EXPORTED_KEYS, [
+                agt.array(["main"] * n, dt.string),
+                agt.array(["main"] * n, dt.string),
+                agt.array([r[2] for r in rows], dt.string),
+                agt.array([r[4] or "" for r in rows], dt.string),
+                agt.array(["main"] * n, dt.string),
+                agt.array(["main"] * n, dt.string),
+                agt.array(tabs, dt.string),
+                agt.array([r[3] for r in rows], dt.string),
+                agt.array(np.asarray([r[1] + 1 for r in rows], np.int32),
+                          dt.int32),
+                agt.array([None] * n, dt.string),
+                agt.array([None] * n, dt.string),
+                agt.array(np.asarray([rule.get(r[5], 3) for r in rows],
+                                     np.uint8), dt.uint8),
+                agt.array(np.asarray([rule.get(r[6], 3) for r in rows],
+                                     np.uint8), dt.uint8)], n)])
+
+    def do_get_cross_reference(self, ctx, cmd):
+        fks = [fk for fk in self._foreign_keys(cmd.fk_table)
+               if fk[2] == cmd.pk_table]
+        return self._fk_rows_to_table(cmd.fk_table, fks)
+
+    def do_get_xdbc_type_info(self, ctx, cmd):
+        import arrow_go_tpu as agt
+        import numpy as np
+        # sqlite storage classes (reference example/type_info.go)
+        infos = [  # (name, xdbc data_type code)
+            ("INTEGER", 4), ("REAL", 8), ("TEXT", 12), ("BLOB", -3)]
+        if cmd.HasField("data_type"):
+            infos = [i for i in infos if i[1] == cmd.data_type]
+        n = len(infos)
+
+        def s(vals, t=dt.string):
+            return agt.array(vals, t)
+
+        lb_t = dt.ListType(dt.field("item", dt.string, False))
+        from ..array import builders
+        lb = builders.make_builder(lb_t)
+        for _ in infos:
+            lb.append([])
+        return Table.from_batches([RecordBatch(SCHEMA_XDBC_TYPE_INFO, [
+            s([i[0] for i in infos]),
+            agt.array(np.asarray([i[1] for i in infos], np.int32), dt.int32),
+            agt.array([None] * n, dt.int32),
+            s([None] * n), s([None] * n),
+            lb.finish(),
+            agt.array(np.asarray([1] * n, np.int32), dt.int32),
+            agt.array([False] * n, dt.bool_),
+            agt.array(np.asarray([3] * n, np.int32), dt.int32),
+            agt.array([None] * n, dt.bool_),
+            agt.array([False] * n, dt.bool_),
+            agt.array([None] * n, dt.bool_),
+            s([None] * n),
+            agt.array([None] * n, dt.int32),
+            agt.array([None] * n, dt.int32),
+            agt.array(np.asarray([i[1] for i in infos], np.int32), dt.int32),
+            agt.array([None] * n, dt.int32),
+            agt.array([None] * n, dt.int32),
+            agt.array([None] * n, dt.int32)], n)])
+
+    # -- ingest / prepared parameters / transactions ------------------------
+    _SQL_TYPES = {dt.TypeId.BOOL: "INTEGER", dt.TypeId.INT8: "INTEGER",
+                  dt.TypeId.INT16: "INTEGER", dt.TypeId.INT32: "INTEGER",
+                  dt.TypeId.INT64: "INTEGER", dt.TypeId.UINT8: "INTEGER",
+                  dt.TypeId.UINT16: "INTEGER", dt.TypeId.UINT32: "INTEGER",
+                  dt.TypeId.UINT64: "INTEGER", dt.TypeId.FLOAT32: "REAL",
+                  dt.TypeId.FLOAT64: "REAL", dt.TypeId.STRING: "TEXT",
+                  dt.TypeId.LARGE_STRING: "TEXT", dt.TypeId.BINARY: "BLOB",
+                  dt.TypeId.LARGE_BINARY: "BLOB"}
+
+    def execute_ingest(self, ctx, cmd, reader) -> int:
+        first = reader.read_next_batch()
+        if first is None:
+            return 0
+        schema = first.schema
+        opts = cmd.table_definition_options
+        TDO = sqlpb.CommandStatementIngest.TableDefinitionOptions
+        cols = ", ".join(
+            f'"{f.name}" {self._SQL_TYPES.get(f.type.id, "TEXT")}'
+            for f in schema.fields)
+        tmp = "TEMPORARY " if cmd.temporary else ""
+        with self._lock:
+            exists = self._conn.execute(
+                "SELECT 1 FROM sqlite_master WHERE name=?",
+                (cmd.table,)).fetchone()
+            if exists and opts.if_exists == TDO.TABLE_EXISTS_OPTION_FAIL:
+                raise ArrowInvalid(f"table {cmd.table} already exists")
+            if exists and opts.if_exists == TDO.TABLE_EXISTS_OPTION_REPLACE:
+                self._conn.execute(f'DROP TABLE "{cmd.table}"')
+                exists = None
+            if not exists:
+                if opts.if_not_exist == TDO.TABLE_NOT_EXIST_OPTION_FAIL:
+                    raise ArrowInvalid(f"table {cmd.table} does not exist")
+                self._conn.execute(
+                    f'CREATE {tmp}TABLE "{cmd.table}" ({cols})')
+        n = 0
+        ph = ", ".join("?" * len(schema.fields))
+        ins = f'INSERT INTO "{cmd.table}" VALUES ({ph})'
+        batch = first
+        while batch is not None:
+            rows = list(zip(*(batch.column(i).to_pylist()
+                              for i in range(len(schema.fields))))) or []
             with self._lock:
-                cur = self._conn.execute(cmd.query)
-                self._conn.commit()
-            res = sqlpb.DoPutUpdateResult(record_count=cur.rowcount)
-            yield res.SerializeToString()
-            return
-        raise ArrowNotImplemented("DoPut command")
+                self._conn.executemany(ins, rows)
+            n += batch.num_rows
+            batch = reader.read_next_batch()
+        return n
+
+    def bind_prepared_statement(self, ctx, handle: bytes, reader) -> bytes:
+        params = []
+        batch = reader.read_next_batch()
+        while batch is not None:
+            params.extend(zip(*(batch.column(i).to_pylist()
+                                for i in range(batch.num_columns))))
+            batch = reader.read_next_batch()
+        self._bound[handle] = params
+        return handle
+
+    def do_get_prepared_statement(self, ctx, handle: bytes):
+        import arrow_go_tpu as agt
+        query = self._prepared[handle]
+        params = self._bound.get(handle)
+        if not params:
+            return self._query_to_table(query)
+        with self._lock:
+            cur = self._conn.execute(query, params[0])
+            rows = cur.fetchall()
+            names = [d[0] for d in cur.description or []]
+        cols = list(zip(*rows)) if rows else [[] for _ in names]
+        return agt.table({n: list(c) for n, c in zip(names, cols)})
+
+    def execute_prepared_update(self, ctx, handle: bytes, reader) -> int:
+        query = self._prepared[handle]
+        params = []
+        batch = reader.read_next_batch() if reader is not None else None
+        while batch is not None:
+            params.extend(zip(*(batch.column(i).to_pylist()
+                                for i in range(batch.num_columns))))
+            batch = reader.read_next_batch()
+        with self._lock:
+            if params:
+                cur = self._conn.executemany(query, params)
+            else:
+                cur = self._conn.execute(query)
+        return cur.rowcount
+
+    def begin_transaction(self, ctx) -> bytes:
+        tid = uuid.uuid4().bytes
+        with self._lock:
+            self._conn.execute("BEGIN")
+        return tid
+
+    def end_transaction(self, ctx, transaction_id: bytes,
+                        commit: bool) -> None:
+        with self._lock:
+            self._conn.execute("COMMIT" if commit else "ROLLBACK")
