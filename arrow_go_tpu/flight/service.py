@@ -316,6 +316,17 @@ class FlightServerBase:
     def do_action(self, context, action: Action) -> Iterator[Result]:
         raise NotImplementedError(f"action {action.type} not implemented")
 
+    def cancel_flight_info(self, context, info: "FlightInfo") -> int:
+        """Handle the standard CancelFlightInfo action; return a
+        fp.CancelStatus value (reference flight/server.go CancelFlightInfo)."""
+        raise NotImplementedError("CancelFlightInfo not implemented")
+
+    def renew_flight_endpoint(self, context,
+                              endpoint: "fp.FlightEndpoint") -> FlightEndpoint:
+        """Handle the standard RenewFlightEndpoint action; return the renewed
+        endpoint (reference flight/server.go RenewFlightEndpoint)."""
+        raise NotImplementedError("RenewFlightEndpoint not implemented")
+
     def list_actions(self, context) -> Iterator[Tuple[str, str]]:
         return iter(())
 
@@ -367,6 +378,22 @@ class FlightServerBase:
             return batches_to_flight_data(schema, batches)
 
         def do_action(req, ctx):
+            # standard spec actions intercepted for every server subclass
+            if req.type == "CancelFlightInfo":
+                creq = fp.CancelFlightInfoRequest()
+                creq.ParseFromString(req.body)
+                status = me.cancel_flight_info(
+                    ctx, FlightInfo.from_proto(creq.info))
+                yield fp.Result(body=fp.CancelFlightInfoResult(
+                    status=status).SerializeToString())
+                return
+            if req.type == "RenewFlightEndpoint":
+                rreq = fp.RenewFlightEndpointRequest()
+                rreq.ParseFromString(req.body)
+                ep = me.renew_flight_endpoint(ctx, rreq.endpoint)
+                out = ep.to_proto() if isinstance(ep, FlightEndpoint) else ep
+                yield fp.Result(body=out.SerializeToString())
+                return
             for res in me.do_action(ctx, Action(req.type, req.body)):
                 yield fp.Result(body=res.body if isinstance(res, Result)
                                 else bytes(res))
@@ -507,6 +534,27 @@ class FlightClient:
     def do_action(self, action: Action) -> Iterator[Result]:
         for r in self._do_action(fp.Action(type=action.type, body=action.body)):
             yield Result(r.body)
+
+    def cancel_flight_info(self, info: FlightInfo) -> int:
+        """Standard CancelFlightInfo action; returns fp.CancelStatus
+        (reference flight/client.go CancelFlightInfo)."""
+        req = fp.CancelFlightInfoRequest(info=info.to_proto())
+        results = list(self.do_action(
+            Action("CancelFlightInfo", req.SerializeToString())))
+        res = fp.CancelFlightInfoResult()
+        res.ParseFromString(results[0].body)
+        return res.status
+
+    def renew_flight_endpoint(self, endpoint: FlightEndpoint) -> FlightEndpoint:
+        """Standard RenewFlightEndpoint action; returns the renewed endpoint
+        (reference flight/client.go RenewFlightEndpoint)."""
+        req = fp.RenewFlightEndpointRequest(endpoint=endpoint.to_proto())
+        results = list(self.do_action(
+            Action("RenewFlightEndpoint", req.SerializeToString())))
+        ep = fp.FlightEndpoint()
+        ep.ParseFromString(results[0].body)
+        return FlightEndpoint(Ticket(ep.ticket.ticket),
+                              [loc.uri for loc in ep.location])
 
     def list_actions(self) -> List[Tuple[str, str]]:
         return [(a.type, a.description)

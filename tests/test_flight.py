@@ -204,3 +204,47 @@ def test_session_middleware():
         with fl.FlightClient(f"grpc://127.0.0.1:{srv.port}",
                              middleware=[fl.CookieMiddleware()]) as c2:
             assert list(c2.do_action(fl.Action("bump")))[0].body == b"1"
+
+
+# ---------------------------------------------------------------------------
+# standard CancelFlightInfo / RenewFlightEndpoint actions
+# (reference flight/client.go CancelFlightInfo, RenewFlightEndpoint;
+#  scenario.go expiration integration scenarios)
+# ---------------------------------------------------------------------------
+
+class CancellableServer(fl.FlightServerBase):
+    def __init__(self):
+        super().__init__("grpc://127.0.0.1:0")
+        self.cancelled = []
+        self.renewed = []
+
+    def get_flight_info(self, ctx, desc):
+        t = agt.table({"x": [1]})
+        return fl.FlightInfo(t.schema, desc,
+                             [fl.FlightEndpoint(fl.Ticket(b"tk"))], 1, -1)
+
+    def cancel_flight_info(self, ctx, info):
+        from arrow_go_tpu.flight import Flight_pb2 as fp
+        self.cancelled.append(info)
+        return fp.CANCEL_STATUS_CANCELLED
+
+    def renew_flight_endpoint(self, ctx, endpoint):
+        self.renewed.append(endpoint)
+        return fl.FlightEndpoint(fl.Ticket(b"tk-renewed"),
+                                 ["grpc://example:1234"])
+
+
+def test_cancel_and_renew_actions():
+    from arrow_go_tpu.flight import Flight_pb2 as fp
+    with CancellableServer() as srv:
+        c = fl.FlightClient(f"grpc://127.0.0.1:{srv.port}")
+        info = c.get_flight_info(fl.FlightDescriptor.for_path("t"))
+        status = c.cancel_flight_info(info)
+        assert status == fp.CANCEL_STATUS_CANCELLED
+        assert len(srv.cancelled) == 1
+
+        ep = c.renew_flight_endpoint(info.endpoints[0])
+        assert ep.ticket.ticket == b"tk-renewed"
+        assert ep.locations == ["grpc://example:1234"]
+        assert len(srv.renewed) == 1
+        c.close()
