@@ -956,7 +956,20 @@ def from_numpy_dtype(dt) -> DataType:
     try:
         return _FROM_NUMPY[dt]
     except KeyError:
-        raise ValueError(f"no arrow type for numpy dtype {dt}")
+        pass
+    if dt.kind == "M":  # datetime64[unit] -> timestamp/date
+        unit = np.datetime_data(dt)[0]
+        if unit == "D":
+            return date32
+        if unit in ("s", "ms", "us", "ns"):
+            return timestamp(unit)
+    if dt.kind == "m":  # timedelta64[unit] -> duration
+        unit = np.datetime_data(dt)[0]
+        if unit in ("s", "ms", "us", "ns"):
+            return duration(unit)
+    if dt.kind in ("U", "S"):
+        return string if dt.kind == "U" else binary
+    raise ValueError(f"no arrow type for numpy dtype {dt}")
 
 
 class Schema:

@@ -24,17 +24,26 @@ DEFAULT_NULLS = ("", "NULL", "null", "N/A", "n/a", "NA", "nan", "NaN")
 
 @dataclass
 class ReadOptions:
-    delimiter: str = ","
-    has_header: bool = True
+    delimiter: str = ","                    # reference WithComma
+    has_header: bool = True                 # WithHeader
     column_names: Optional[List[str]] = None
     schema: Optional[dt.Schema] = None
-    null_values: Sequence[str] = DEFAULT_NULLS
-    chunk_size: int = 1 << 20
-    comment: Optional[str] = None
+    column_types: Optional[dict] = None     # WithColumnTypes (name -> type)
+    include_columns: Optional[List[str]] = None  # WithIncludeColumns
+    null_values: Sequence[str] = DEFAULT_NULLS   # WithNullReader
+    chunk_size: int = 1 << 20               # WithChunk (rows per batch)
+    comment: Optional[str] = None           # WithComment
     skip_rows: int = 0
     strings_can_be_null: bool = False
     true_values: Sequence[str] = ("true", "True", "TRUE", "1")
     false_values: Sequence[str] = ("false", "False", "FALSE", "0")
+
+    def type_for(self, name: str) -> Optional[dt.DataType]:
+        if self.column_types and name in self.column_types:
+            return self.column_types[name]
+        if self.schema is not None and self.schema.has_field(name):
+            return self.schema.field_by_name(name).type
+        return None
 
 
 def _infer_column_type(values: List[Optional[str]], opts: ReadOptions
@@ -136,10 +145,20 @@ def read_csv(source: Union[str, bytes, io.IOBase],
         if first is not None:
             it = iter([first] + list(it))
 
+    batch = _rows_to_batch(list(it), names, opts, None)
+    return Table.from_batches([batch])
+
+
+def _rows_to_batch(rows, names, opts: ReadOptions,
+                   fixed_schema: Optional[dt.Schema]) -> RecordBatch:
+    """Convert raw csv rows to a RecordBatch. `fixed_schema` pins the output
+    schema (streaming: inferred from the first chunk)."""
     nulls = set(opts.null_values)
+    keep = (set(opts.include_columns)
+            if opts.include_columns is not None else None)
     columns: List[List[Optional[str]]] = [[] for _ in names]
     raw_columns: List[List[Optional[str]]] = [[] for _ in names]
-    for row in it:
+    for row in rows:
         if not row:
             continue
         for i in range(len(names)):
@@ -149,12 +168,16 @@ def read_csv(source: Union[str, bytes, io.IOBase],
 
     out_cols, fields = [], []
     for i, name in enumerate(names):
-        if opts.schema is not None and opts.schema.has_field(name):
-            t = opts.schema.field_by_name(name).type
+        if keep is not None and name not in keep:
+            continue
+        if fixed_schema is not None:
+            t = fixed_schema.field_by_name(name).type
         else:
-            t = _infer_column_type(columns[i], opts)
-            if t.id == dt.TypeId.NULL:
-                t = dt.string
+            t = opts.type_for(name)
+            if t is None:
+                t = _infer_column_type(columns[i], opts)
+                if t.id == dt.TypeId.NULL:
+                    t = dt.string
         vals = columns[i]
         if t.id in (dt.TypeId.STRING, dt.TypeId.LARGE_STRING,
                     dt.TypeId.BINARY) and not opts.strings_can_be_null:
@@ -166,15 +189,106 @@ def read_csv(source: Union[str, bytes, io.IOBase],
         out_cols.append(arr)
         fields.append(dt.Field(name, t))
     n = len(out_cols[0]) if out_cols else 0
-    return Table.from_batches(
-        [RecordBatch(dt.Schema(fields), out_cols, n)])
+    return RecordBatch(dt.Schema(fields), out_cols, n)
+
+
+class CSVReader:
+    """Streaming csv reader yielding RecordBatches of `chunk_size` rows
+    (reference csv.Reader with WithChunk, arrow/csv/reader.go:108). The
+    output schema is inferred from (or provided for) the first chunk and
+    pinned for the rest of the stream."""
+
+    def __init__(self, source, options: Optional[ReadOptions] = None):
+        self.opts = options or ReadOptions()
+        opts = self.opts
+        if isinstance(source, (bytes, bytearray)):
+            f = io.StringIO(bytes(source).decode("utf-8"))
+        elif isinstance(source, str):
+            f = open(source, "r", newline="")
+        elif isinstance(source, io.TextIOBase):
+            f = source
+        else:
+            f = io.TextIOWrapper(source, "utf-8")
+        self._f = f
+        rows = _csv.reader(f, delimiter=opts.delimiter)
+        for _ in range(opts.skip_rows):
+            next(rows, None)
+        it = iter(rows)
+        if opts.comment:
+            it = (r for r in it if not (r and r[0].startswith(opts.comment)))
+        if opts.has_header:
+            header = next(it, None)
+            if header is None:
+                raise ArrowInvalid("empty csv input")
+            self._names = opts.column_names or header
+        else:
+            first = next(it, None)
+            if first is None and opts.schema is None:
+                raise ArrowInvalid("empty csv input and no schema")
+            self._names = opts.column_names or (
+                opts.schema.names if opts.schema else
+                [f"f{i}" for i in range(len(first))])
+            if first is not None:
+                it = _chain_one(first, it)
+        self._it = it
+        self._schema: Optional[dt.Schema] = None
+
+    @property
+    def schema(self) -> Optional[dt.Schema]:
+        return self._schema
+
+    def read_next_batch(self) -> Optional[RecordBatch]:
+        rows = []
+        for row in self._it:
+            rows.append(row)
+            if len(rows) >= self.opts.chunk_size:
+                break
+        if not rows:
+            return None
+        batch = _rows_to_batch(rows, self._names, self.opts, self._schema)
+        if self._schema is None:
+            self._schema = batch.schema
+        return batch
+
+    def __iter__(self):
+        while True:
+            b = self.read_next_batch()
+            if b is None:
+                return
+            yield b
+
+    def read_all(self) -> Table:
+        batches = list(self)
+        if not batches:
+            raise ArrowInvalid("empty csv input")
+        return Table.from_batches(batches)
+
+    def close(self) -> None:
+        self._f.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+def _chain_one(first, it):
+    yield first
+    yield from it
+
+
+def open_csv(source, options: Optional[ReadOptions] = None) -> CSVReader:
+    return CSVReader(source, options)
 
 
 @dataclass
 class WriteOptions:
     delimiter: str = ","
     include_header: bool = True
-    null_string: str = ""
+    null_string: str = ""                   # reference WithNullWriter
+    crlf: bool = False                      # WithCRLF
+    bool_formatter: Optional[object] = None  # WithBoolWriter
 
 
 def write_csv(data: Union[Table, RecordBatch], sink,
@@ -194,13 +308,17 @@ def write_csv(data: Union[Table, RecordBatch], sink,
         f = sink
     else:
         f = io.TextIOWrapper(sink, "utf-8")
-    w = _csv.writer(f, delimiter=opts.delimiter, lineterminator="\n")
+    w = _csv.writer(f, delimiter=opts.delimiter,
+                    lineterminator="\r\n" if opts.crlf else "\n")
     if opts.include_header:
         w.writerow(schema.names)
+    bool_fmt = opts.bool_formatter or (lambda b: "true" if b else "false")
     for rb in batches:
         cols = [c.to_pylist() for c in rb.columns]
         for row in zip(*cols):
-            w.writerow([opts.null_string if v is None else _fmt(v)
+            w.writerow([opts.null_string if v is None
+                        else (bool_fmt(v) if isinstance(v, bool)
+                              else _fmt(v))
                         for v in row])
     f.flush()
     if own:

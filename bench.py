@@ -4,11 +4,16 @@ Mirrors the reference's published benchmark (arrow/math Sum over arrays,
 README.md:105 — AVX2 float64 8192-element sum at 95,375 MB/s on
 darwin/amd64). Our engine sums a null-masked float64 column resident in
 HBM through the public reduction kernel path (ops/reductions, XLA path —
-the same code `compute.sum` uses). Methodology matches the Go harness:
-warmup, then steady-state timed iterations; a scalar dependency chain
-prevents the runtime from deduplicating identical executions.
+the same code `compute.sum` uses).
 
-Prints ONE json line: {"metric", "value", "unit", "vs_baseline"}.
+Methodology (honest under the remote-TPU tunnel, whose first
+block_until_ready can return before execution finishes): run two
+dependent chains of different lengths, force completion by materializing
+the final scalar VALUE on host, and difference the two wall times —
+the fixed dispatch/transfer overhead cancels exactly, leaving pure
+per-operation device time. The accumulating scalar chain makes every
+execution's input distinct so no run can be elided, and the final value
+is checked against the numpy oracle.
 """
 from __future__ import annotations
 
@@ -19,14 +24,15 @@ import numpy as np
 
 BASELINE_MBPS = 95_375.41  # reference Float64 Sum AVX2, README.md:105
 
+L1, L2 = 8, 40             # chain lengths; per-op = (T2-T1)/(L2-L1)
+
 
 def main() -> None:
-    import jax
-    import jax.numpy as jnp
+    from arrow_go_tpu.jaxenv import jax, jnp
 
     import arrow_go_tpu as agt
     from arrow_go_tpu.device import to_device
-    from arrow_go_tpu.ops import bitmap, reductions
+    from arrow_go_tpu.ops import reductions
 
     n = 1 << 24                      # 16Mi rows, 128 MiB of float64
     rng = np.random.default_rng(42)
@@ -40,28 +46,30 @@ def main() -> None:
         return s + bias              # accumulating chain: every call's input
                                      # differs, so no execution can be reused
 
-    bias = jnp.asarray(0.0, jnp.float64)
-    # warmup / compile
-    bias = step(col.values, col.validity, bias)
-    bias.block_until_ready()
+    base = vals[mask].sum()
 
-    # dependent chain, each execution synced (deep async queues stall the
-    # remote runtime); per-iteration wall times, robust aggregate
-    iters = 30
-    total_chain = 1
-    times = []
-    for _ in range(iters):
+    def chain(length: int) -> float:
+        bias = jnp.asarray(0.0, jnp.float64)
         t0 = time.perf_counter()
-        bias = step(col.values, col.validity, bias)
-        bias.block_until_ready()
-        times.append(time.perf_counter() - t0)
-        total_chain += 1
-    dt = float(np.median(times))
+        for _ in range(length):
+            bias = step(col.values, col.validity, bias)
+        got = float(bias)            # host materialization = true completion
+        dt = time.perf_counter() - t0
+        if not np.isclose(got, base * length, rtol=1e-9):
+            raise SystemExit(f"WRONG RESULT: {got} != {base * length}")
+        return dt
 
-    expect = vals[mask].sum() * total_chain   # accumulated over the chain
-    got = float(bias)
-    if not np.isclose(got, expect, rtol=1e-9):
-        raise SystemExit(f"WRONG RESULT: {got} != {expect}")
+    # warmup / compile (+ first-use tunnel round trip)
+    chain(1)
+    chain(1)
+
+    # median of 3 differenced measurements
+    per_ops = []
+    for _ in range(3):
+        t1 = chain(L1)
+        t2 = chain(L2)
+        per_ops.append((t2 - t1) / (L2 - L1))
+    dt = float(np.median(per_ops))
 
     mbps = vals.nbytes / dt / 1e6
     print(json.dumps({

@@ -197,3 +197,46 @@ def test_avro_bad_magic():
     from arrow_go_tpu.compute.errors import ArrowInvalid
     with pytest.raises(ArrowInvalid):
         read_avro(b"nope" + b"\x00" * 50)
+
+
+# ---------------------------------------------------------------------------
+# csv round-2 options: include_columns, column_types, streaming reader,
+# writer crlf/null/bool options (reference arrow/csv/common.go With*)
+# ---------------------------------------------------------------------------
+
+def test_csv_include_columns_and_types():
+    from arrow_go_tpu.formats import csv as acsv
+    src = b"a,b,c\n1,x,9.5\n2,y,8.5\n"
+    t = acsv.read_csv(src, acsv.ReadOptions(
+        include_columns=["a", "c"],
+        column_types={"a": dt.float64}))
+    assert t.schema.names == ["a", "c"]
+    assert t.schema.field_by_name("a").type == dt.float64
+    assert t.to_pydict() == {"a": [1.0, 2.0], "c": [9.5, 8.5]}
+
+
+def test_csv_streaming_reader():
+    from arrow_go_tpu.formats import csv as acsv
+    rows = "\n".join(f"{i},{i*2}" for i in range(10))
+    src = ("x,y\n" + rows + "\n").encode()
+    with acsv.open_csv(src, acsv.ReadOptions(chunk_size=4)) as r:
+        batches = list(r)
+    assert [b.num_rows for b in batches] == [4, 4, 2]
+    assert batches[0].schema == batches[2].schema
+    total = sum(b.num_rows for b in batches)
+    assert total == 10
+    # read_all equivalence
+    t = acsv.open_csv(src, acsv.ReadOptions(chunk_size=3)).read_all()
+    assert t.num_rows == 10
+    assert t.column("y").to_pylist()[-1] == 18
+
+
+def test_csv_write_options():
+    import io as _io
+    from arrow_go_tpu.formats import csv as acsv
+    t = agt.table({"b": [True, False, None]})
+    sink = _io.StringIO()
+    acsv.write_csv(t, sink, acsv.WriteOptions(
+        null_string="NULL", crlf=True,
+        bool_formatter=lambda b: "YES" if b else "NO"))
+    assert sink.getvalue() == "b\r\nYES\r\nNO\r\nNULL\r\n"
