@@ -3,5 +3,6 @@ from . import format  # noqa: F401
 from .encryption import (  # noqa: F401
     ColumnEncryptionProperties, FileDecryptionProperties,
     FileEncryptionProperties)
-from .reader import ParquetFile, read_table  # noqa: F401
-from .writer import write_table  # noqa: F401
+from .reader import ParquetFile, ReaderProperties, read_table  # noqa: F401
+from .writer import (  # noqa: F401
+    SortingColumn, WriterProperties, write_table)

@@ -12,18 +12,23 @@ from ..compute.errors import ArrowNotImplemented
 from . import format as fmt
 
 
-def compress(codec: int, data: bytes) -> bytes:
+def compress(codec: int, data: bytes, level: int = None) -> bytes:
+    """level: codec-specific compression level (reference
+    WithCompressionLevel, parquet/writer_properties.go:319); None = codec
+    default. Honored by gzip (1-9) and zstd; snappy/lz4_raw have none."""
     c = fmt.Codec(codec)
     if c == fmt.Codec.UNCOMPRESSED:
         return data
     if c == fmt.Codec.SNAPPY:
         return native.snappy_compress(data)
     if c == fmt.Codec.GZIP:
-        co = zlib.compressobj(wbits=31)  # gzip container
+        co = zlib.compressobj(
+            level if level is not None else -1, wbits=31)  # gzip container
         return co.compress(data) + co.flush()
     if c == fmt.Codec.ZSTD:
         import zstandard
-        return zstandard.ZstdCompressor().compress(data)
+        return zstandard.ZstdCompressor(
+            level=level if level is not None else 3).compress(data)
     if c == fmt.Codec.LZ4_RAW:
         return native.lz4_compress(data)
     raise ArrowNotImplemented(f"parquet codec {c.name}")

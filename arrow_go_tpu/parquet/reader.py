@@ -26,12 +26,34 @@ from .thrift import CompactReader
 MAGIC = b"PAR1"
 MAGIC_ENCRYPTED = b"PARE"
 
+DEFAULT_BUF_SIZE = 4096  # reference parquet.DefaultBufSize
+
+
+class ReaderProperties:
+    """Reference parquet.ReaderProperties (reader_properties.go:37).
+
+    buffer_size / buffered_stream control how column-chunk sections are
+    staged: buffered_stream=False slurps each chunk's byte range into
+    memory in one read; True streams pages from the file in buffer_size
+    reads (reference GetStream, reader_properties.go:123)."""
+
+    def __init__(self, buffer_size: int = DEFAULT_BUF_SIZE,
+                 buffered_stream: bool = False,
+                 decryption: Optional[encm.FileDecryptionProperties] = None):
+        self.buffer_size = buffer_size
+        self.buffered_stream = buffered_stream
+        self.decryption = decryption
+
 
 class ParquetFile:
     """Random-access parquet reader."""
 
     def __init__(self, source: Union[str, BinaryIO, bytes],
-                 decryption: Optional[encm.FileDecryptionProperties] = None):
+                 decryption: Optional[encm.FileDecryptionProperties] = None,
+                 properties: Optional[ReaderProperties] = None):
+        self.properties = properties or ReaderProperties()
+        if decryption is None:
+            decryption = self.properties.decryption
         if isinstance(source, str):
             source = open(source, "rb")
         elif isinstance(source, (bytes, bytearray, memoryview)):
@@ -267,8 +289,28 @@ class ParquetFile:
                            ctx=None):
         meta = chunk.meta_data
         start = meta.dictionary_page_offset or meta.data_page_offset
-        self.src.seek(start)
-        raw = self.src.read(meta.total_compressed_size)
+        total = meta.total_compressed_size
+        if self.properties.buffered_stream:
+            # stream the chunk section in buffer_size reads as the page
+            # loop advances (reference GetStream buffered branch,
+            # reader_properties.go:123-129)
+            raw = bytearray()
+
+            def _ensure(end: int) -> None:
+                need = min(end, total)
+                while len(raw) < need:
+                    self.src.seek(start + len(raw))
+                    got = self.src.read(max(self.properties.buffer_size,
+                                            need - len(raw)))
+                    if not got:
+                        break
+                    raw.extend(got)
+        else:
+            self.src.seek(start)
+            raw = self.src.read(total)
+
+            def _ensure(end: int) -> None:
+                pass
         codec = meta.codec or 0
 
         # page skipping only when a page's row count equals its value count
@@ -285,7 +327,14 @@ class ParquetFile:
         remaining = meta.num_values
         first_page = True
         page_ord = 0  # data-page ordinal for module AADs (dict not counted)
-        while remaining > 0 and pos < len(raw):
+        while remaining > 0 and pos < total:
+            if ctx is not None:
+                _ensure(pos + 4)
+                if pos + 4 <= len(raw):
+                    (_blen,) = struct.unpack_from("<I", raw, pos)
+                    _ensure(pos + 4 + _blen)
+            else:
+                _ensure(pos + 65536)  # thrift page headers are small
             if ctx is not None:
                 # header module AAD depends on page kind; only the first
                 # frame can be the dictionary page
@@ -297,12 +346,18 @@ class ParquetFile:
                 hdr = CompactReader(hb).read_struct(fmt.PageHeader)
                 pos += used
             else:
-                rd = CompactReader(raw, pos)
-                hdr = rd.read_struct(fmt.PageHeader)
+                try:
+                    rd = CompactReader(raw, pos)
+                    hdr = rd.read_struct(fmt.PageHeader)
+                except (IndexError, struct.error):
+                    _ensure(total)  # oversized header: load the rest
+                    rd = CompactReader(raw, pos)
+                    hdr = rd.read_struct(fmt.PageHeader)
                 pos = rd.pos
             first_page = False
             comp_size = hdr.compressed_page_size
-            page_raw = raw[pos: pos + comp_size]
+            _ensure(pos + comp_size)
+            page_raw = bytes(raw[pos: pos + comp_size])
             pos += comp_size
             ptype = fmt.PageType(hdr.type)
             if ctx is not None:
@@ -656,6 +711,8 @@ def _decode_stats(st, desc):
 
 def read_table(source, columns: Optional[List[str]] = None,
                filters: Optional[List[tuple]] = None,
-               decryption: Optional[encm.FileDecryptionProperties] = None
+               decryption: Optional[encm.FileDecryptionProperties] = None,
+               properties: Optional[ReaderProperties] = None
                ) -> Table:
-    return ParquetFile(source, decryption).read_table(columns, filters)
+    return ParquetFile(source, decryption,
+                       properties).read_table(columns, filters)

@@ -87,9 +87,18 @@ def _logical_for(t: dt.DataType) -> Tuple[Optional[fmt.LogicalType],
     return None, None
 
 
-def physical_for(t: dt.DataType) -> Tuple[fmt.Type, int]:
-    """(physical type, type_length)."""
+def physical_for(t: dt.DataType,
+                 store_decimal_as_integer: bool = False
+                 ) -> Tuple[fmt.Type, int]:
+    """(physical type, type_length). store_decimal_as_integer maps
+    small-precision decimals onto INT32/INT64 instead of FLBA (reference
+    WithStoreDecimalAsInteger, parquet/writer_properties.go:365)."""
     tid = t.id
+    if store_decimal_as_integer and t.is_decimal:
+        if t.precision <= 9:
+            return fmt.Type.INT32, 0
+        if t.precision <= 18:
+            return fmt.Type.INT64, 0
     if tid == dt.TypeId.BOOL:
         return fmt.Type.BOOLEAN, 0
     if tid in (dt.TypeId.INT8, dt.TypeId.INT16, dt.TypeId.INT32,
@@ -123,8 +132,10 @@ def physical_for(t: dt.DataType) -> Tuple[fmt.Type, int]:
     raise ArrowNotImplemented(f"no parquet physical type for {t}")
 
 
-def schema_to_elements(schema: dt.Schema) -> Tuple[List[fmt.SchemaElement],
-                                                   List[ColumnDescriptor]]:
+def schema_to_elements(schema: dt.Schema,
+                       store_decimal_as_integer: bool = False
+                       ) -> Tuple[List[fmt.SchemaElement],
+                                  List[ColumnDescriptor]]:
     """Arrow schema -> flat SchemaElement list (depth-first) + leaf columns."""
     elements = [fmt.SchemaElement(name="schema",
                                   num_children=len(schema.fields))]
@@ -187,7 +198,7 @@ def schema_to_elements(schema: dt.Schema) -> Tuple[List[fmt.SchemaElement],
                  ancestry + [el, mid])
             return
         storage = t.value_type if t.id == dt.TypeId.DICTIONARY else t
-        phys, tlen = physical_for(t)
+        phys, tlen = physical_for(t, store_decimal_as_integer)
         logical, conv = _logical_for(storage)
         el = fmt.SchemaElement(
             name=f.name, type=int(phys),

@@ -155,10 +155,16 @@ def _encode_values(encoding: fmt.Encoding, phys_type: fmt.Type, phys,
 
 def _encode_column_chunk(
         sink: BinaryIO, leaf_arr: Array, field: dt.Field,
-        desc: psch.ColumnDescriptor, codec: int, use_dictionary: bool,
-        make_bloom: bool = False, data_page_size: Optional[int] = None,
-        encoding: Optional[str] = None, crypto=None):
+        desc: psch.ColumnDescriptor, props: "WriterProperties",
+        colname: str, crypto=None):
     """Write pages for one column chunk; return its metadata."""
+    codec = props.codec_for(colname)
+    codec_level = props.level_for(colname)
+    use_dictionary = props.dict_for(colname)
+    make_bloom = props.bloom_for(colname)
+    data_page_size = props.data_page_size
+    encoding = props.encoding_for(colname)
+    v2_pages = props.data_page_version == "2.0"
     t = field.type
     nested = t.id in (dt.TypeId.LIST, dt.TypeId.LARGE_LIST, dt.TypeId.STRUCT)
     if nested:
@@ -199,12 +205,21 @@ def _encode_column_chunk(
                                      desc.type_length)
         dict_page_bytes = enc.plain_encode(desc.physical_type, dict_vals,
                                            desc.type_length)
+        if len(dict_page_bytes) > props.dictionary_pagesize_limit:
+            # dictionary grew past the page-size limit: fall back to plain
+            # (reference column_writer.go FallbackToPlainEncoding)
+            is_dict = False
+            dict_page_bytes = None
+            values_arr = make_array(values_arr.data).decode() \
+                if values_arr.type.id == dt.TypeId.DICTIONARY else values_arr
+            vt = values_arr.type
+    if is_dict:
         codes = np.asarray(values_arr.indices.to_numpy(), dtype=np.uint32)
         width = max(enc.bit_width_for(int(codes.max()) if len(codes) else 0), 1)
         data_bytes = bytes([width]) + enc.rle_encode(codes, width)
-        value_encoding = int(fmt.Encoding.PLAIN_DICTIONARY)
-        encodings_used += [int(fmt.Encoding.PLAIN),
-                           int(fmt.Encoding.PLAIN_DICTIONARY)]
+        value_encoding = int(fmt.Encoding.PLAIN_DICTIONARY
+                             if not v2_pages else fmt.Encoding.RLE_DICTIONARY)
+        encodings_used += [int(fmt.Encoding.PLAIN), value_encoding]
         phys_for_stats = _physical_values(
             make_array(values_arr.data).decode(), desc.physical_type,
             desc.type_length)
@@ -218,14 +233,16 @@ def _encode_column_chunk(
         encodings_used.append(int(venc))
         phys_for_stats = phys
 
-    stats = _stats_for(desc.physical_type, phys_for_stats, null_count)
+    stats = (_stats_for(desc.physical_type, phys_for_stats, null_count)
+             if props.stats_for(colname) else None)
     bloom = None
     if make_bloom and desc.physical_type != fmt.Type.BOOLEAN:
         try:
             from .bloom import build_bloom_filter
             src = phys_for_stats if not isinstance(phys_for_stats, np.ndarray) \
                 else phys_for_stats.tolist()
-            bloom = build_bloom_filter(src, desc.physical_type)
+            bloom = build_bloom_filter(src, desc.physical_type,
+                                       fpp=props.bloom_filter_fpp)
         except NotImplementedError:
             bloom = None
 
@@ -236,7 +253,7 @@ def _encode_column_chunk(
 
     if is_dict and dict_page_bytes is not None:
         dict_page_offset = sink.tell()
-        compressed = comp.compress(codec, dict_page_bytes)
+        compressed = comp.compress(codec, dict_page_bytes, codec_level)
         if crypto is not None:
             compressed = encm.encrypt_module(
                 crypto.key, crypto.aad(encm.DICT_PAGE_MODULE), compressed,
@@ -289,35 +306,71 @@ def _encode_column_chunk(
     data_page_offset = None
     page_locs = []
     for p_ord, (start, end, lvl_b, data_b) in enumerate(page_ranges):
-        page_payload = lvl_b + data_b
-        compressed = comp.compress(codec, page_payload)
+        pstats = stats if len(page_ranges) == 1 else None
+        if v2_pages:
+            # V2 layout: uncompressed rep+def level runs (no length prefix,
+            # byte lengths in the header) then compressed values
+            # (reference file/page_writer.go DataPageV2 path)
+            rep_raw = def_raw = b""
+            if desc.max_rep_level > 0:
+                rep_raw = enc.rle_encode(
+                    rep_levels[start:end],
+                    enc.bit_width_for(desc.max_rep_level))
+            if desc.max_def_level > 0:
+                def_raw = enc.rle_encode(
+                    def_levels[start:end],
+                    enc.bit_width_for(desc.max_def_level))
+            page_nulls = int((def_levels[start:end]
+                              != desc.max_def_level).sum()) \
+                if desc.max_def_level else 0
+            page_rows = int((rep_levels[start:end] == 0).sum()) \
+                if desc.max_rep_level else end - start
+            comp_vals = comp.compress(codec, data_b, codec_level)
+            body = rep_raw + def_raw + comp_vals
+            unc_size = len(rep_raw) + len(def_raw) + len(data_b)
+            hdr = fmt.PageHeader(
+                type=int(fmt.PageType.DATA_PAGE_V2),
+                uncompressed_page_size=unc_size,
+                compressed_page_size=len(body),
+                data_page_header_v2=fmt.DataPageHeaderV2(
+                    num_values=end - start, num_nulls=page_nulls,
+                    num_rows=page_rows, encoding=value_encoding,
+                    definition_levels_byte_length=len(def_raw),
+                    repetition_levels_byte_length=len(rep_raw),
+                    is_compressed=bool(codec),
+                    statistics=pstats))
+        else:
+            page_payload = lvl_b + data_b
+            body = comp.compress(codec, page_payload, codec_level)
+            unc_size = len(page_payload)
+            hdr = fmt.PageHeader(
+                type=int(fmt.PageType.DATA_PAGE),
+                uncompressed_page_size=unc_size,
+                compressed_page_size=len(body),
+                data_page_header=fmt.DataPageHeader(
+                    num_values=end - start, encoding=value_encoding,
+                    definition_level_encoding=int(fmt.Encoding.RLE),
+                    repetition_level_encoding=int(fmt.Encoding.RLE),
+                    statistics=pstats))
         if crypto is not None:
-            compressed = encm.encrypt_module(
+            body = encm.encrypt_module(
                 crypto.key, crypto.aad(encm.DATA_PAGE_MODULE, p_ord),
-                compressed, crypto.gcm_pages)
+                body, crypto.gcm_pages)
+            hdr.compressed_page_size = len(body)
         off = sink.tell()
         if data_page_offset is None:
             data_page_offset = off
-        hdr = fmt.PageHeader(
-            type=int(fmt.PageType.DATA_PAGE),
-            uncompressed_page_size=len(page_payload),
-            compressed_page_size=len(compressed),
-            data_page_header=fmt.DataPageHeader(
-                num_values=end - start, encoding=value_encoding,
-                definition_level_encoding=int(fmt.Encoding.RLE),
-                repetition_level_encoding=int(fmt.Encoding.RLE),
-                statistics=stats if len(page_ranges) == 1 else None))
         hb = _thrift_bytes(hdr)
         if crypto is not None:
             hb = encm.encrypt_module(
                 crypto.key, crypto.aad(encm.DATA_PAGE_HEADER_MODULE, p_ord),
                 hb)
         sink.write(hb)
-        sink.write(compressed)
-        total_unc += len(hb) + len(page_payload)
-        total_comp += len(hb) + len(compressed)
+        sink.write(body)
+        total_unc += len(hb) + unc_size
+        total_comp += len(hb) + len(body)
         page_locs.append(fmt.PageLocation(
-            offset=off, compressed_page_size=len(hb) + len(compressed),
+            offset=off, compressed_page_size=len(hb) + len(body),
             first_row_index=start))
 
     extras = {"page_location": page_locs[0], "page_locations": page_locs,
@@ -336,55 +389,123 @@ def _encode_column_chunk(
     return fmt.ColumnChunk(file_offset=start_offset, meta_data=meta), extras
 
 
+class SortingColumn:
+    """Declared sort order of a row group's rows (reference
+    parquet.SortingColumn, WithSortingColumns writer_properties.go:374).
+    column_idx indexes the leaf columns."""
+
+    def __init__(self, column_idx: int, descending: bool = False,
+                 nulls_first: bool = False):
+        self.column_idx = column_idx
+        self.descending = descending
+        self.nulls_first = nulls_first
+
+
+class WriterProperties:
+    """The reference's WriterProperties option set
+    (parquet/writer_properties.go:143-527), as a keyword dataclass.
+
+    Per-column overrides live in ``column_properties``:
+    ``{"col": {"compression": "zstd", "use_dictionary": False,
+    "encoding": "delta_binary_packed", "write_statistics": False,
+    "compression_level": 9, "bloom": True}}`` — the analog of the
+    reference's With*For(path, ...) options.
+    """
+
+    def __init__(self, *,
+                 version: str = "2.6",              # WithVersion
+                 data_page_version: str = "1.0",    # WithDataPageVersion
+                 created_by: str = CREATED_BY,      # WithCreatedBy
+                 compression: str = "snappy",       # WithCompression
+                 compression_level: Optional[int] = None,
+                 use_dictionary: bool = True,       # WithDictionaryDefault
+                 dictionary_pagesize_limit: int = 1 << 20,
+                 data_page_size: Optional[int] = None,
+                 max_row_group_length: Optional[int] = None,
+                 write_statistics: bool = True,     # WithStats
+                 write_page_index: bool = True,     # WithPageIndexEnabled
+                 write_bloom_filters: bool = False,  # WithBloomFilterEnabled
+                 bloom_filter_fpp: float = 0.01,    # WithBloomFilterFPP
+                 sorting_columns: Optional[List[SortingColumn]] = None,
+                 store_decimal_as_integer: bool = False,
+                 column_properties: Optional[dict] = None,
+                 encryption: Optional[encm.FileEncryptionProperties] = None):
+        if version not in ("1.0", "2.4", "2.6"):
+            raise ArrowInvalid(f"parquet format version {version!r}")
+        if data_page_version not in ("1.0", "2.0"):
+            raise ArrowInvalid(f"data page version {data_page_version!r}")
+        self.version = version
+        self.data_page_version = data_page_version
+        self.created_by = created_by
+        self.compression = compression
+        self.compression_level = compression_level
+        self.use_dictionary = use_dictionary
+        self.dictionary_pagesize_limit = dictionary_pagesize_limit
+        self.data_page_size = data_page_size
+        self.max_row_group_length = max_row_group_length
+        self.write_statistics = write_statistics
+        self.page_index = write_page_index
+        self.bloom = write_bloom_filters
+        self.bloom_filter_fpp = bloom_filter_fpp
+        self.sorting_columns = sorting_columns
+        self.store_decimal_as_integer = store_decimal_as_integer
+        self.per_column = column_properties or {}
+        self.encryption = encryption
+
+    def _col(self, name: str, key: str, default):
+        return self.per_column.get(name, {}).get(key, default)
+
+    def codec_for(self, name: str) -> int:
+        c = self._col(name, "compression", self.compression)
+        return int(comp.CODEC_NAMES[c.lower()])
+
+    def level_for(self, name: str) -> Optional[int]:
+        return self._col(name, "compression_level", self.compression_level)
+
+    def dict_for(self, name: str) -> bool:
+        return self._col(name, "use_dictionary", self.use_dictionary)
+
+    def encoding_for(self, name: str) -> Optional[str]:
+        return self._col(name, "encoding", None)
+
+    def stats_for(self, name: str) -> bool:
+        return self._col(name, "write_statistics", self.write_statistics)
+
+    def bloom_for(self, name: str) -> bool:
+        return self._col(name, "bloom", self.bloom)
+
+
 def write_table(table, sink, row_group_size: Optional[int] = None,
                 compression: str = "snappy", use_dictionary: bool = True,
                 write_page_index: bool = True,
                 write_bloom_filters: bool = False,
                 data_page_size: Optional[int] = None,
                 column_properties: Optional[dict] = None,
-                encryption: Optional[encm.FileEncryptionProperties] = None
+                encryption: Optional[encm.FileEncryptionProperties] = None,
+                properties: Optional[WriterProperties] = None,
                 ) -> None:
     """Write a Table/RecordBatch to a parquet file.
 
-    column_properties: per-column overrides, e.g.
-    {"col": {"compression": "zstd", "use_dictionary": False}}
-    (reference parquet WriterProperties per-column toggles,
-    writer_properties.go). data_page_size: target bytes per data page
-    (flat columns split into multiple pages; reference
-    commitWriteAndCheckPageLimit, column_writer.go:265).
+    Either pass individual keyword options (the common ones) or a full
+    ``WriterProperties`` via ``properties`` (which then wins; the analog of
+    the reference's option-function list, writer_properties.go).
     """
     if isinstance(table, RecordBatch):
         table = Table.from_batches([table])
-    props = _Props(compression, use_dictionary, write_page_index,
-                   write_bloom_filters, data_page_size,
-                   column_properties or {})
+    props = properties or WriterProperties(
+        compression=compression, use_dictionary=use_dictionary,
+        write_page_index=write_page_index,
+        write_bloom_filters=write_bloom_filters,
+        data_page_size=data_page_size,
+        column_properties=column_properties,
+        encryption=encryption)
+    encryption = props.encryption
+    row_group_size = row_group_size or props.max_row_group_length
     if hasattr(sink, "write"):
         _write(table, sink, row_group_size, props, encryption)
     else:
         with open(sink, "wb") as f:
             _write(table, f, row_group_size, props, encryption)
-
-
-class _Props:
-    def __init__(self, compression, use_dictionary, page_index, bloom,
-                 data_page_size, per_column):
-        self.compression = compression
-        self.use_dictionary = use_dictionary
-        self.page_index = page_index
-        self.bloom = bloom
-        self.data_page_size = data_page_size
-        self.per_column = per_column
-
-    def codec_for(self, name: str) -> int:
-        c = self.per_column.get(name, {}).get("compression", self.compression)
-        return int(comp.CODEC_NAMES[c.lower()])
-
-    def dict_for(self, name: str) -> bool:
-        return self.per_column.get(name, {}).get("use_dictionary",
-                                                 self.use_dictionary)
-
-    def encoding_for(self, name: str) -> Optional[str]:
-        return self.per_column.get(name, {}).get("encoding")
 
 
 def _column_crypto_ctx(encryption, leaves, rg: int, li: int):
@@ -432,7 +553,13 @@ def _write(table: Table, sink: BinaryIO, row_group_size: Optional[int],
            ) -> None:
     write_page_index = props.page_index
     write_bloom_filters = props.bloom
-    elements, leaves = psch.schema_to_elements(table.schema)
+    elements, leaves = psch.schema_to_elements(
+        table.schema, props.store_decimal_as_integer)
+    fmt_sorting = [fmt.SortingColumn(column_idx=sc.column_idx,
+                                     descending=sc.descending,
+                                     nulls_first=sc.nulls_first)
+                   for sc in props.sorting_columns] \
+        if props.sorting_columns else None
     encrypted_footer = encryption is not None and not encryption.plaintext_footer
     sink.write(MAGIC_ENCRYPTED if encrypted_footer else MAGIC)
 
@@ -469,9 +596,7 @@ def _write(table: Table, sink: BinaryIO, row_group_size: Optional[int],
                 ctx, col_key_meta, uses_footer = _column_crypto_ctx(
                     encryption, leaves, len(row_groups), li)
                 chunk, extras = _encode_column_chunk(
-                    sink, pruned_arr, pruned_f, desc, props.codec_for(f.name),
-                    props.dict_for(f.name), write_bloom_filters,
-                    props.data_page_size, props.encoding_for(f.name), ctx)
+                    sink, pruned_arr, pruned_f, desc, props, f.name, ctx)
                 extras["crypto"] = (ctx, col_key_meta, uses_footer, desc)
                 chunks.append(chunk)
                 rg_extras.append(extras)
@@ -481,6 +606,7 @@ def _write(table: Table, sink: BinaryIO, row_group_size: Optional[int],
         # readers take it from this field, not the list position
         row_groups.append(fmt.RowGroup(
             columns=chunks, total_byte_size=total, num_rows=rb.num_rows,
+            sorting_columns=fmt_sorting,
             file_offset=rg_start, total_compressed_size=total,
             ordinal=len(row_groups)))
         all_extras.append(rg_extras)
@@ -552,8 +678,9 @@ def _write(table: Table, sink: BinaryIO, row_group_size: Optional[int],
                                               uses_footer, encryption)
 
     meta = fmt.FileMetaData(
-        version=2, schema=elements, num_rows=table.num_rows,
-        row_groups=row_groups, created_by=CREATED_BY,
+        version=1 if props.version == "1.0" else 2,
+        schema=elements, num_rows=table.num_rows,
+        row_groups=row_groups, created_by=props.created_by,
         column_orders=[fmt.ColumnOrder(TYPE_ORDER=fmt.TypeDefinedOrder())
                        for _ in leaves],
         key_value_metadata=[fmt.KeyValue(key=k, value=v)
