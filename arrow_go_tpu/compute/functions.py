@@ -630,6 +630,8 @@ def register_all(reg: FunctionRegistry) -> None:
     reg.register(Function("is_valid", FunctionKind.SCALAR, Arity.unary(),
                           lambda a, options=None: kernels.is_valid(a)))
     reg.add_alias("is_not_null", "is_valid")
+    reg.add_alias("sub", "subtract")  # reference arithmetic.go:680 "sub"
+    reg.add_alias("sub_unchecked", "subtract_unchecked")
     reg.register(Function("is_nan", FunctionKind.SCALAR, Arity.unary(),
                           lambda a, options=None: kernels.is_nan(a)))
     reg.register(Function("is_finite", FunctionKind.SCALAR, Arity.unary(),

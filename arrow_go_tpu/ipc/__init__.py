@@ -70,10 +70,15 @@ class StreamWriter:
     """IPC stream writer (reference ipc/writer.go:125)."""
 
     def __init__(self, sink: BinaryIO, schema: dt.Schema,
-                 compression: Optional[str] = None):
+                 compression: Optional[str] = None,
+                 endianness: str = "little"):
         self.sink = sink
         self.schema = schema
         self.compression = compression
+        # endianness="big" emits a big-endian file (schema flag + swapped
+        # buffers) — the write-side analog of the reference's byte-swapping
+        # reader (ipc/endian_swap.go); a BE host would write "native" this way
+        self._endianness = 1 if endianness == "big" else 0
         self.mapper = DictMapper()
         self.mapper.assign(schema)
         self._wrote_schema = False
@@ -81,9 +86,17 @@ class StreamWriter:
         self._closed = False
 
     def _write_schema(self):
-        msg = core.build_schema_message(self.schema, self.mapper.field_to_id)
+        msg = core.build_schema_message(self.schema, self.mapper.field_to_id,
+                                        self._endianness)
         self.sink.write(core.frame_message(msg))
         self._wrote_schema = True
+
+    def _maybe_swap(self, data: ArrayData) -> ArrayData:
+        if not self._endianness:
+            return data
+        # compact FIRST: swapped offsets are not interpretable, so the
+        # zero-offset normalization must happen while buffers are native
+        return core.swap_endian_data(core.compact(data))
 
     def _write_dictionaries(self, batch: RecordBatch):
         dicts: Dict[int, ArrayData] = {}
@@ -96,7 +109,8 @@ class StreamWriter:
             if prev is not None and _same_dict(prev, ddata):
                 continue
             meta, body = core.build_record_batch_message(
-                [ddata], ddata.length, self.compression, dictionary_id=did)
+                [self._maybe_swap(ddata)], ddata.length, self.compression,
+                dictionary_id=did)
             self.sink.write(core.frame_message(meta))
             self.sink.write(body)
             self._sent_dicts[did] = ddata
@@ -108,7 +122,8 @@ class StreamWriter:
             self._write_schema()
         self._write_dictionaries(batch)
         meta, body = core.build_record_batch_message(
-            [c.data for c in batch.columns], batch.num_rows, self.compression)
+            [self._maybe_swap(c.data) for c in batch.columns],
+            batch.num_rows, self.compression)
         self.sink.write(core.frame_message(meta))
         self.sink.write(body)
 
@@ -167,7 +182,11 @@ class StreamReader:
         if r is None or r.u8(1) != md.MSG_SCHEMA:
             raise ArrowInvalid("expected schema message")
         memo: Dict[int, dt.Field] = {}
-        schema = md.read_schema(r.union(2), memo)
+        sr = r.union(2)
+        # big-endian files: byte-swap buffers on load (reference
+        # ipc/endian_swap.go swapEndianArrayData)
+        self._swap = sr.i16(0) == 1
+        schema = md.read_schema(sr, memo)
         self.mapper_fields = memo
         self._field_ids = {id(f): did for did, f in memo.items()}
         return schema
@@ -183,6 +202,8 @@ class StreamReader:
         vt = f.type.value_type if f is not None else dt.string
         br = core.BodyReader(rb, body)
         data = core.load_array(br, vt)
+        if self._swap:
+            data = core.swap_endian_data(data)
         if db.bool_(2) and did in self.dictionaries:  # delta: append
             from ..array.concat import concat_arrays
             prev = make_array(self.dictionaries[did])
@@ -207,6 +228,8 @@ class StreamReader:
                 for f in self.schema.fields:
                     data = core.load_array(br, f.type, self.dictionaries,
                                            self._dict_id_of, f)
+                    if self._swap:
+                        data = core.swap_endian_data(data)
                     cols.append(make_array(data))
                 return RecordBatch(self.schema, cols, br.num_rows)
             raise ArrowInvalid(f"unexpected message header {ht}")
@@ -236,8 +259,9 @@ class FileWriter(StreamWriter):
     (reference ipc/file_writer.go:267)."""
 
     def __init__(self, sink: BinaryIO, schema: dt.Schema,
-                 compression: Optional[str] = None):
-        super().__init__(sink, schema, compression)
+                 compression: Optional[str] = None,
+                 endianness: str = "little"):
+        super().__init__(sink, schema, compression, endianness)
         self._blocks: List[tuple] = []
         self._dict_blocks: List[tuple] = []
         self.sink.write(MAGIC + b"\0\0")
@@ -258,7 +282,8 @@ class FileWriter(StreamWriter):
             if prev is not None and _same_dict(prev, ddata):
                 continue
             meta, body = core.build_record_batch_message(
-                [ddata], ddata.length, self.compression, dictionary_id=did)
+                [self._maybe_swap(ddata)], ddata.length, self.compression,
+                dictionary_id=did)
             self._write_framed(meta, body, self._dict_blocks)
             self._sent_dicts[did] = ddata
 
@@ -267,7 +292,8 @@ class FileWriter(StreamWriter):
             self._write_schema()
         self._write_dictionaries(batch)
         meta, body = core.build_record_batch_message(
-            [c.data for c in batch.columns], batch.num_rows, self.compression)
+            [self._maybe_swap(c.data) for c in batch.columns],
+            batch.num_rows, self.compression)
         self._write_framed(meta, body, self._blocks)
 
     def close(self) -> None:
@@ -278,7 +304,8 @@ class FileWriter(StreamWriter):
         self.sink.write(core.EOS)
         # footer
         b = flatbuffers.Builder(1024)
-        schema_off = md.write_schema(b, self.schema, self.mapper.field_to_id)
+        schema_off = md.write_schema(b, self.schema, self.mapper.field_to_id,
+                                     self._endianness)
 
         def blocks_vec(blocks):
             b.StartVector(24, len(blocks), 8)
@@ -340,6 +367,7 @@ class FileReader:
         footer = self.src.read(flen)
         r = FbReader.root(footer)
         memo: Dict[int, dt.Field] = {}
+        self._swap = r.table(1).i16(0) == 1
         self.schema = md.read_schema(r.table(1), memo)
         self.mapper_fields = memo
         self._field_ids = {id(f): did for did, f in memo.items()}
@@ -385,7 +413,10 @@ class FileReader:
             vt = f.type.value_type if f is not None else dt.string
             rb = FbReader(db.tab.Bytes, db.table(1).tab.Pos)
             br = core.BodyReader(rb, body)
-            self.dictionaries[did] = core.load_array(br, vt)
+            data = core.load_array(br, vt)
+            if self._swap:
+                data = core.swap_endian_data(data)
+            self.dictionaries[did] = data
         self._dicts_loaded = True
 
     def get_batch(self, i: int) -> RecordBatch:
@@ -398,6 +429,8 @@ class FileReader:
         for f in self.schema.fields:
             data = core.load_array(br, f.type, self.dictionaries,
                                    lambda fld: self._field_ids.get(id(fld)), f)
+            if self._swap:
+                data = core.swap_endian_data(data)
             cols.append(make_array(data))
         return RecordBatch(self.schema, cols, br.num_rows)
 

@@ -288,9 +288,10 @@ def _finish_message(b: flatbuffers.Builder, header_type: int,
     return bytes(b.Output())
 
 
-def build_schema_message(schema: dt.Schema, dict_ids: dict) -> bytes:
+def build_schema_message(schema: dt.Schema, dict_ids: dict,
+                         endianness: int = 0) -> bytes:
     b = flatbuffers.Builder(1024)
-    off = md.write_schema(b, schema, dict_ids)
+    off = md.write_schema(b, schema, dict_ids, endianness)
     return _finish_message(b, md.MSG_SCHEMA, off, 0)
 
 
@@ -438,3 +439,95 @@ def load_array(br: BodyReader, t: dt.DataType,
                     for f in t.fields()]
         return ArrayData(t, n, [vb], children, null_count=nc)
     raise NotImplementedError(f"IPC load of {t}")
+
+
+# ---------------------------------------------------------------------------
+# endianness (reference arrow/ipc/endian_swap.go swapEndianArrayData)
+# ---------------------------------------------------------------------------
+
+def _swap_buf(b, width: int):
+    """Byteswap a buffer as width-byte elements (full element reversal —
+    equivalent to word swap for 2/4/8, and the decimal whole-value swap
+    for 16/32-byte elements)."""
+    if b is None or width <= 1 or len(b.data) == 0:
+        return b
+    from ..memory.buffer import Buffer
+    a = b.data
+    usable = (len(a) // width) * width
+    out = a[:usable].reshape(-1, width)[:, ::-1].ravel().copy()
+    if usable < len(a):
+        out = np.concatenate([out, a[usable:]])
+    return Buffer(out)
+
+
+def swap_endian_data(data: ArrayData) -> ArrayData:
+    """Return a copy of `data` with every numeric buffer byte-swapped
+    (validity bitmaps and raw byte payloads untouched). Used to read
+    big-endian IPC files on little-endian hosts and to emit them
+    (reference ipc/endian_swap.go)."""
+    t = data.type
+    tid = t.id
+    bufs = list(data.buffers)
+    children = list(data.children)
+
+    def swap_children():
+        return [swap_endian_data(c) for c in children]
+
+    if tid == dt.TypeId.EXTENSION:
+        inner = swap_endian_data(ArrayData(
+            t.storage_type, data.length, bufs, children, data.dictionary,
+            data._null_count, data.offset))
+        return ArrayData(t, data.length, inner.buffers, inner.children,
+                         inner.dictionary, data._null_count, data.offset)
+    if tid in (dt.TypeId.NULL, dt.TypeId.BOOL, dt.TypeId.INT8,
+               dt.TypeId.UINT8, dt.TypeId.FIXED_SIZE_BINARY):
+        pass
+    elif tid in (dt.TypeId.STRING_VIEW, dt.TypeId.BINARY_VIEW):
+        raise NotImplementedError("endian swap of view buffers")
+    elif tid in (dt.TypeId.SPARSE_UNION, dt.TypeId.DENSE_UNION):
+        if tid == dt.TypeId.DENSE_UNION and len(bufs) > 1:
+            bufs[1] = _swap_buf(bufs[1], 4)  # value offsets int32
+        children = swap_children()
+    elif tid == dt.TypeId.RUN_END_ENCODED:
+        children = swap_children()
+    elif tid == dt.TypeId.DICTIONARY:
+        # indices only: the dictionary values ride their own DictionaryBatch
+        # message and are swapped when that message is read/written
+        bufs[1] = _swap_buf(bufs[1], t.index_type.np_dtype.itemsize)
+    elif tid == dt.TypeId.INTERVAL_MONTH_DAY_NANO:
+        # heterogeneous 16-byte struct: (i32 months, i32 days, i64 nanos)
+        b = bufs[1]
+        if b is not None and len(b.data):
+            from ..memory.buffer import Buffer
+            a = b.data
+            usable = (len(a) // 16) * 16
+            m = a[:usable].reshape(-1, 16).copy()
+            m[:, 0:4] = m[:, 0:4][:, ::-1]
+            m[:, 4:8] = m[:, 4:8][:, ::-1]
+            m[:, 8:16] = m[:, 8:16][:, ::-1]
+            out = m.ravel()
+            if usable < len(a):
+                out = np.concatenate([out, a[usable:]])
+            bufs[1] = Buffer(out)
+    elif tid in (dt.TypeId.INTERVAL_DAY_TIME, dt.TypeId.INTERVAL_MONTHS):
+        bufs[1] = _swap_buf(bufs[1], 4)  # i32 / (i32,i32) per value
+    elif t.is_decimal or tid == dt.TypeId.FLOAT16:
+        bufs[1] = _swap_buf(bufs[1], t.bit_width // 8)
+    elif t.np_dtype is not None:
+        bufs[1] = _swap_buf(bufs[1], t.np_dtype.itemsize)
+    elif t.is_binary_like:  # offsets + raw bytes
+        bufs[1] = _swap_buf(bufs[1], t.offset_dtype.itemsize)
+    elif tid in (dt.TypeId.LIST, dt.TypeId.LARGE_LIST, dt.TypeId.MAP):
+        bufs[1] = _swap_buf(bufs[1], t.offset_dtype.itemsize)
+        children = swap_children()
+    elif tid in (dt.TypeId.LIST_VIEW, dt.TypeId.LARGE_LIST_VIEW):
+        w = t.offset_dtype.itemsize
+        bufs[1] = _swap_buf(bufs[1], w)
+        bufs[2] = _swap_buf(bufs[2], w)
+        children = swap_children()
+    elif tid in (dt.TypeId.FIXED_SIZE_LIST, dt.TypeId.STRUCT):
+        children = swap_children()
+    else:
+        raise NotImplementedError(f"endian swap of {t}")
+    return ArrayData(t, data.length, bufs, children, data.dictionary,
+                     data._null_count, data.offset)

@@ -233,7 +233,8 @@ def write_field(b: flatbuffers.Builder, f: dt.Field, dict_ids: dict):
     return _end(b)
 
 
-def write_schema(b: flatbuffers.Builder, schema: dt.Schema, dict_ids: dict):
+def write_schema(b: flatbuffers.Builder, schema: dt.Schema, dict_ids: dict,
+                 endianness: int = 0):
     fields = [write_field(b, f, dict_ids) for f in schema.fields]
     b.StartVector(4, len(fields), 4)
     for f in reversed(fields):
@@ -241,7 +242,7 @@ def write_schema(b: flatbuffers.Builder, schema: dt.Schema, dict_ids: dict):
     fvec = b.EndVector()
     md_off = write_kv_vector(b, schema.metadata)
     _start(b, 4)
-    b.PrependInt16Slot(0, 0, 0)  # little endian
+    b.PrependInt16Slot(0, endianness, 0)  # 0=little, 1=big
     b.PrependUOffsetTRelativeSlot(1, fvec, 0)
     if md_off is not None:
         b.PrependUOffsetTRelativeSlot(2, md_off, 0)
