@@ -90,6 +90,50 @@ def cmd_convert(args):
     print(f"wrote {args.dst}")
 
 
+def cmd_json_integration(args):
+    """The archery integration-harness tool (reference
+    arrow/ipc/cmd/arrow-json-integration-test/main.go): convert the
+    integration JSON format <-> Arrow IPC files, or VALIDATE that a JSON
+    file and an arrow file hold identical data."""
+    from . import ipc
+    from .array.record import Table
+    from .interop import arrjson
+
+    def read_json_batches(path):
+        with open(path) as f:
+            return arrjson.read_arrjson(f.read())
+
+    def read_arrow_batches(path):
+        with open(path, "rb") as f:
+            r = ipc.open_file(f)
+            return [r.get_batch(i) for i in range(r.num_record_batches)]
+
+    if args.mode == "JSON_TO_ARROW":
+        batches = read_json_batches(args.json)
+        with open(args.arrow, "wb") as f:
+            with ipc.new_file(f, batches[0].schema) as w:
+                for b in batches:
+                    w.write(b)
+        print(f"wrote {args.arrow}")
+    elif args.mode == "ARROW_TO_JSON":
+        batches = read_arrow_batches(args.arrow)
+        out = arrjson.write_arrjson(batches)
+        with open(args.json, "w") as f:
+            f.write(out)
+        print(f"wrote {args.json}")
+    else:  # VALIDATE
+        jb = read_json_batches(args.json)
+        ab = read_arrow_batches(args.arrow)
+        tj = Table.from_batches(jb)
+        ta = Table.from_batches(ab)
+        if tj.schema != ta.schema:
+            raise SystemExit(
+                f"schema mismatch:\n  json: {tj.schema}\n  arrow: {ta.schema}")
+        if tj.to_pydict() != ta.to_pydict():
+            raise SystemExit("data mismatch between json and arrow files")
+        print("validation passed")
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(prog="arrow_go_tpu.cli")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -107,6 +151,15 @@ def main(argv=None):
     v.add_argument("src")
     v.add_argument("dst")
     v.set_defaults(fn=cmd_convert)
+    j = sub.add_parser(
+        "json-integration",
+        help="integration JSON <-> IPC convert/validate "
+             "(arrow-json-integration-test)")
+    j.add_argument("--mode", required=True,
+                   choices=["JSON_TO_ARROW", "ARROW_TO_JSON", "VALIDATE"])
+    j.add_argument("--json", required=True)
+    j.add_argument("--arrow", required=True)
+    j.set_defaults(fn=cmd_json_integration)
     args = p.parse_args(argv)
     args.fn(args)
 
