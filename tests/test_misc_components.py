@@ -245,3 +245,32 @@ def test_cdata_stream_roundtrip_ours():
     cdata.export_stream(t, h)
     back = cdata.import_stream(h).read_all()
     assert back.column("x").to_pylist() == [1.5, None, 2.5]
+
+
+def test_device_memory_watcher():
+    """HBM leak watcher (TPU analog of CheckedAllocator.AssertSize)."""
+    import numpy as np
+    from arrow_go_tpu.utils.memwatch import DeviceMemoryWatcher, device_live_bytes
+    from arrow_go_tpu.jaxenv import jnp
+
+    with DeviceMemoryWatcher(tolerance=1 << 22) as w:
+        x = jnp.asarray(np.arange(1 << 16, dtype=np.float32))
+        y = (x * 2).sum()
+        float(y)
+        del x, y
+    # on backends without memory stats this is a no-op; growth is None there
+    assert w.growth is None or w.growth <= (1 << 22)
+
+
+def test_device_memory_watcher_detects_leak():
+    import pytest
+    import numpy as np
+    from arrow_go_tpu.utils.memwatch import DeviceMemoryWatcher, device_live_bytes
+    from arrow_go_tpu.jaxenv import jnp
+    if device_live_bytes() is None:
+        pytest.skip("backend exposes no memory stats")
+    leaked = []
+    with pytest.raises(AssertionError):
+        with DeviceMemoryWatcher(tolerance=1024):
+            leaked.append(jnp.zeros(1 << 20, jnp.float32) + 1)
+            leaked[-1].block_until_ready()
