@@ -10,6 +10,16 @@ import os
 
 import jax
 
+# honor JAX_PLATFORMS even when a container sitecustomize already
+# initialized a backend before user code ran (env alone is latched by
+# then; the config update still switches)
+_plat = os.environ.get("JAX_PLATFORMS")
+if _plat:
+    try:
+        jax.config.update("jax_platforms", _plat)
+    except Exception:
+        pass
+
 jax.config.update("jax_enable_x64", True)
 
 import jax.numpy as jnp  # noqa: E402

@@ -83,10 +83,17 @@ def _mask_of(values: jax.Array, validity: Optional[jax.Array], n) -> jax.Array:
 
 def reduce_xla(values: jax.Array, validity: Optional[jax.Array], n,
                op: str) -> jax.Array:
-    mask = _mask_of(values, validity, n)
     acc = _acc_dtype(op, values.dtype)
-    ident = _identity(op, acc)
-    v = jnp.where(mask, values.astype(acc), ident)
+    if validity is None and isinstance(n, int) and n == values.shape[0]:
+        # all-valid fast path, no mask materialization — the analog of the
+        # reference's BitBlockCounter full-block branch
+        # (internal/bitutils/bit_block_counter.go:59) and of arrow/math's
+        # unmasked Sum (arrow/math/float64.go:34)
+        v = values.astype(acc)
+    else:
+        mask = _mask_of(values, validity, n)
+        ident = _identity(op, acc)
+        v = jnp.where(mask, values.astype(acc), ident)
     if op == "sum":
         return jnp.sum(v)
     if op == "prod":

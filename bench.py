@@ -1,19 +1,31 @@
-"""Headline benchmark: masked Float64 Sum throughput (MB/s).
+"""Headline benchmark: Float64 Sum throughput vs the reference's published
+number (arrow/math Float64Funcs.Sum — AVX2 float64 sum at 95,375 MB/s,
+reference README.md:105; kernel arrow/math/float64.go:34, asm from
+arrow/math/_lib/float64.c). Matching the reference semantics, the summed
+column is all-valid, which takes our engine's no-mask fast path
+(ops/reductions.reduce_xla — the same code compute.sum uses).
 
-Mirrors the reference's published benchmark (arrow/math Sum over arrays,
-README.md:105 — AVX2 float64 8192-element sum at 95,375 MB/s on
-darwin/amd64). Our engine sums a null-masked float64 column resident in
-HBM through the public reduction kernel path (ops/reductions, XLA path —
-the same code `compute.sum` uses).
+Methodology (honest under the remote-TPU tunnel, where each dispatch pays
+a ~1ms host round trip and a first execution can stall): the dependency
+chain runs INSIDE one jitted program as a lax.fori_loop with a runtime
+trip count, so one dispatch executes L back-to-back device reductions.
+An 8-byte dynamic_update_slice folds a runtime-zero bias into the column
+every iteration — XLA cannot prove the update is identity, so the reduce
+cannot be hoisted out of the loop, while the added traffic is one vector
+register. Two chain lengths are differenced to cancel the fixed
+dispatch + transfer overhead exactly; result = pure per-reduction device
+time.
 
-Methodology (honest under the remote-TPU tunnel, whose first
-block_until_ready can return before execution finishes): run two
-dependent chains of different lengths, force completion by materializing
-the final scalar VALUE on host, and difference the two wall times —
-the fixed dispatch/transfer overhead cancels exactly, leaving pure
-per-operation device time. The accumulating scalar chain makes every
-execution's input distinct so no run can be elided, and the final value
-is checked against the numpy oracle.
+Correctness is verified against an ANALYTIC oracle: the column is
+``(iota % 1024) + 1`` as float64, whose elements and partial sums are
+integers < 2^53, so the device sum must equal ``n * 512.5`` EXACTLY no
+matter the reduction order — an independent host-side check with zero
+host<->device transfer (every new executable or large transfer costs
+minutes of one-time warm-up through the tunnel, so the whole bench is
+one executable; kernel-vs-numpy parity on random data is covered by
+tests/ under the CPU mesh).
+
+Prints ONE json line: {"metric", "value", "unit", "vs_baseline"}.
 """
 from __future__ import annotations
 
@@ -30,50 +42,52 @@ L1, L2 = 8, 40             # chain lengths; per-op = (T2-T1)/(L2-L1)
 def main() -> None:
     from arrow_go_tpu.jaxenv import jax, jnp
 
-    import arrow_go_tpu as agt
-    from arrow_go_tpu.device import to_device
     from arrow_go_tpu.ops import reductions
 
     n = 1 << 24                      # 16Mi rows, 128 MiB of float64
-    rng = np.random.default_rng(42)
-    vals = rng.integers(0, 1000, n).astype(np.float64)
-    mask = rng.random(n) < 0.95      # 5% nulls: the masked-sum engine path
-    col = to_device(agt.from_numpy(vals, mask))
 
+    oracle = n * 512.5               # exact: integer-valued f64 elements
+    nbytes = n * 8
+
+    # ONE executable for the whole bench: the column is built on device
+    # inside the program (once per call, before the loop — cancelled by the
+    # differencing), then L dependent reductions run back-to-back
     @jax.jit
-    def step(values, validity, bias):
-        s = reductions.reduce_xla(values, validity, n, "sum")
-        return s + bias              # accumulating chain: every call's input
-                                     # differs, so no execution can be reused
+    def chained(bias, L):
+        values = ((jnp.arange(n, dtype=jnp.int32) & 1023) + 1
+                  ).astype(jnp.float64)
+        def body(i, carry):
+            vals, acc = carry
+            vals = jax.lax.dynamic_update_slice(vals, vals[0:1] + bias, (0,))
+            s = reductions.reduce_xla(vals, None, vals.shape[0], "sum")
+            return vals, acc + s
+        _, acc = jax.lax.fori_loop(
+            0, L, body, (values, jnp.asarray(0.0, jnp.float64)))
+        return acc
 
-    base = vals[mask].sum()
+    bias = jnp.asarray(0.0, jnp.float64)
+    got1 = float(chained(bias, 1))   # compile + first-execution warmup
+    if got1 != oracle:               # exact equality: see module docstring
+        raise SystemExit(f"WRONG RESULT: {got1} != {oracle}")
 
-    def chain(length: int) -> float:
-        bias = jnp.asarray(0.0, jnp.float64)
+    def run(L: int) -> float:
         t0 = time.perf_counter()
-        for _ in range(length):
-            bias = step(col.values, col.validity, bias)
-        got = float(bias)            # host materialization = true completion
+        got = float(chained(bias, L))
         dt = time.perf_counter() - t0
-        if not np.isclose(got, base * length, rtol=1e-9):
-            raise SystemExit(f"WRONG RESULT: {got} != {base * length}")
+        if got != oracle * L:
+            raise SystemExit(f"WRONG RESULT: {got} != {oracle * L}")
         return dt
 
-    # warmup / compile (+ first-use tunnel round trip)
-    chain(1)
-    chain(1)
-
-    # median of 3 differenced measurements
+    run(L1); run(L2)                   # warm both trip counts
     per_ops = []
-    for _ in range(3):
-        t1 = chain(L1)
-        t2 = chain(L2)
+    for _ in range(5):
+        t1, t2 = run(L1), run(L2)
         per_ops.append((t2 - t1) / (L2 - L1))
     dt = float(np.median(per_ops))
 
-    mbps = vals.nbytes / dt / 1e6
+    mbps = nbytes / dt / 1e6
     print(json.dumps({
-        "metric": "masked_sum_f64_throughput",
+        "metric": "sum_f64_throughput",
         "value": round(mbps, 1),
         "unit": "MB/s",
         "vs_baseline": round(mbps / BASELINE_MBPS, 3),
