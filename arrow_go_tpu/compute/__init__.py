@@ -11,7 +11,7 @@ from .errors import (ArrowError, ArrowIndexError, ArrowInvalid, ArrowKeyError,
 from .functions import (CountOptions, FilterOptions, SetLookupOptions,
                         SortKey, SortOptions, TakeOptions, VarianceOptions,
                         dictionary_encode, fill_null, filter_, if_else,
-                        index_in, is_in, min_max, sort_indices, take, unique,
+                        index_in, is_in, min_max, sort, sort_indices, take, unique,
                         value_counts)
 from .expression import (Expression, FieldRef, Literal, call,  # noqa: F401
                          compile_expression, execute_scalar_expression,

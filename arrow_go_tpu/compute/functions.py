@@ -330,6 +330,15 @@ def _column_sort_key(col: DeviceColumn, descending: bool, nulls_first: bool):
                              rank=rank)
 
 
+def sort(values, options: Optional[SortOptions] = None, *,
+         order: str = "ascending", null_placement: str = "at_end"):
+    """Sorted copy of the datum: take(input, sort_indices(input)) — the
+    reference's "sort" MetaFunction (compute/vector_sort.go:65-82)."""
+    idx = sort_indices(values, options, order=order,
+                       null_placement=null_placement)
+    return take(values, idx)
+
+
 def sort_indices(values, options: Optional[SortOptions] = None, *,
                  order: str = "ascending", null_placement: str = "at_end"):
     """Sort indices of an Array / ChunkedArray / RecordBatch / Table."""
@@ -663,6 +672,8 @@ def register_all(reg: FunctionRegistry) -> None:
     # vector sort
     reg.register(Function("sort_indices", FunctionKind.VECTOR, Arity.unary(),
                           sort_indices, raw_args=True))
+    reg.register(Function("sort", FunctionKind.META, Arity.unary(),
+                          sort, raw_args=True))
 
     # run-end encode/decode (reference vector_run_ends.go:45-90)
     from . import run_ends as _ree

@@ -375,3 +375,20 @@ def test_string_casts_host_paths():
     ours = pc.cast(agt.array(vals), dt.string).to_pylist()
     theirs = papc.cast(pa.array(vals), pa.string()).to_pylist()
     assert ours == theirs
+
+
+def test_sort_meta_function():
+    """reference "sort" MetaFunction = take(sort_indices) (vector_sort.go:65)."""
+    from arrow_go_tpu import compute as cc
+    a = agt.array([3.0, None, 1.0, 2.0])
+    out = cc.sort(a)
+    assert out.to_pylist() == [1.0, 2.0, 3.0, None]
+    out = cc.call_function("sort", [a], options=cc.SortOptions(
+        keys=[cc.SortKey("", "descending")], null_placement="at_start"))
+    assert out.to_pylist() == [None, 3.0, 2.0, 1.0]
+    # record batch sort through the registry
+    t = agt.table({"k": [2, 1, 2, 1], "v": [1.0, 2.0, 3.0, 4.0]})
+    rb = t.to_batches()[0]
+    srt = cc.sort(rb, cc.SortOptions(keys=[cc.SortKey("k"), cc.SortKey("v")]))
+    assert srt.column(0).to_pylist() == [1, 1, 2, 2]
+    assert srt.column(1).to_pylist() == [2.0, 4.0, 1.0, 3.0]
