@@ -280,6 +280,25 @@ class FlightSQLServerBase(FlightServerBase):
                         commit: bool) -> None:
         raise ArrowNotImplemented("EndTransaction")
 
+    def begin_savepoint(self, ctx, transaction_id: bytes,
+                        name: str) -> bytes:
+        """Create a named savepoint inside a transaction; returns its id
+        (reference flightsql/server.go BeginSavepoint:529)."""
+        raise ArrowNotImplemented("BeginSavepoint")
+
+    def end_savepoint(self, ctx, savepoint_id: bytes,
+                      release: bool) -> None:
+        """Release (commit) or roll back to a savepoint (reference
+        flightsql/server.go EndSavepoint)."""
+        raise ArrowNotImplemented("EndSavepoint")
+
+    def cancel_query(self, ctx, info: "FlightInfo") -> int:
+        """Cancel a running query; returns a
+        ActionCancelQueryResult.CancelResult value (reference
+        flightsql/server.go CancelQuery:186; superseded by the standard
+        CancelFlightInfo action but still part of the protocol)."""
+        raise ArrowNotImplemented("CancelQuery")
+
     # -- dispatch ----------------------------------------------------------
     _GET_SCHEMAS = {}  # filled below class body
 
@@ -383,6 +402,27 @@ class FlightSQLServerBase(FlightServerBase):
                       sqlpb.ActionEndTransactionRequest.END_TRANSACTION_COMMIT)
             self.end_transaction(ctx, req.transaction_id, commit)
             return
+        if action.type == "BeginSavepoint":
+            req = unpack_any(action.body)
+            sid = self.begin_savepoint(ctx, req.transaction_id, req.name)
+            yield Result(pack_any(
+                sqlpb.ActionBeginSavepointResult(savepoint_id=sid)))
+            return
+        if action.type == "EndSavepoint":
+            req = unpack_any(action.body)
+            release = (req.action ==
+                       sqlpb.ActionEndSavepointRequest.END_SAVEPOINT_RELEASE)
+            self.end_savepoint(ctx, req.savepoint_id, release)
+            return
+        if action.type == "CancelQuery":
+            req = unpack_any(action.body)
+            from . import Flight_pb2 as fpb
+            info = fpb.FlightInfo()
+            info.ParseFromString(req.info)
+            result = self.cancel_query(ctx, info)
+            yield Result(pack_any(
+                sqlpb.ActionCancelQueryResult(result=result)))
+            return
         raise ArrowNotImplemented(f"action {action.type}")
 
     def list_actions(self, ctx):
@@ -390,6 +430,9 @@ class FlightSQLServerBase(FlightServerBase):
         yield ("ClosePreparedStatement", "close a prepared statement")
         yield ("BeginTransaction", "begin a transaction")
         yield ("EndTransaction", "commit or roll back a transaction")
+        yield ("BeginSavepoint", "create a savepoint in a transaction")
+        yield ("EndSavepoint", "release or roll back to a savepoint")
+        yield ("CancelQuery", "cancel a running query")
 
 
 FlightSQLServerBase._GET_SCHEMAS = {
@@ -546,6 +589,40 @@ class FlightSQLClient:
 
     def rollback(self, transaction_id: bytes) -> None:
         self._end_transaction(transaction_id, False)
+
+    def begin_savepoint(self, transaction_id: bytes, name: str) -> bytes:
+        """reference flightsql/client.go BeginSavepoint."""
+        results = list(self._inner.do_action(Action(
+            "BeginSavepoint",
+            pack_any(sqlpb.ActionBeginSavepointRequest(
+                transaction_id=transaction_id, name=name)))))
+        return unpack_any(results[0].body).savepoint_id
+
+    def _end_savepoint(self, savepoint_id: bytes, release: bool) -> None:
+        act = (sqlpb.ActionEndSavepointRequest.END_SAVEPOINT_RELEASE
+               if release else
+               sqlpb.ActionEndSavepointRequest.END_SAVEPOINT_ROLLBACK)
+        list(self._inner.do_action(Action(
+            "EndSavepoint",
+            pack_any(sqlpb.ActionEndSavepointRequest(
+                savepoint_id=savepoint_id, action=act)))))
+
+    def release_savepoint(self, savepoint_id: bytes) -> None:
+        self._end_savepoint(savepoint_id, True)
+
+    def rollback_savepoint(self, savepoint_id: bytes) -> None:
+        self._end_savepoint(savepoint_id, False)
+
+    def cancel_query(self, info) -> int:
+        """Cancel via the Flight SQL CancelQuery action (reference
+        flightsql/client.go CancelQuery; see also cancel_flight_info for
+        the standard action). Returns a CancelResult enum value."""
+        raw = info.SerializeToString() if hasattr(info, "SerializeToString") \
+            else info.to_proto().SerializeToString()
+        results = list(self._inner.do_action(Action(
+            "CancelQuery",
+            pack_any(sqlpb.ActionCancelQueryRequest(info=raw)))))
+        return unpack_any(results[0].body).result
 
     def prepare(self, query: str) -> "PreparedStatement":
         req = sqlpb.ActionCreatePreparedStatementRequest(query=query)
@@ -961,3 +1038,25 @@ class SQLiteFlightSQLServer(FlightSQLServerBase):
                         commit: bool) -> None:
         with self._lock:
             self._conn.execute("COMMIT" if commit else "ROLLBACK")
+
+    def begin_savepoint(self, ctx, transaction_id: bytes,
+                        name: str) -> bytes:
+        sid = f"sp_{uuid.uuid4().hex[:12]}"
+        with self._lock:
+            self._conn.execute(f"SAVEPOINT {sid}")
+        return sid.encode()
+
+    def end_savepoint(self, ctx, savepoint_id: bytes,
+                      release: bool) -> None:
+        sp = savepoint_id.decode()
+        if not sp.startswith("sp_") or not sp[3:].isalnum():
+            raise ArrowInvalid("unknown savepoint")
+        with self._lock:
+            self._conn.execute(
+                f"RELEASE SAVEPOINT {sp}" if release
+                else f"ROLLBACK TO SAVEPOINT {sp}")
+
+    def cancel_query(self, ctx, info) -> int:
+        # sqlite queries run synchronously inside DoGet: by the time a
+        # cancel arrives there is nothing in flight
+        return sqlpb.ActionCancelQueryResult.CANCEL_RESULT_NOT_CANCELLABLE

@@ -263,3 +263,36 @@ def test_dbapi_iteration(keyed_server):
         with conn.cursor() as cur:
             cur.execute("SELECT id FROM dept ORDER BY id")
             assert [r[0] for r in cur] == [1, 2]
+
+
+def test_savepoints(kclient):
+    """BeginSavepoint/EndSavepoint actions (reference flightsql/server.go:529,
+    client.go BeginSavepoint)."""
+    kclient.execute_update("CREATE TABLE IF NOT EXISTS spt (v INTEGER)")
+    tid = kclient.begin_transaction()
+    kclient.execute_update("INSERT INTO spt VALUES (1)")
+    sid = kclient.begin_savepoint(tid, "sp1")
+    kclient.execute_update("INSERT INTO spt VALUES (2)")
+    kclient.rollback_savepoint(sid)      # undoes the second insert only
+    kclient.commit(tid)
+    assert kclient.execute_query(
+        "SELECT COUNT(*) AS c FROM spt").to_pydict()["c"] == [1]
+    tid = kclient.begin_transaction()
+    sid = kclient.begin_savepoint(tid, "sp2")
+    kclient.execute_update("INSERT INTO spt VALUES (3)")
+    kclient.release_savepoint(sid)
+    kclient.commit(tid)
+    assert kclient.execute_query(
+        "SELECT COUNT(*) AS c FROM spt").to_pydict()["c"] == [2]
+
+
+def test_cancel_query_action(kclient):
+    from arrow_go_tpu.flight import FlightSql_pb2 as sqlpb
+    info = kclient.execute("SELECT 1 AS one")
+    res = kclient.cancel_query(info)
+    assert res == sqlpb.ActionCancelQueryResult.CANCEL_RESULT_NOT_CANCELLABLE
+
+
+def test_savepoint_listed_in_actions(kclient):
+    names = {a[0] for a in kclient._inner.list_actions()}
+    assert {"BeginSavepoint", "EndSavepoint", "CancelQuery"} <= names
