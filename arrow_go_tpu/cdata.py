@@ -52,7 +52,48 @@ struct ArrowArrayStream {
   void (*release)(struct ArrowArrayStream*);
   void* private_data;
 };
+typedef int32_t ArrowDeviceType;
+struct ArrowDeviceArray {
+  struct ArrowArray array;
+  int64_t device_id;
+  ArrowDeviceType device_type;
+  void* sync_event;
+  int64_t reserved[3];
+};
+struct ArrowDeviceArrayStream {
+  ArrowDeviceType device_type;
+  int (*get_schema)(struct ArrowDeviceArrayStream*, struct ArrowSchema* out);
+  int (*get_next)(struct ArrowDeviceArrayStream*, struct ArrowDeviceArray* out);
+  const char* (*get_last_error)(struct ArrowDeviceArrayStream*);
+  void (*release)(struct ArrowDeviceArrayStream*);
+  void* private_data;
+};
+struct ArrowAsyncTask {
+  int (*extract_data)(struct ArrowAsyncTask* self, struct ArrowDeviceArray* out);
+  void* private_data;
+};
+struct ArrowAsyncProducer {
+  ArrowDeviceType device_type;
+  void (*request)(struct ArrowAsyncProducer* self, int64_t n);
+  void (*cancel)(struct ArrowAsyncProducer* self);
+  void (*release)(struct ArrowAsyncProducer* self);
+  const char* additional_metadata;
+  void* private_data;
+};
+struct ArrowAsyncDeviceStreamHandler {
+  int (*on_schema)(struct ArrowAsyncDeviceStreamHandler* self,
+                   struct ArrowSchema* stream_schema);
+  int (*on_next_task)(struct ArrowAsyncDeviceStreamHandler* self,
+                      struct ArrowAsyncTask* task, const char* metadata);
+  void (*on_error)(struct ArrowAsyncDeviceStreamHandler* self, int code,
+                   const char* message, const char* metadata);
+  void (*release)(struct ArrowAsyncDeviceStreamHandler* self);
+  struct ArrowAsyncProducer* producer;
+  void* private_data;
+};
 """)
+
+ARROW_DEVICE_CPU = 1  # ArrowDeviceType kDLCPU
 
 ARROW_FLAG_NULLABLE = 2
 
@@ -591,3 +632,443 @@ def stream_handle() -> int:
     s = ffi.new("struct ArrowArrayStream *")
     _keep.add([s])
     return int(ffi.cast("intptr_t", s))
+
+
+# ---------------------------------------------------------------------------
+# Device Data Interface: ArrowDeviceArray / ArrowDeviceArrayStream
+# (reference arrow/cdata abi.h + cdata.go ExportArrowDeviceArray /
+# ImportCDeviceRecordBatch). Host buffers are CPU-device; a TPU engine
+# exchanges device data via jax.dlpack, so the C device interface carries
+# device_type=CPU with host-resident buffers.
+# ---------------------------------------------------------------------------
+
+def export_device_array(arr, out_device_ptr, out_schema_ptr=None) -> None:
+    c = _as_ptr(out_device_ptr, "struct ArrowDeviceArray *")
+    export_array(arr, ffi.addressof(c.array), out_schema_ptr)
+    c.device_id = -1
+    c.device_type = ARROW_DEVICE_CPU
+    c.sync_event = ffi.NULL
+
+
+def import_device_array(device_ptr, schema_or_type):
+    c = _as_ptr(device_ptr, "struct ArrowDeviceArray *")
+    if c.device_type not in (0, ARROW_DEVICE_CPU):
+        raise ArrowInvalid(
+            f"cannot import non-CPU device array (device_type "
+            f"{c.device_type}) without a sync bridge")
+    return import_array(ffi.addressof(c.array), schema_or_type)
+
+
+def device_array_handle() -> int:
+    d = ffi.new("struct ArrowDeviceArray *")
+    _keep.add([d])
+    return int(ffi.cast("intptr_t", d))
+
+
+_device_streams: Dict[int, _StreamState] = {}
+
+
+def _device_stream_state(ptr) -> Optional[_StreamState]:
+    return _device_streams.get(int(ffi.cast("intptr_t", ptr.private_data)))
+
+
+@ffi.callback("int(struct ArrowDeviceArrayStream*, struct ArrowSchema*)")
+def _dstream_get_schema(ptr, out):
+    st = _device_stream_state(ptr)
+    if st is None:
+        return 22
+    try:
+        t = dt.struct([dt.Field(f.name, f.type, f.nullable)
+                       for f in st.schema.fields])
+        export_schema(dt.Field("", t, False), out)
+        return 0
+    except Exception as e:  # noqa: BLE001
+        st.error = str(e).encode() + b"\0"
+        return 5
+
+
+@ffi.callback("int(struct ArrowDeviceArrayStream*, struct ArrowDeviceArray*)")
+def _dstream_get_next(ptr, out):
+    st = _device_stream_state(ptr)
+    if st is None:
+        return 22
+    try:
+        rb = next(st.it, None)
+        if rb is None:
+            out.array.release = ffi.NULL
+            return 0
+        data = _batch_to_struct_data(rb)
+        keep: list = []
+        _fill_array(ffi.addressof(out.array), data, keep)
+        h = _keep.add(keep)
+        out.array.private_data = ffi.cast("void*", h)
+        out.array.release = _release_array
+        out.device_id = -1
+        out.device_type = ARROW_DEVICE_CPU
+        out.sync_event = ffi.NULL
+        return 0
+    except Exception as e:  # noqa: BLE001
+        st.error = str(e).encode() + b"\0"
+        return 5
+
+
+@ffi.callback("const char*(struct ArrowDeviceArrayStream*)")
+def _dstream_get_last_error(ptr):
+    st = _device_stream_state(ptr)
+    if st is None or not st.error:
+        return ffi.NULL
+    buf = ffi.new("char[]", st.error)
+    _keep.add([buf])
+    return buf
+
+
+@ffi.callback("void(struct ArrowDeviceArrayStream*)")
+def _dstream_release(ptr):
+    _device_streams.pop(int(ffi.cast("intptr_t", ptr.private_data)), None)
+    ptr.release = ffi.NULL
+
+
+def export_device_stream(source, out_stream_ptr) -> None:
+    """Export a Table / (schema, iter) / reader as an ArrowDeviceArrayStream."""
+    from .array.record import Table
+    if isinstance(source, Table):
+        schema, it = source.schema, iter(source.to_batches())
+    elif isinstance(source, tuple):
+        schema, it = source[0], iter(source[1])
+    else:
+        schema, it = source.schema, iter(source)
+    c = _as_ptr(out_stream_ptr, "struct ArrowDeviceArrayStream *")
+    h = _stream_next_handle[0]
+    _stream_next_handle[0] += 1
+    _device_streams[h] = _StreamState(schema, it)
+    c.private_data = ffi.cast("void*", h)
+    c.device_type = ARROW_DEVICE_CPU
+    c.get_schema = _dstream_get_schema
+    c.get_next = _dstream_get_next
+    c.get_last_error = _dstream_get_last_error
+    c.release = _dstream_release
+
+
+class DeviceRecordBatchStreamReader:
+    """Pull-based consumer of a foreign ArrowDeviceArrayStream."""
+
+    def __init__(self, stream_ptr):
+        self._c = _as_ptr(stream_ptr, "struct ArrowDeviceArrayStream *")
+        if self._c.device_type not in (0, ARROW_DEVICE_CPU):
+            raise ArrowInvalid("cannot import non-CPU device stream")
+        s = ffi.new("struct ArrowSchema *")
+        rc = self._c.get_schema(self._c, s)
+        if rc != 0:
+            raise ArrowInvalid("get_schema failed")
+        f = import_field(s)
+        if s.release != ffi.NULL:
+            s.release(s)
+        self.schema = dt.Schema([dt.Field(cf.name, cf.type, cf.nullable)
+                                 for cf in f.type.fields()])
+        self._struct_type = f.type
+        self._done = False
+
+    def read_next_batch(self):
+        if self._done:
+            return None
+        d = ffi.new("struct ArrowDeviceArray *")
+        rc = self._c.get_next(self._c, d)
+        if rc != 0:
+            raise ArrowInvalid("get_next failed")
+        a = ffi.addressof(d.array)
+        if a.release == ffi.NULL:
+            self._done = True
+            if self._c.release != ffi.NULL:
+                self._c.release(self._c)
+            return None
+        data = _import_data(a, self._struct_type)
+        if a.release != ffi.NULL:
+            a.release(a)
+        return _struct_data_to_batch(data, self.schema)
+
+    def __iter__(self):
+        while True:
+            rb = self.read_next_batch()
+            if rb is None:
+                return
+            yield rb
+
+    def read_all(self):
+        from .array.record import Table
+        return Table.from_batches(list(self), self.schema)
+
+
+def import_device_stream(stream_ptr) -> DeviceRecordBatchStreamReader:
+    return DeviceRecordBatchStreamReader(stream_ptr)
+
+
+def device_stream_handle() -> int:
+    s = ffi.new("struct ArrowDeviceArrayStream *")
+    _keep.add([s])
+    return int(ffi.cast("intptr_t", s))
+
+
+# ---------------------------------------------------------------------------
+# Async C Device Data Interface (reference arrow/cdata/interface.go:300-360
+# ExportAsyncRecordBatchStream / CreateAsyncDeviceStreamHandler): a push
+# producer drives a consumer-provided ArrowAsyncDeviceStreamHandler with
+# pull-based backpressure via ArrowAsyncProducer.request(n).
+# ---------------------------------------------------------------------------
+
+class _AsyncProducerState:
+    __slots__ = ("schema", "it", "permits", "cancelled", "lock", "cv")
+
+    def __init__(self, schema, it):
+        import threading
+        self.schema = schema
+        self.it = it
+        self.permits = 0
+        self.cancelled = False
+        self.lock = threading.Lock()
+        self.cv = threading.Condition(self.lock)
+
+
+_async_producers: Dict[int, _AsyncProducerState] = {}
+_async_tasks: Dict[int, object] = {}  # task handle -> RecordBatch
+
+
+@ffi.callback("void(struct ArrowAsyncProducer*, int64_t)")
+def _aprod_request(ptr, n):
+    st = _async_producers.get(int(ffi.cast("intptr_t", ptr.private_data)))
+    if st is None:
+        return
+    with st.cv:
+        st.permits += int(n)
+        st.cv.notify_all()
+
+
+@ffi.callback("void(struct ArrowAsyncProducer*)")
+def _aprod_cancel(ptr):
+    st = _async_producers.get(int(ffi.cast("intptr_t", ptr.private_data)))
+    if st is None:
+        return
+    with st.cv:
+        st.cancelled = True
+        st.cv.notify_all()
+
+
+@ffi.callback("void(struct ArrowAsyncProducer*)")
+def _aprod_release(ptr):
+    _async_producers.pop(int(ffi.cast("intptr_t", ptr.private_data)), None)
+
+
+@ffi.callback("int(struct ArrowAsyncTask*, struct ArrowDeviceArray*)")
+def _atask_extract(task, out):
+    h = int(ffi.cast("intptr_t", task.private_data))
+    rb = _async_tasks.pop(h, None)
+    if rb is None:
+        return 22
+    data = _batch_to_struct_data(rb)
+    keep: list = []
+    _fill_array(ffi.addressof(out.array), data, keep)
+    kh = _keep.add(keep)
+    out.array.private_data = ffi.cast("void*", kh)
+    out.array.release = _release_array
+    out.device_id = -1
+    out.device_type = ARROW_DEVICE_CPU
+    out.sync_event = ffi.NULL
+    return 0
+
+
+def export_async_stream(source, handler_ptr) -> None:
+    """Drive a consumer's ArrowAsyncDeviceStreamHandler with `source`
+    (Table / (schema, iter) / reader). Runs the push loop on a daemon
+    thread; honors request(n) backpressure and cancel()."""
+    import threading
+    from .array.record import Table
+    if isinstance(source, Table):
+        schema, it = source.schema, iter(source.to_batches())
+    elif isinstance(source, tuple):
+        schema, it = source[0], iter(source[1])
+    else:
+        schema, it = source.schema, iter(source)
+    handler = _as_ptr(handler_ptr, "struct ArrowAsyncDeviceStreamHandler *")
+
+    st = _AsyncProducerState(schema, it)
+    h = _stream_next_handle[0]
+    _stream_next_handle[0] += 1
+    _async_producers[h] = st
+
+    producer = ffi.new("struct ArrowAsyncProducer *")
+    _keep.add([producer])
+    producer.device_type = ARROW_DEVICE_CPU
+    producer.request = _aprod_request
+    producer.cancel = _aprod_cancel
+    producer.release = _aprod_release
+    producer.additional_metadata = ffi.NULL
+    producer.private_data = ffi.cast("void*", h)
+    handler.producer = producer
+
+    def pump():
+        try:
+            t = dt.struct([dt.Field(f.name, f.type, f.nullable)
+                           for f in st.schema.fields])
+            s = ffi.new("struct ArrowSchema *")
+            export_schema(dt.Field("", t, False), s)
+            rc = handler.on_schema(handler, s)
+            if rc != 0:
+                return
+            while True:
+                with st.cv:
+                    while st.permits <= 0 and not st.cancelled:
+                        st.cv.wait(timeout=30)
+                    if st.cancelled:
+                        break
+                    st.permits -= 1
+                rb = next(st.it, None)
+                if rb is None:
+                    # end of stream: on_next_task with NULL task
+                    handler.on_next_task(handler, ffi.NULL, ffi.NULL)
+                    break
+                th = _stream_next_handle[0]
+                _stream_next_handle[0] += 1
+                _async_tasks[th] = rb
+                task = ffi.new("struct ArrowAsyncTask *")
+                _keep.add([task])
+                task.extract_data = _atask_extract
+                task.private_data = ffi.cast("void*", th)
+                rc = handler.on_next_task(handler, task, ffi.NULL)
+                if rc != 0:
+                    break
+        except Exception as e:  # noqa: BLE001 - must not unwind into C
+            msg = ffi.new("char[]", str(e).encode())
+            _keep.add([msg])
+            handler.on_error(handler, 5, msg, ffi.NULL)
+        finally:
+            if handler.release != ffi.NULL:
+                handler.release(handler)
+
+    threading.Thread(target=pump, daemon=True).start()
+
+
+class AsyncRecordBatchStream:
+    """Consumer side: allocates an ArrowAsyncDeviceStreamHandler whose
+    callbacks feed this object (reference cdata
+    CreateAsyncDeviceStreamHandler + AsyncRecordBatchStream). Iterate to
+    receive batches; producer backpressure = `queue_size` outstanding
+    requests."""
+
+    def __init__(self, queue_size: int = 4):
+        import queue as _q
+        import threading
+        self._q: "_q.Queue" = _q.Queue()
+        self.schema: Optional[dt.Schema] = None
+        self._struct_type = None
+        self._schema_ready = threading.Event()
+        self.error: Optional[str] = None
+        self._queue_size = queue_size
+        self._handler = ffi.new("struct ArrowAsyncDeviceStreamHandler *")
+        h = _stream_next_handle[0]
+        _stream_next_handle[0] += 1
+        _async_handlers[h] = self
+        self._handler.private_data = ffi.cast("void*", h)
+        self._handler.on_schema = _ahandler_on_schema
+        self._handler.on_next_task = _ahandler_on_next_task
+        self._handler.on_error = _ahandler_on_error
+        self._handler.release = _ahandler_release
+        self._handler.producer = ffi.NULL
+
+    @property
+    def handler_ptr(self) -> int:
+        return int(ffi.cast("intptr_t", self._handler))
+
+    def __iter__(self):
+        self._schema_ready.wait(timeout=30)
+        if self.error:
+            raise ArrowInvalid(self.error)
+        while True:
+            item = self._q.get()
+            if item is None:
+                if self.error:
+                    raise ArrowInvalid(self.error)
+                return
+            # pull one more as we consume (steady-state backpressure)
+            if self._handler.producer != ffi.NULL:
+                self._handler.producer.request(self._handler.producer, 1)
+            yield item
+
+    def read_all(self):
+        from .array.record import Table
+        batches = list(self)
+        return Table.from_batches(batches, self.schema)
+
+
+_async_handlers: Dict[int, AsyncRecordBatchStream] = {}
+
+
+def _ahandler(ptr) -> Optional[AsyncRecordBatchStream]:
+    return _async_handlers.get(int(ffi.cast("intptr_t", ptr.private_data)))
+
+
+@ffi.callback("int(struct ArrowAsyncDeviceStreamHandler*, struct ArrowSchema*)")
+def _ahandler_on_schema(ptr, s):
+    self = _ahandler(ptr)
+    if self is None:
+        return 22
+    try:
+        f = import_field(s)
+        if s.release != ffi.NULL:
+            s.release(s)
+        self._struct_type = f.type
+        self.schema = dt.Schema([dt.Field(cf.name, cf.type, cf.nullable)
+                                 for cf in f.type.fields()])
+        self._schema_ready.set()
+        # initial request window
+        if ptr.producer != ffi.NULL:
+            ptr.producer.request(ptr.producer, self._queue_size)
+        return 0
+    except Exception as e:  # noqa: BLE001
+        self.error = str(e)
+        self._schema_ready.set()
+        return 5
+
+
+@ffi.callback("int(struct ArrowAsyncDeviceStreamHandler*, "
+              "struct ArrowAsyncTask*, const char*)")
+def _ahandler_on_next_task(ptr, task, metadata):
+    self = _ahandler(ptr)
+    if self is None:
+        return 22
+    try:
+        if task == ffi.NULL:  # end of stream
+            self._q.put(None)
+            return 0
+        d = ffi.new("struct ArrowDeviceArray *")
+        rc = task.extract_data(task, d)
+        if rc != 0:
+            self.error = f"extract_data failed ({rc})"
+            self._q.put(None)
+            return rc
+        a = ffi.addressof(d.array)
+        data = _import_data(a, self._struct_type)
+        if a.release != ffi.NULL:
+            a.release(a)
+        self._q.put(_struct_data_to_batch(data, self.schema))
+        return 0
+    except Exception as e:  # noqa: BLE001
+        self.error = str(e)
+        self._q.put(None)
+        return 5
+
+
+@ffi.callback("void(struct ArrowAsyncDeviceStreamHandler*, int, "
+              "const char*, const char*)")
+def _ahandler_on_error(ptr, code, message, metadata):
+    self = _ahandler(ptr)
+    if self is None:
+        return
+    msg = ffi.string(message).decode(errors="replace") \
+        if message != ffi.NULL else f"errno {code}"
+    self.error = msg
+    self._schema_ready.set()
+    self._q.put(None)
+
+
+@ffi.callback("void(struct ArrowAsyncDeviceStreamHandler*)")
+def _ahandler_release(ptr):
+    _async_handlers.pop(int(ffi.cast("intptr_t", ptr.private_data)), None)

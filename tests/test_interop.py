@@ -103,3 +103,55 @@ def test_dictionary_roundtrip_via_pyarrow():
     assert ours.to_pylist() == ["a", "b", "a", None]
     back = px.array_to_pyarrow(ours)
     assert back.to_pylist() == theirs.to_pylist()
+
+
+# ---------------------------------------------------------------------------
+# Device Data Interface + Async stream (reference cdata abi.h device/async
+# sections, interface.go:300-360)
+# ---------------------------------------------------------------------------
+
+def test_cdata_device_array_roundtrip():
+    from arrow_go_tpu import cdata as cd
+    a = agt.array([1, None, 3], dt.int64)
+    dptr = cd.device_array_handle()
+    sptr, _ = cd.schema_handles()
+    cd.export_device_array(a, dptr, sptr)
+    f = cd.import_field(sptr)
+    back = cd.import_device_array(dptr, f.type)
+    assert back.to_pylist() == [1, None, 3]
+
+
+def test_cdata_device_array_pyarrow():
+    pa = pytest.importorskip("pyarrow")
+    if not hasattr(pa.Array, "_import_from_c_device"):
+        pytest.skip("pyarrow too old for device interface")
+    from arrow_go_tpu import cdata as cd
+    a = agt.array([1.5, None, 2.5], dt.float64)
+    dptr = cd.device_array_handle()
+    sptr, _ = cd.schema_handles()
+    cd.export_device_array(a, dptr, sptr)
+    arr = pa.Array._import_from_c_device(dptr, sptr)
+    assert arr.to_pylist() == [1.5, None, 2.5]
+
+
+def test_cdata_device_stream_roundtrip():
+    from arrow_go_tpu import cdata as cd
+    t = agt.table({"x": agt.array([1, 2, 3, 4], dt.int32),
+                   "s": ["a", None, "c", "d"]})
+    ptr = cd.device_stream_handle()
+    cd.export_device_stream(t, ptr)
+    got = cd.import_device_stream(ptr).read_all()
+    assert got.to_pydict() == t.to_pydict()
+
+
+def test_cdata_async_stream_roundtrip():
+    from arrow_go_tpu import cdata as cd
+    t = agt.table({"x": agt.array(list(range(10)), dt.int64),
+                   "y": agt.array([float(i) for i in range(10)],
+                                  dt.float64)})
+    batches = t.to_batches(max_chunksize=3)  # several tasks
+    consumer = cd.AsyncRecordBatchStream(queue_size=2)
+    cd.export_async_stream((t.schema, iter(batches)), consumer.handler_ptr)
+    got = consumer.read_all()
+    assert got.to_pydict() == t.to_pydict()
+    assert consumer.error is None
