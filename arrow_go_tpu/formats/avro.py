@@ -195,9 +195,20 @@ def _decode_value(r: _Bin, sch, named: Dict[str, Any]):
 
 
 class OCFReader:
-    """Avro Object Container File reader."""
+    """Avro Object Container File reader.
 
-    def __init__(self, source: Union[str, bytes, io.IOBase]):
+    chunk_size: rows per RecordBatch when iterating (reference WithChunk,
+    arrow/avro/reader.go:385-392; <=0 means one batch per OCF block, the
+    reference's chunk=-1 whole-rows mode)."""
+
+    def __init__(self, source: Union[str, bytes, io.IOBase],
+                 chunk_size: int = 0):
+        self.chunk_size = chunk_size
+        self._pending: List[dict] = []
+        self._exhausted = False
+        self._init(source)
+
+    def _init(self, source: Union[str, bytes, io.IOBase]):
         if isinstance(source, str):
             with open(source, "rb") as f:
                 data = f.read()
@@ -260,13 +271,7 @@ class OCFReader:
             out.append({"value": v} if self._wrap else v)
         return out
 
-    def read_all(self) -> Table:
-        records: List[dict] = []
-        while True:
-            block = self._read_block()
-            if block is None:
-                break
-            records.extend(block)
+    def _records_to_batch(self, records: List[dict]) -> RecordBatch:
         cols = []
         for f in self.schema.fields:
             b = make_builder(f.type)
@@ -277,8 +282,45 @@ class OCFReader:
                 else:
                     b.append(v)
             cols.append(b.finish())
-        return Table.from_batches(
-            [RecordBatch(self.schema, cols, len(records))])
+        return RecordBatch(self.schema, cols, len(records))
+
+    def read_next_batch(self) -> Optional[RecordBatch]:
+        """Next chunk of rows as a RecordBatch (None at end of file)."""
+        want = self.chunk_size
+        while not self._exhausted and (want <= 0 or
+                                       len(self._pending) < want):
+            block = self._read_block()
+            if block is None:
+                self._exhausted = True
+                break
+            self._pending.extend(block)
+            if want <= 0 and self._pending:
+                break  # one batch per OCF block
+        if not self._pending:
+            return None
+        take = len(self._pending) if want <= 0 else min(want,
+                                                        len(self._pending))
+        records, self._pending = self._pending[:take], self._pending[take:]
+        return self._records_to_batch(records)
+
+    def __iter__(self):
+        while True:
+            rb = self.read_next_batch()
+            if rb is None:
+                return
+            yield rb
+
+    def read_all(self) -> Table:
+        records: List[dict] = []
+        records.extend(self._pending)
+        self._pending = []
+        while not self._exhausted:
+            block = self._read_block()
+            if block is None:
+                self._exhausted = True
+                break
+            records.extend(block)
+        return Table.from_batches([self._records_to_batch(records)])
 
 
 def read_avro(source) -> Table:

@@ -26,21 +26,33 @@ import numpy as np
 def _bench(fn, args, iters=20):
     """Dependency-chain timing: every bench fn returns a device SCALAR that
     is folded into the next call's input, so the runtime can neither
-    memoize nor ack-and-defer executions; the whole chain is timed and
-    divided by the iteration count."""
+    memoize nor ack-and-defer executions. Two chain lengths are timed and
+    DIFFERENCED, cancelling the fixed dispatch/transfer overhead; each
+    chain ends with a host materialization of the scalar, the only sync
+    this runtime honors (its block_until_ready can return early)."""
     import jax.numpy as jnp
-    carry = fn(*args, jnp.asarray(0, jnp.int32))
-    _block(carry)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        carry = fn(*args, carry)   # fns return a masked int32 scalar
-    _block(carry)
-    return (time.perf_counter() - t0) / iters
+
+    def chain(k):
+        carry = jnp.asarray(0, jnp.int32)
+        t0 = time.perf_counter()
+        for _ in range(k):
+            carry = fn(*args, carry)   # fns return a masked int32 scalar
+        _block(carry)                  # host materialization = completion
+        return time.perf_counter() - t0
+
+    chain(1); chain(1)                 # compile + warm both paths
+    lo, hi = max(iters // 4, 1), iters
+    deltas = []
+    for _ in range(3):
+        t1, t2 = chain(lo), chain(hi)
+        deltas.append((t2 - t1) / (hi - lo))
+    deltas.sort()
+    return max(deltas[len(deltas) // 2], 1e-9)   # median
 
 
 def _block(out):
-    import jax
-    jax.block_until_ready(out)
+    import numpy as _np
+    _np.asarray(out)   # device->host copy: the only true completion fence
 
 
 def main():

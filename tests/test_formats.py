@@ -240,3 +240,20 @@ def test_csv_write_options():
         null_string="NULL", crlf=True,
         bool_formatter=lambda b: "YES" if b else "NO"))
     assert sink.getvalue() == "b\r\nYES\r\nNO\r\nNULL\r\n"
+
+
+def test_avro_chunked_reader():
+    """Chunked OCF iteration (reference WithChunk, avro/reader.go:385)."""
+    from arrow_go_tpu.formats import OCFReader
+    recs = [_enc_record(i, f"n{i}", i * 0.5, [i]) for i in range(10)]
+    data = _make_ocf(AVRO_SCHEMA, recs)
+    batches = list(OCFReader(data, chunk_size=4))
+    assert [b.num_rows for b in batches] == [4, 4, 2]
+    assert batches[0].schema == batches[2].schema
+    ids = [v for b in batches for v in b.column(0).to_pylist()]
+    assert ids == list(range(10))
+    # chunk_size<=0: one batch per OCF block (reference chunk=-1 mode)
+    batches = list(OCFReader(data, chunk_size=0))
+    assert [b.num_rows for b in batches] == [10]
+    # read_all unaffected
+    assert OCFReader(data, chunk_size=3).read_all().num_rows == 10
