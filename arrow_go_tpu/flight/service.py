@@ -379,6 +379,12 @@ class FlightServerBase:
 
         def do_action(req, ctx):
             # standard spec actions intercepted for every server subclass
+            if req.type in ("SetSessionOptions", "GetSessionOptions",
+                            "CloseSession"):
+                mgr = getattr(me, "sessions", None)
+                if mgr is not None:
+                    yield from _session_options_action(mgr, req, ctx)
+                    return
             if req.type == "CancelFlightInfo":
                 creq = fp.CancelFlightInfoRequest()
                 creq.ParseFromString(req.body)
@@ -535,6 +541,38 @@ class FlightClient:
         for r in self._do_action(fp.Action(type=action.type, body=action.body)):
             yield Result(r.body)
 
+    def set_session_options(self, options: Dict[str, Any]) -> Dict[str, int]:
+        """Standard SetSessionOptions action (reference
+        flight/session/session.go; use with CookieMiddleware so the
+        session cookie is replayed). Returns {name: error_value} for any
+        rejected options (empty = all accepted)."""
+        req = fp.SetSessionOptionsRequest()
+        for k, v in options.items():
+            req.session_options[k].CopyFrom(_pb_option_value(v))
+        results = list(self.do_action(
+            Action("SetSessionOptions", req.SerializeToString())))
+        res = fp.SetSessionOptionsResult()
+        res.ParseFromString(results[0].body)
+        return {k: e.value for k, e in res.errors.items()}
+
+    def get_session_options(self) -> Dict[str, Any]:
+        """Standard GetSessionOptions action."""
+        results = list(self.do_action(Action(
+            "GetSessionOptions",
+            fp.GetSessionOptionsRequest().SerializeToString())))
+        res = fp.GetSessionOptionsResult()
+        res.ParseFromString(results[0].body)
+        return {k: _py_option_value(v)
+                for k, v in res.session_options.items()}
+
+    def close_session(self) -> int:
+        """Standard CloseSession action; returns fp.CloseSessionResult.Status."""
+        results = list(self.do_action(Action(
+            "CloseSession", fp.CloseSessionRequest().SerializeToString())))
+        res = fp.CloseSessionResult()
+        res.ParseFromString(results[0].body)
+        return res.status
+
     def cancel_flight_info(self, info: FlightInfo) -> int:
         """Standard CancelFlightInfo action; returns fp.CancelStatus
         (reference flight/client.go CancelFlightInfo)."""
@@ -559,3 +597,72 @@ class FlightClient:
     def list_actions(self) -> List[Tuple[str, str]]:
         return [(a.type, a.description)
                 for a in self._list_actions(fp.Empty())]
+
+
+# ---------------------------------------------------------------------------
+# Standard session-option actions (Arrow Flight spec SetSessionOptions /
+# GetSessionOptions / CloseSession; reference flight/session/session.go
+# middleware DoAction interception :200-240)
+# ---------------------------------------------------------------------------
+
+def _pb_option_value(v) -> fp.SessionOptionValue:
+    out = fp.SessionOptionValue()
+    if isinstance(v, bool):
+        out.bool_value = v
+    elif isinstance(v, int):
+        out.int64_value = v
+    elif isinstance(v, float):
+        out.double_value = v
+    elif isinstance(v, str):
+        out.string_value = v
+    elif isinstance(v, (list, tuple)):
+        out.string_list_value.values.extend(str(x) for x in v)
+    elif v is None:
+        pass  # unset = erase
+    else:
+        raise TypeError(f"unsupported session option type {type(v)}")
+    return out
+
+
+def _py_option_value(pb: fp.SessionOptionValue):
+    kind = pb.WhichOneof("option_value")
+    if kind is None:
+        return None
+    if kind == "string_list_value":
+        return list(pb.string_list_value.values)
+    return getattr(pb, kind)
+
+
+def _session_options_action(mgr, req, ctx):
+    if req.type == "SetSessionOptions":
+        sreq = fp.SetSessionOptionsRequest()
+        sreq.ParseFromString(req.body)
+        sess = mgr.session(ctx)
+        res = fp.SetSessionOptionsResult()
+        for name, val in sreq.session_options.items():
+            if not name:
+                res.errors[name].value = \
+                    fp.SetSessionOptionsResult.ERROR_VALUE_INVALID_NAME
+                continue
+            pyv = _py_option_value(val)
+            opts = sess.setdefault("__options__", {})
+            if pyv is None:
+                opts.pop(name, None)   # unset value erases the option
+            else:
+                opts[name] = pyv
+        yield fp.Result(body=res.SerializeToString())
+        return
+    if req.type == "GetSessionOptions":
+        sess = mgr.session(ctx)
+        res = fp.GetSessionOptionsResult()
+        for name, val in sess.get("__options__", {}).items():
+            res.session_options[name].CopyFrom(_pb_option_value(val))
+        yield fp.Result(body=res.SerializeToString())
+        return
+    if req.type == "CloseSession":
+        ok = mgr.close(ctx)
+        res = fp.CloseSessionResult(
+            status=fp.CloseSessionResult.STATUS_CLOSED if ok
+            else fp.CloseSessionResult.STATUS_NOT_CLOSEABLE)
+        yield fp.Result(body=res.SerializeToString())
+        return

@@ -248,3 +248,37 @@ def test_cancel_and_renew_actions():
         assert ep.locations == ["grpc://example:1234"]
         assert len(srv.renewed) == 1
         c.close()
+
+
+def test_session_options_actions():
+    """Standard SetSessionOptions/GetSessionOptions/CloseSession actions
+    (reference flight/session/session.go DoAction interception)."""
+    from arrow_go_tpu.flight import Flight_pb2 as fp
+
+    class SessServer(fl.FlightServerBase):
+        def __init__(self):
+            super().__init__("grpc://127.0.0.1:0")
+            self.sessions = fl.SessionManager()
+
+    with SessServer() as srv:
+        mw = fl.CookieMiddleware()
+        with fl.FlightClient(f"grpc://127.0.0.1:{srv.port}",
+                             middleware=[mw]) as c:
+            errs = c.set_session_options({
+                "catalog": "main", "max_rows": 1000,
+                "trace": True, "ratio": 0.5,
+                "paths": ["a", "b"]})
+            assert errs == {}
+            got = c.get_session_options()
+            assert got == {"catalog": "main", "max_rows": 1000,
+                           "trace": True, "ratio": 0.5,
+                           "paths": ["a", "b"]}
+            # unset via None erases
+            c.set_session_options({"catalog": None})
+            assert "catalog" not in c.get_session_options()
+            # empty name rejected
+            errs = c.set_session_options({"": "x"})
+            assert errs[""] == \
+                fp.SetSessionOptionsResult.ERROR_VALUE_INVALID_NAME
+            assert c.close_session() == fp.CloseSessionResult.STATUS_CLOSED
+            assert len(srv.sessions) == 0
