@@ -122,3 +122,37 @@ def test_distributed_join_overflow_flag(mesh):
     *_, ov = fn(put(keys), put(vals), put(valid),
                 put(keys), put(vals), put(valid))
     assert bool(ov)  # N^2 pairs cannot fit cap_out=4
+
+
+def test_distributed_sort():
+    """Range-partitioned distributed sort (parallel/sort.py): concat of
+    shard outputs is globally sorted; payload rides the permutation."""
+    import numpy as np
+    from arrow_go_tpu.parallel.mesh import make_mesh
+    from arrow_go_tpu.parallel.sort import make_distributed_sort
+    import jax.numpy as jnp
+
+    mesh = make_mesh()
+    D = mesh.devices.size
+    n = D * 64
+    rng = np.random.default_rng(7)
+    keys = rng.integers(-1000, 1000, n).astype(np.int64)
+    valid = rng.random(n) < 0.9
+    payload = np.arange(n, dtype=np.int64)   # original row ids
+
+    fn = make_distributed_sort(mesh, cap=n, n_payload=1, n_samples=16)
+    res = fn(jnp.asarray(keys), jnp.asarray(valid), jnp.asarray(payload))
+    assert not bool(res.overflow)
+    counts = np.asarray(res.counts)
+    ks = np.asarray(res.keys).reshape(D, -1)
+    ps = np.asarray(res.payload[0]).reshape(D, -1)
+    got_keys, got_rows = [], []
+    for d in range(D):
+        got_keys.extend(ks[d, :counts[d]].tolist())
+        got_rows.extend(ps[d, :counts[d]].tolist())
+    expect = np.sort(keys[valid], kind="stable")
+    assert got_keys == expect.tolist()
+    # payload permuted consistently: key at original row matches
+    for k, r in zip(got_keys, got_rows):
+        assert keys[r] == k and valid[r]
+    assert sum(counts) == valid.sum()
