@@ -71,10 +71,13 @@ class StreamWriter:
 
     def __init__(self, sink: BinaryIO, schema: dt.Schema,
                  compression: Optional[str] = None,
-                 endianness: str = "little"):
+                 endianness: str = "little",
+                 compression_concurrency: int = 0):
         self.sink = sink
         self.schema = schema
         self.compression = compression
+        # reference WithCompressConcurrency (ipc/ipc.go:160-170)
+        self.compression_concurrency = compression_concurrency
         # endianness="big" emits a big-endian file (schema flag + swapped
         # buffers) — the write-side analog of the reference's byte-swapping
         # reader (ipc/endian_swap.go); a BE host would write "native" this way
@@ -110,7 +113,8 @@ class StreamWriter:
                 continue
             meta, body = core.build_record_batch_message(
                 [self._maybe_swap(ddata)], ddata.length, self.compression,
-                dictionary_id=did)
+                dictionary_id=did,
+                compress_concurrency=self.compression_concurrency)
             self.sink.write(core.frame_message(meta))
             self.sink.write(body)
             self._sent_dicts[did] = ddata
@@ -123,7 +127,8 @@ class StreamWriter:
         self._write_dictionaries(batch)
         meta, body = core.build_record_batch_message(
             [self._maybe_swap(c.data) for c in batch.columns],
-            batch.num_rows, self.compression)
+            batch.num_rows, self.compression,
+            compress_concurrency=self.compression_concurrency)
         self.sink.write(core.frame_message(meta))
         self.sink.write(body)
 
@@ -260,8 +265,10 @@ class FileWriter(StreamWriter):
 
     def __init__(self, sink: BinaryIO, schema: dt.Schema,
                  compression: Optional[str] = None,
-                 endianness: str = "little"):
-        super().__init__(sink, schema, compression, endianness)
+                 endianness: str = "little",
+                 compression_concurrency: int = 0):
+        super().__init__(sink, schema, compression, endianness,
+                         compression_concurrency)
         self._blocks: List[tuple] = []
         self._dict_blocks: List[tuple] = []
         self.sink.write(MAGIC + b"\0\0")
@@ -283,7 +290,8 @@ class FileWriter(StreamWriter):
                 continue
             meta, body = core.build_record_batch_message(
                 [self._maybe_swap(ddata)], ddata.length, self.compression,
-                dictionary_id=did)
+                dictionary_id=did,
+                compress_concurrency=self.compression_concurrency)
             self._write_framed(meta, body, self._dict_blocks)
             self._sent_dicts[did] = ddata
 
@@ -293,7 +301,8 @@ class FileWriter(StreamWriter):
         self._write_dictionaries(batch)
         meta, body = core.build_record_batch_message(
             [self._maybe_swap(c.data) for c in batch.columns],
-            batch.num_rows, self.compression)
+            batch.num_rows, self.compression,
+            compress_concurrency=self.compression_concurrency)
         self._write_framed(meta, body, self._blocks)
 
     def close(self) -> None:

@@ -175,41 +175,47 @@ def collect_body(data: ArrayData, nodes: List[FieldNode],
     raise NotImplementedError(f"IPC body for {t}")
 
 
+def _compress_one(compression: str, buf: bytes) -> bytes:
+    """One body buffer -> int64-length-prefixed frame (raw when compression
+    does not shrink it, per the IPC BodyCompression contract)."""
+    if compression == "zstd":
+        import zstandard
+        comp = zstandard.ZstdCompressor().compress(buf)
+    else:
+        from .. import native
+        comp = native.lz4_frame_compress(buf)
+    if len(comp) < len(buf):
+        return struct.pack("<q", len(buf)) + comp
+    return struct.pack("<q", -1) + buf
+
+
 def build_record_batch_message(
         columns: List[ArrayData], num_rows: int,
         compression: Optional[str] = None,
-        dictionary_id: Optional[int] = None, is_delta: bool = False
+        dictionary_id: Optional[int] = None, is_delta: bool = False,
+        compress_concurrency: int = 0,
 ) -> Tuple[bytes, bytes]:
     """Returns (metadata_flatbuffer, body_bytes). When dictionary_id is set,
-    wraps the RecordBatch in a DictionaryBatch header."""
+    wraps the RecordBatch in a DictionaryBatch header.
+
+    compress_concurrency > 1 compresses body buffers on a thread pool (the
+    zstd/lz4 C codecs release the GIL) — reference WithCompressConcurrency,
+    arrow/ipc/ipc.go:160-170."""
     nodes: List[FieldNode] = []
     raw: List[bytes] = []
     variadic: List[int] = []
     for col in columns:
         collect_body(col, nodes, raw, variadic)
 
-    # optionally compress each buffer (ZSTD, int64 length prefix)
-    if compression == "zstd":
-        import zstandard
-        cctx = zstandard.ZstdCompressor()
-        enc = []
-        for buf in raw:
-            comp = cctx.compress(buf)
-            if len(comp) < len(buf):
-                enc.append(struct.pack("<q", len(buf)) + comp)
-            else:
-                enc.append(struct.pack("<q", -1) + buf)
-        raw = enc
-    elif compression == "lz4":
-        from .. import native
-        enc = []
-        for buf in raw:
-            comp = native.lz4_frame_compress(buf)
-            if len(comp) < len(buf):
-                enc.append(struct.pack("<q", len(buf)) + comp)
-            else:
-                enc.append(struct.pack("<q", -1) + buf)
-        raw = enc
+    # optionally compress each buffer (int64 uncompressed-length prefix)
+    if compression in ("zstd", "lz4"):
+        if compress_concurrency > 1 and len(raw) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+            with ThreadPoolExecutor(compress_concurrency) as pool:
+                raw = list(pool.map(
+                    lambda b: _compress_one(compression, b), raw))
+        else:
+            raw = [_compress_one(compression, b) for b in raw]
     elif compression is not None:
         raise NotImplementedError(f"compression {compression}")
 

@@ -255,3 +255,20 @@ def test_big_endian_file_roundtrip():
     r = ipc.FileReader(buf.getvalue())
     assert r._swap is True
     assert r.read_all().to_pydict() == t.to_pydict()
+
+
+def test_compress_concurrency():
+    """Concurrent per-buffer body compression (reference
+    WithCompressConcurrency, ipc/ipc.go:160-170): same bytes either way."""
+    import numpy as np
+    cols = {f"c{i}": agt.array(np.arange(1000) % 7) for i in range(6)}
+    t = agt.table(cols)
+    serial, conc = io.BytesIO(), io.BytesIO()
+    with ipc.StreamWriter(serial, t.schema, compression="zstd") as w:
+        w.write_table(t)
+    with ipc.StreamWriter(conc, t.schema, compression="zstd",
+                          compression_concurrency=4) as w:
+        w.write_table(t)
+    assert serial.getvalue() == conc.getvalue()
+    got = ipc.StreamReader(io.BytesIO(conc.getvalue())).read_all()
+    assert got.to_pydict() == t.to_pydict()
