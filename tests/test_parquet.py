@@ -91,8 +91,13 @@ def test_pyarrow_to_ours_types():
     assert ours.column("ts").to_pylist() == [1, 2, None]
 
 
-@pytest.mark.parametrize("codec", ["none", "snappy", "gzip", "zstd", "lz4"])
+@pytest.mark.parametrize(
+    "codec", ["none", "snappy", "gzip", "zstd", "lz4", "brotli"])
 def test_codecs_both_directions(codec):
+    if codec == "brotli":
+        from arrow_go_tpu.parquet.compress import _brotli_backend
+        if _brotli_backend() is None:
+            pytest.skip("no brotli library available")
     t = agt.table({"x": list(range(500)),
                    "s": [f"value_{i % 11}" for i in range(500)]})
     back = _roundtrip_ours(t, compression=codec)
@@ -102,7 +107,7 @@ def test_codecs_both_directions(codec):
     assert pt.column("x").to_pylist() == list(range(500))
     # pyarrow writes, we read
     pa_codec = {"none": "NONE", "snappy": "snappy", "gzip": "gzip",
-                "zstd": "zstd", "lz4": "lz4"}[codec]
+                "zstd": "zstd", "lz4": "lz4", "brotli": "brotli"}[codec]
     ours = _pyarrow_to_ours(pa.table(t.to_pydict()), compression=pa_codec)
     assert ours.to_pydict() == t.to_pydict()
 
