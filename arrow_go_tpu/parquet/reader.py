@@ -4,7 +4,10 @@ ReadBatch, pqarrow/file_reader.go arrow assembly)."""
 from __future__ import annotations
 
 import io
+import os
 import struct
+import threading
+from concurrent.futures import ThreadPoolExecutor
 from typing import BinaryIO, List, Optional, Tuple, Union
 
 import numpy as np
@@ -59,6 +62,11 @@ class ParquetFile:
         elif isinstance(source, (bytes, bytearray, memoryview)):
             source = io.BytesIO(bytes(source))
         self.src = source
+        # one file handle shared by all column readers: seek+read pairs are
+        # serialized (the reference instead re-sections the reader per chunk,
+        # parquet/reader_properties.go:115-131; decompress+decode — the hot
+        # part — still runs in parallel outside the lock)
+        self._src_lock = threading.Lock()
         self.src.seek(0, 2)
         size = self.src.tell()
         if size < 12:
@@ -216,64 +224,112 @@ class ParquetFile:
             return Table(sch, [ChunkedArray([], f.type) for f in sch.fields], 0)
         return Table.from_batches(batches)
 
-    def read_row_group(self, i: int, columns: Optional[List[str]] = None,
-                       row_range: Optional[Tuple[int, int]] = None
-                       ) -> RecordBatch:
-        rg = self.metadata.row_groups[i]
-        cols: List[Array] = []
-        fields: List[dt.Field] = []
-        li = 0
+    def _read_field(self, rg_i: int, orig_f: dt.Field, li0: int,
+                    row_range: Optional[Tuple[int, int]]) -> Array:
+        """Read one top-level field of one row group (all its leaf column
+        chunks, starting at leaf index ``li0``) and assemble the arrow
+        column — the unit of parallelism (reference pqarrow GetFieldReaders
+        spawns one goroutine per field, pqarrow/file_reader.go:255-283)."""
+        rg = self.metadata.row_groups[rg_i]
+        f = orig_f
+        if f.type.id == dt.TypeId.EXTENSION:
+            f = dt.Field(f.name, f.type.storage_type, f.nullable)
+        if f.type.id == dt.TypeId.MAP:
+            f = lv.map_storage_field(f)
+        leaf_datas = []
+        for off, path in enumerate(lv.leaf_paths(f.type)):
+            li = li0 + off
+            desc = self.leaves[li]
+            chunk = rg.columns[li]
+            ctx = self._col_crypto.get((rg_i, li))
+            if isinstance(ctx, Exception):
+                raise ctx
+            defs, reps, values, base = self._read_column_chunk(
+                chunk, desc, row_range, ctx)
+            pruned_f = lv.prune_field(f, path)
+            if desc.max_rep_level == 0 and pruned_f.type.id not in (
+                    dt.TypeId.STRUCT,):
+                data = self._flat_assemble(pruned_f, desc, defs, values)
+            else:
+                data = lv.rebuild_nested(pruned_f, defs, reps, values)
+            if row_range is not None:
+                from ..array.concat import concat_arrays
+                s, cnt = row_range
+                # materialize at offset 0: leaves of one field may have
+                # skipped different pages, merge needs aligned rows
+                data = concat_arrays(
+                    [make_array(data).slice(s - base, cnt)]).data
+            leaf_datas.append(data)
+        data = lv.merge_leaf_datas(f, leaf_datas)
+        if orig_f.type.id in (dt.TypeId.MAP, dt.TypeId.EXTENSION):
+            data = ArrayData(orig_f.type, data.length, data.buffers,
+                             data.children, null_count=data._null_count,
+                             offset=data.offset)
+        return make_array(data)
+
+    def _selected_fields(self, columns: Optional[List[str]]
+                         ) -> List[Tuple[dt.Field, int]]:
+        """(field, first-leaf-index) for every selected top-level field."""
+        out, li = [], 0
         for f in self.schema.fields:
-            orig_f = f
-            if f.type.id == dt.TypeId.EXTENSION:
-                f = dt.Field(f.name, f.type.storage_type, f.nullable)
-            if f.type.id == dt.TypeId.MAP:
-                f = lv.map_storage_field(f)
-            paths = lv.leaf_paths(f.type)
-            if columns is not None and f.name not in columns:
-                li += len(paths)
-                continue
-            leaf_datas = []
-            for path in paths:
-                desc = self.leaves[li]
-                chunk = rg.columns[li]
-                ctx = self._col_crypto.get((i, li))
-                if isinstance(ctx, Exception):
-                    raise ctx
-                defs, reps, values, base = self._read_column_chunk(
-                    chunk, desc, row_range, ctx)
-                pruned_f = lv.prune_field(f, path)
-                if desc.max_rep_level == 0 and pruned_f.type.id not in (
-                        dt.TypeId.STRUCT,):
-                    data = self._flat_assemble(pruned_f, desc, defs, values)
-                else:
-                    data = lv.rebuild_nested(pruned_f, defs, reps, values)
-                if row_range is not None:
-                    from ..array.concat import concat_arrays
-                    s, cnt = row_range
-                    # materialize at offset 0: leaves of one field may have
-                    # skipped different pages, merge needs aligned rows
-                    data = concat_arrays(
-                        [make_array(data).slice(s - base, cnt)]).data
-                leaf_datas.append(data)
-                li += 1
-            data = lv.merge_leaf_datas(f, leaf_datas)
-            if orig_f.type.id in (dt.TypeId.MAP, dt.TypeId.EXTENSION):
-                data = ArrayData(orig_f.type, data.length, data.buffers,
-                                 data.children, null_count=data._null_count,
-                                 offset=data.offset)
-            cols.append(make_array(data))
-            fields.append(orig_f)
+            g = f
+            if g.type.id == dt.TypeId.EXTENSION:
+                g = dt.Field(g.name, g.type.storage_type, g.nullable)
+            if g.type.id == dt.TypeId.MAP:
+                g = lv.map_storage_field(g)
+            n_leaves = len(lv.leaf_paths(g.type))
+            if columns is None or f.name in columns:
+                out.append((f, li))
+            li += n_leaves
+        return out
+
+    def read_row_group(self, i: int, columns: Optional[List[str]] = None,
+                       row_range: Optional[Tuple[int, int]] = None,
+                       use_threads: bool = True) -> RecordBatch:
+        rg = self.metadata.row_groups[i]
+        sel = self._selected_fields(columns)
+        if use_threads and len(sel) > 1:
+            with ThreadPoolExecutor(
+                    max_workers=min(len(sel), os.cpu_count() or 4)) as pool:
+                cols = list(pool.map(
+                    lambda fl: self._read_field(i, fl[0], fl[1], row_range),
+                    sel))
+        else:
+            cols = [self._read_field(i, f, li, row_range) for f, li in sel]
+        fields = [f for f, _ in sel]
         schema = dt.Schema(fields, self.schema.metadata)
         nrows = row_range[1] if row_range is not None else (rg.num_rows or 0)
         return RecordBatch(schema, cols, nrows)
 
     def read_table(self, columns: Optional[List[str]] = None,
-                   filters: Optional[List[tuple]] = None) -> Table:
+                   filters: Optional[List[tuple]] = None,
+                   use_threads: bool = True) -> Table:
         keep = range(self.num_row_groups)
         if filters:
             keep = [i for i in keep if self._row_group_may_match(i, filters)]
-        batches = [self.read_row_group(i, columns) for i in keep]
+        keep = list(keep)
+        sel = self._selected_fields(columns)
+        fields = [f for f, _ in sel]
+        schema = dt.Schema(fields, self.schema.metadata)
+        if use_threads and len(keep) * len(sel) > 1:
+            # one pool over ALL (row group x field) cells — the reference's
+            # two-level fan-out (per-field errgroup + row-group
+            # producer/consumer, pqarrow/file_reader.go:255-283,362-404)
+            # flattened into a single work queue
+            with ThreadPoolExecutor(
+                    max_workers=min(len(keep) * len(sel),
+                                    os.cpu_count() or 4)) as pool:
+                cells = list(pool.map(
+                    lambda t: self._read_field(t[0], t[1][0], t[1][1], None),
+                    [(i, fl) for i in keep for fl in sel]))
+            batches = []
+            for gi, i in enumerate(keep):
+                cols = cells[gi * len(sel): (gi + 1) * len(sel)]
+                nrows = self.metadata.row_groups[i].num_rows or 0
+                batches.append(RecordBatch(schema, cols, nrows))
+        else:
+            batches = [self.read_row_group(i, columns, use_threads=False)
+                       for i in keep]
         if not batches:
             sch = self.schema if columns is None else dt.Schema(
                 [f for f in self.schema.fields if f.name in columns],
@@ -299,15 +355,17 @@ class ParquetFile:
             def _ensure(end: int) -> None:
                 need = min(end, total)
                 while len(raw) < need:
-                    self.src.seek(start + len(raw))
-                    got = self.src.read(max(self.properties.buffer_size,
-                                            need - len(raw)))
+                    with self._src_lock:
+                        self.src.seek(start + len(raw))
+                        got = self.src.read(max(self.properties.buffer_size,
+                                                need - len(raw)))
                     if not got:
                         break
                     raw.extend(got)
         else:
-            self.src.seek(start)
-            raw = self.src.read(total)
+            with self._src_lock:
+                self.src.seek(start)
+                raw = self.src.read(total)
 
             def _ensure(end: int) -> None:
                 pass
@@ -712,7 +770,7 @@ def _decode_stats(st, desc):
 def read_table(source, columns: Optional[List[str]] = None,
                filters: Optional[List[tuple]] = None,
                decryption: Optional[encm.FileDecryptionProperties] = None,
-               properties: Optional[ReaderProperties] = None
-               ) -> Table:
-    return ParquetFile(source, decryption,
-                       properties).read_table(columns, filters)
+               properties: Optional[ReaderProperties] = None,
+               use_threads: bool = True) -> Table:
+    return ParquetFile(source, decryption, properties).read_table(
+        columns, filters, use_threads=use_threads)

@@ -471,3 +471,28 @@ def test_read_rows_seek():
     # column projection
     assert [f.name for f in pf.read_rows(10, 5, columns=["s"]).schema.fields] \
         == ["s"]
+
+
+def test_parallel_column_reads_match_serial():
+    """use_threads=True (per-field fan-out, reference pqarrow
+    GetFieldReaders' errgroup) must be byte-identical to the serial path,
+    including nested/nullable columns across several row groups."""
+    n = 5000
+    t = agt.table({
+        "a": list(range(n)),
+        "b": [float(i) / 3 if i % 5 else None for i in range(n)],
+        "s": [f"str_{i % 97}" if i % 7 else None for i in range(n)],
+        "lst": agt.array([[i, i + 1] if i % 3 else None for i in range(n)],
+                         dt.list_(dt.int64)),
+        "st": agt.array([{"x": i, "y": f"v{i % 13}"} for i in range(n)],
+                        dt.struct({"x": dt.int64, "y": dt.string})),
+    })
+    buf = io.BytesIO()
+    pq.write_table(t, buf, row_group_size=1111)
+    par = pq.ParquetFile(buf.getvalue()).read_table(use_threads=True)
+    ser = pq.ParquetFile(buf.getvalue()).read_table(use_threads=False)
+    assert par.to_pydict() == ser.to_pydict() == t.to_pydict()
+    # projection + threads
+    par2 = pq.ParquetFile(buf.getvalue()).read_table(columns=["s", "st"])
+    assert par2.to_pydict() == {"s": t.column("s").to_pylist(),
+                                "st": t.column("st").to_pylist()}
