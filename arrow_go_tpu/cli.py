@@ -134,6 +134,24 @@ def cmd_json_integration(args):
         print("validation passed")
 
 
+def cmd_flight_integration(args):
+    """The archery Flight integration drivers (reference
+    arrow/flight/cmd/arrow-flight-integration-{server,client}/main.go over
+    internal/flight_integration/scenario.go)."""
+    from .flight import integration as fi
+    if args.role == "list":
+        for name in sorted(fi.SCENARIOS):
+            print(name)
+        return
+    if args.scenario is None:
+        raise SystemExit("--scenario is required for server/client")
+    if args.role == "server":
+        fi.run_scenario_server(args.scenario, args.port)
+    else:
+        uri = args.uri or f"grpc://localhost:{args.port}"
+        fi.run_scenario_client(args.scenario, uri)
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(prog="arrow_go_tpu.cli")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -160,6 +178,15 @@ def main(argv=None):
     j.add_argument("--json", required=True)
     j.add_argument("--arrow", required=True)
     j.set_defaults(fn=cmd_json_integration)
+    fi = sub.add_parser(
+        "flight-integration",
+        help="archery Flight scenario server/client "
+             "(arrow-flight-integration-server/-client)")
+    fi.add_argument("role", choices=["server", "client", "list"])
+    fi.add_argument("--scenario", default=None)
+    fi.add_argument("--port", type=int, default=0)
+    fi.add_argument("--uri", default=None)
+    fi.set_defaults(fn=cmd_flight_integration)
     args = p.parse_args(argv)
     args.fn(args)
 

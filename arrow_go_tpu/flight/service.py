@@ -81,11 +81,28 @@ class Ticket:
 class FlightEndpoint:
     ticket: Ticket
     locations: List[str] = dc_field(default_factory=list)
+    expiration_time: Optional[float] = None   # epoch seconds
+    app_metadata: bytes = b""
 
     def to_proto(self) -> fp.FlightEndpoint:
-        return fp.FlightEndpoint(
+        out = fp.FlightEndpoint(
             ticket=self.ticket.to_proto(),
-            location=[fp.Location(uri=u) for u in self.locations])
+            location=[fp.Location(uri=u) for u in self.locations],
+            app_metadata=self.app_metadata)
+        if self.expiration_time is not None:
+            out.expiration_time.seconds = int(self.expiration_time)
+            out.expiration_time.nanos = int(
+                (self.expiration_time % 1) * 1e9)
+        return out
+
+    @staticmethod
+    def from_proto(e: fp.FlightEndpoint) -> "FlightEndpoint":
+        exp = None
+        if e.HasField("expiration_time"):
+            exp = e.expiration_time.seconds + e.expiration_time.nanos / 1e9
+        return FlightEndpoint(Ticket(e.ticket.ticket),
+                              [loc.uri for loc in e.location],
+                              exp, e.app_metadata)
 
 
 def _schema_to_ipc_bytes(schema: dt.Schema) -> bytes:
@@ -115,22 +132,23 @@ class FlightInfo:
     endpoints: List[FlightEndpoint]
     total_records: int = -1
     total_bytes: int = -1
+    ordered: bool = False
+    app_metadata: bytes = b""
 
     def to_proto(self) -> fp.FlightInfo:
         return fp.FlightInfo(
             schema=_schema_to_ipc_bytes(self.schema),
             flight_descriptor=self.descriptor.proto,
             endpoint=[e.to_proto() for e in self.endpoints],
-            total_records=self.total_records, total_bytes=self.total_bytes)
+            total_records=self.total_records, total_bytes=self.total_bytes,
+            ordered=self.ordered, app_metadata=self.app_metadata)
 
     @staticmethod
     def from_proto(p: fp.FlightInfo) -> "FlightInfo":
         return FlightInfo(
             _schema_from_ipc_bytes(p.schema), FlightDescriptor(p.flight_descriptor),
-            [FlightEndpoint(Ticket(e.ticket.ticket),
-                            [loc.uri for loc in e.location])
-             for e in p.endpoint],
-            p.total_records, p.total_bytes)
+            [FlightEndpoint.from_proto(e) for e in p.endpoint],
+            p.total_records, p.total_bytes, p.ordered, p.app_metadata)
 
 
 @dataclass
@@ -591,8 +609,7 @@ class FlightClient:
             Action("RenewFlightEndpoint", req.SerializeToString())))
         ep = fp.FlightEndpoint()
         ep.ParseFromString(results[0].body)
-        return FlightEndpoint(Ticket(ep.ticket.ticket),
-                              [loc.uri for loc in ep.location])
+        return FlightEndpoint.from_proto(ep)
 
     def list_actions(self) -> List[Tuple[str, str]]:
         return [(a.type, a.description)
