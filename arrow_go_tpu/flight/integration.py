@@ -456,6 +456,80 @@ def _session_options():
 
 
 # ---------------------------------------------------------------------------
+# flight_sql / flight_sql:ingestion (reference scenario.go:77-91, backed by
+# the SQLite example server like flightsql/example)
+# ---------------------------------------------------------------------------
+
+def _sqlite_server():
+    from .sql import SQLiteFlightSQLServer
+    return SQLiteFlightSQLServer
+
+
+@_register("flight_sql")
+def _flight_sql():
+    def client(uri: str):
+        from .sql import FlightSQLClient
+        with FlightSQLClient(uri) as c:
+            c.execute_update(
+                "CREATE TABLE IF NOT EXISTS intTable "
+                "(id INTEGER PRIMARY KEY, keyName TEXT, value INTEGER)")
+            assert c.execute_update(
+                "INSERT INTO intTable (keyName, value) VALUES "
+                "('one', 1), ('zero', 0), ('negative one', -1)") == 3
+            t = c.execute_query(
+                "SELECT keyName, value FROM intTable ORDER BY value")
+            assert t.to_pydict() == {
+                "keyName": ["negative one", "zero", "one"],
+                "value": [-1, 0, 1]}, t.to_pydict()
+            # catalog metadata round trips
+            tables = c.get_tables(table_types=["table"])
+            assert "intTable" in tables.column("table_name").to_pylist()
+            assert c.get_table_types().num_rows >= 1
+            info = c.get_sql_info()
+            assert info.num_rows > 0
+            # prepared statement with parameter binding
+            ps = c.prepare("SELECT keyName FROM intTable WHERE value = ?")
+            from ..array.record import Table as _T
+            ps.set_parameters(_T.from_pydict({"p": [1]}))
+            got = ps.execute()
+            assert got.to_pydict() == {"keyName": ["one"]}, got.to_pydict()
+            ps.close()
+            # transaction commit/rollback
+            txn = c.begin_transaction()
+            c.execute_update("INSERT INTO intTable (keyName, value) "
+                             "VALUES ('txn', 9)")
+            c.rollback(txn)
+            t = c.execute_query(
+                "SELECT COUNT(*) AS c FROM intTable WHERE value = 9")
+            assert t.to_pydict()["c"] == [0]
+            c.execute_update("DROP TABLE intTable")
+
+    return _sqlite_server(), client
+
+
+@_register("flight_sql:ingestion")
+def _flight_sql_ingestion():
+    def client(uri: str):
+        from .sql import FlightSQLClient
+        from ..array.record import Table as _T
+        with FlightSQLClient(uri) as c:
+            data = _T.from_pydict({"a": [1, 2, 3], "b": ["x", "y", "z"]})
+            assert c.execute_ingest(data, "ingest_tbl") == 3
+            assert c.execute_ingest(data, "ingest_tbl",
+                                    if_exists="append") == 3
+            t = c.execute_query("SELECT COUNT(*) AS c FROM ingest_tbl")
+            assert t.to_pydict()["c"] == [6]
+            assert c.execute_ingest(data, "ingest_tbl",
+                                    if_exists="replace") == 3
+            t = c.execute_query(
+                "SELECT a, b FROM ingest_tbl ORDER BY a")
+            assert t.to_pydict() == {"a": [1, 2, 3], "b": ["x", "y", "z"]}
+            c.execute_update("DROP TABLE ingest_tbl")
+
+    return _sqlite_server(), client
+
+
+# ---------------------------------------------------------------------------
 # runners (the cmd/arrow-flight-integration-{server,client} analogs)
 # ---------------------------------------------------------------------------
 
