@@ -54,7 +54,8 @@ class Fragment:
     def schema(self) -> dt.Schema:
         raise NotImplementedError
 
-    def scan(self, columns, guards) -> List[RecordBatch]:
+    def scan(self, columns, guards,
+             use_threads: bool = True) -> List[RecordBatch]:
         raise NotImplementedError
 
 
@@ -63,10 +64,11 @@ class ParquetFragment(Fragment):
         from . import parquet
         return parquet.ParquetFile(self.path).schema
 
-    def scan(self, columns, guards) -> List[RecordBatch]:
+    def scan(self, columns, guards,
+             use_threads: bool = True) -> List[RecordBatch]:
         from . import parquet
-        t = parquet.ParquetFile(self.path).read_table(columns,
-                                                      guards or None)
+        t = parquet.ParquetFile(self.path).read_table(
+            columns, guards or None, use_threads=use_threads)
         return t.to_batches() if t.num_rows else []
 
 
@@ -76,7 +78,8 @@ class IpcFragment(Fragment):
         with open(self.path, "rb") as f:
             return ipc.open_file(f).schema
 
-    def scan(self, columns, guards) -> List[RecordBatch]:
+    def scan(self, columns, guards,
+             use_threads: bool = True) -> List[RecordBatch]:
         from . import ipc
         with open(self.path, "rb") as f:
             t = ipc.open_file(f).read_all()
@@ -90,7 +93,8 @@ class CsvFragment(Fragment):
         from .formats import read_csv
         return read_csv(self.path).schema
 
-    def scan(self, columns, guards) -> List[RecordBatch]:
+    def scan(self, columns, guards,
+             use_threads: bool = True) -> List[RecordBatch]:
         from .formats import read_csv
         t = read_csv(self.path)
         if columns:
@@ -135,22 +139,26 @@ class Dataset:
         return self._schema
 
     def scanner(self, columns: Optional[List[str]] = None,
-                filter: Optional[ex.Expression] = None) -> "Scanner":
-        return Scanner(self, columns, filter)
+                filter: Optional[ex.Expression] = None,
+                use_threads: bool = True) -> "Scanner":
+        return Scanner(self, columns, filter, use_threads)
 
     def to_table(self, columns: Optional[List[str]] = None,
-                 filter: Optional[ex.Expression] = None) -> Table:
-        return self.scanner(columns, filter).to_table()
+                 filter: Optional[ex.Expression] = None,
+                 use_threads: bool = True) -> Table:
+        return self.scanner(columns, filter, use_threads).to_table()
 
     def count_rows(self, filter: Optional[ex.Expression] = None) -> int:
         return self.scanner(None, filter).to_table().num_rows
 
 
 class Scanner:
-    def __init__(self, dataset: Dataset, columns, filter):
+    def __init__(self, dataset: Dataset, columns, filter,
+                 use_threads: bool = True):
         self.dataset = dataset
         self.columns = columns
         self.filter = filter
+        self.use_threads = use_threads
         self._guards = _simple_guards(filter) if filter is not None else []
 
     def _needed_columns(self) -> Optional[List[str]]:
@@ -167,18 +175,43 @@ class Scanner:
             refs(self.filter)
         return [f.name for f in self.dataset.schema.fields if f.name in need]
 
+    def _fragment_batches(self, cols):
+        """Per-fragment record batches, in fragment order. With
+        use_threads, fragments are scanned by a worker pool with a
+        bounded prefetch window (the fragment-level analog of the
+        parquet reader's column fan-out); the residual device filter
+        stays on the calling thread."""
+        frags = self.dataset.fragments
+        if not self.use_threads or len(frags) < 2:
+            for frag in frags:
+                yield from frag.scan(cols, self._guards)
+            return
+        # fragment-level fan-out: disable the nested per-column pool so a
+        # many-file scan doesn't oversubscribe the host
+        from concurrent.futures import ThreadPoolExecutor
+        nworkers = min(len(frags), os.cpu_count() or 4)
+        with ThreadPoolExecutor(max_workers=nworkers) as pool:
+            window = []
+            it = iter(frags)
+            for frag in it:
+                window.append(pool.submit(frag.scan, cols, self._guards,
+                                          False))
+                if len(window) >= nworkers * 2:   # bounded prefetch
+                    yield from window.pop(0).result()
+            for fut in window:
+                yield from fut.result()
+
     def batches(self):
         from . import compute as pc
         cols = self._needed_columns()
-        for frag in self.dataset.fragments:
-            for rb in frag.scan(cols, self._guards):
-                if self.filter is not None:
-                    mask = pc.execute_scalar_expression(self.filter, rb)
-                    rb = pc.filter(rb, mask)
-                if self.columns is not None:
-                    rb = rb.select(self.columns)
-                if rb.num_rows:
-                    yield rb
+        for rb in self._fragment_batches(cols):
+            if self.filter is not None:
+                mask = pc.execute_scalar_expression(self.filter, rb)
+                rb = pc.filter(rb, mask)
+            if self.columns is not None:
+                rb = rb.select(self.columns)
+            if rb.num_rows:
+                yield rb
 
     def to_table(self) -> Table:
         batches = list(self.batches())

@@ -89,3 +89,13 @@ def test_arrjson_roundtrip():
     assert back[0].to_pydict() == rb.to_pydict()
     assert back[1].to_pydict() == rb.slice(1, 2).to_pydict()
     assert back[0].schema.equals(rb.schema)
+
+
+def test_dataset_parallel_scan_matches_serial(pq_dir):
+    ds = dataset(pq_dir)
+    f = pc.field("id") < 250
+    par = ds.to_table(columns=["id", "v"], filter=f, use_threads=True)
+    ser = ds.to_table(columns=["id", "v"], filter=f, use_threads=False)
+    assert par.to_pydict() == ser.to_pydict()
+    assert par.num_rows == 250
+    assert par.column("id").to_pylist() == list(range(250))
