@@ -157,10 +157,12 @@ def _same_dict(a: ArrayData, b: ArrayData) -> bool:
 class StreamReader:
     """IPC stream reader (reference ipc/reader.go:97)."""
 
-    def __init__(self, source: Union[BinaryIO, bytes]):
+    def __init__(self, source: Union[BinaryIO, bytes],
+                 decompress_concurrency: int = 0):
         if isinstance(source, (bytes, bytearray, memoryview)):
             source = io.BytesIO(bytes(source))
         self.src = source
+        self.decompress_concurrency = decompress_concurrency
         self.mapper_fields: Dict[int, dt.Field] = {}
         self.dictionaries: Dict[int, ArrayData] = {}
         self.schema = self._read_schema()
@@ -228,7 +230,8 @@ class StreamReader:
                 continue
             if ht == md.MSG_RECORD_BATCH:
                 rb = r.union(2)
-                br = core.BodyReader(rb, body)
+                br = core.BodyReader(rb, body,
+                                     self.decompress_concurrency)
                 cols = []
                 for f in self.schema.fields:
                     data = core.load_array(br, f.type, self.dictionaries,
@@ -346,7 +349,9 @@ class FileReader:
     mmap variant :228 via use_mmap)."""
 
     def __init__(self, source: Union[BinaryIO, bytes, str],
-                 use_mmap: bool = False):
+                 use_mmap: bool = False,
+                 decompress_concurrency: int = 0):
+        self.decompress_concurrency = decompress_concurrency
         if isinstance(source, str):
             if use_mmap:
                 import mmap as _mmap
@@ -433,7 +438,7 @@ class FileReader:
         off, mlen, blen = self._blocks[i]
         r, body = self._read_at(off, mlen, blen)
         rb = r.union(2)
-        br = core.BodyReader(rb, body)
+        br = core.BodyReader(rb, body, self.decompress_concurrency)
         cols = []
         for f in self.schema.fields:
             data = core.load_array(br, f.type, self.dictionaries,
@@ -462,8 +467,11 @@ def new_stream(sink, schema: dt.Schema, compression: Optional[str] = None
     return StreamWriter(sink, schema, compression)
 
 
-def open_stream(source) -> StreamReader:
-    return StreamReader(source)
+def open_stream(source, decompress_concurrency: int = 0) -> StreamReader:
+    """decompress_concurrency > 1 decompresses compressed body buffers on
+    a thread pool — the read-side mirror of new_file/new_stream's write
+    concurrency (reference only parallelizes the write side)."""
+    return StreamReader(source, decompress_concurrency)
 
 
 def new_file(sink, schema: dt.Schema, compression: Optional[str] = None
@@ -471,5 +479,7 @@ def new_file(sink, schema: dt.Schema, compression: Optional[str] = None
     return FileWriter(sink, schema, compression)
 
 
-def open_file(source, use_mmap: bool = False) -> FileReader:
-    return FileReader(source, use_mmap=use_mmap)
+def open_file(source, use_mmap: bool = False,
+              decompress_concurrency: int = 0) -> FileReader:
+    return FileReader(source, use_mmap=use_mmap,
+                      decompress_concurrency=decompress_concurrency)

@@ -318,7 +318,8 @@ EOS = struct.pack("<Ii", CONTINUATION, 0)
 class BodyReader:
     """Sequential consumer of nodes + buffers from a record-batch message."""
 
-    def __init__(self, rb: Reader, body: bytes):
+    def __init__(self, rb: Reader, body: bytes,
+                 decompress_concurrency: int = 0):
         self.rb = rb
         self.body = body
         self.node_i = 0
@@ -326,6 +327,7 @@ class BodyReader:
         self.var_i = 0
         comp = rb.table(3)
         self.codec = None
+        self._prefetched = None
         if comp is not None:
             c = comp.i8(0)
             if c == md.COMPRESS_ZSTD:
@@ -334,6 +336,41 @@ class BodyReader:
                 self.codec = "lz4"
             else:
                 raise NotImplementedError(f"compression codec {c}")
+        if self.codec is not None and decompress_concurrency > 1:
+            # concurrent per-buffer body decompression — the read-side
+            # mirror of WithCompressConcurrency (reference ipc/ipc.go:160-170
+            # only parallelizes the WRITE side; the zstd/lz4 C codecs
+            # release the GIL so the same trick pays off on read)
+            nbuf = rb.vector_len(2)
+            if nbuf > 1:
+                from concurrent.futures import ThreadPoolExecutor
+                raws = [self._raw_buffer(i) for i in range(nbuf)]
+                with ThreadPoolExecutor(decompress_concurrency) as pool:
+                    self._prefetched = list(
+                        pool.map(self._decompress_one, raws))
+
+    def _raw_buffer(self, i: int) -> bytes:
+        pos = self.rb.vector_struct_pos(2, i, 16)
+        import flatbuffers.number_types as N
+        off = self.rb.tab.Get(N.Int64Flags, pos)
+        ln = self.rb.tab.Get(N.Int64Flags, pos + 8)
+        return self.body[off: off + ln]
+
+    def _decompress_one(self, raw: bytes) -> bytes:
+        if self.codec is None or not raw:
+            return raw
+        (ulen,) = struct.unpack_from("<q", raw, 0)
+        payload = raw[8:]
+        if ulen == -1:
+            return payload
+        if self.codec == "zstd":
+            import zstandard
+            return zstandard.ZstdDecompressor().decompress(
+                payload, max_output_size=ulen)
+        if self.codec == "lz4":
+            from .. import native
+            return native.lz4_frame_decompress(payload, ulen)
+        raise NotImplementedError(f"{self.codec} body compression")
 
     @property
     def num_rows(self) -> int:
@@ -355,26 +392,11 @@ class BodyReader:
         return v
 
     def next_buffer(self) -> bytes:
-        pos = self.rb.vector_struct_pos(2, self.buf_i, 16)
+        i = self.buf_i
         self.buf_i += 1
-        import flatbuffers.number_types as N
-        off = self.rb.tab.Get(N.Int64Flags, pos)
-        ln = self.rb.tab.Get(N.Int64Flags, pos + 8)
-        raw = self.body[off: off + ln]
-        if self.codec is None or ln == 0:
-            return raw
-        (ulen,) = struct.unpack_from("<q", raw, 0)
-        payload = raw[8:]
-        if ulen == -1:
-            return payload
-        if self.codec == "zstd":
-            import zstandard
-            return zstandard.ZstdDecompressor().decompress(
-                payload, max_output_size=ulen)
-        if self.codec == "lz4":
-            from .. import native
-            return native.lz4_frame_decompress(payload, ulen)
-        raise NotImplementedError(f"{self.codec} body compression")
+        if self._prefetched is not None:
+            return self._prefetched[i]
+        return self._decompress_one(self._raw_buffer(i))
 
 
 def load_array(br: BodyReader, t: dt.DataType,

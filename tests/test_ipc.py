@@ -272,3 +272,26 @@ def test_compress_concurrency():
     assert serial.getvalue() == conc.getvalue()
     got = ipc.StreamReader(io.BytesIO(conc.getvalue())).read_all()
     assert got.to_pydict() == t.to_pydict()
+
+
+def test_concurrent_body_decompression():
+    """decompress_concurrency>1 (read-side WithCompressConcurrency mirror)
+    must be byte-identical to the serial decode for every codec."""
+    t = agt.table({"x": list(range(20000)),
+                   "s": [f"value_{i % 37}" for i in range(20000)],
+                   "f": [float(i) * 0.5 for i in range(20000)]})
+    for codec in ("zstd", "lz4"):
+        buf = io.BytesIO()
+        with ipc.new_file(buf, t.schema, compression=codec) as w:
+            w.write_table(t)
+        data = buf.getvalue()
+        serial = ipc.open_file(data).read_all()
+        conc = ipc.open_file(data, decompress_concurrency=4).read_all()
+        assert conc.to_pydict() == serial.to_pydict() == t.to_pydict()
+        # stream flavor
+        sbuf = io.BytesIO()
+        with ipc.new_stream(sbuf, t.schema, compression=codec) as w:
+            w.write_table(t)
+        got = ipc.open_stream(sbuf.getvalue(),
+                              decompress_concurrency=4).read_all()
+        assert got.to_pydict() == t.to_pydict()
