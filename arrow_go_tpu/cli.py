@@ -71,8 +71,12 @@ def cmd_ls(args):
 
 
 def cmd_schema(args):
+    """Detailed parquet metadata dump (reference
+    parquet/cmd/parquet_reader/main.go column/stats listing +
+    parquet_schema)."""
     if args.file.endswith((".parquet", ".pq")):
         from . import parquet
+        from .parquet import format as fmt
         pf = parquet.ParquetFile(args.file)
         print(f"rows: {pf.num_rows}  row_groups: {pf.num_row_groups}")
         print(f"created_by: {pf.metadata.created_by}")
@@ -81,6 +85,22 @@ def cmd_schema(args):
         for i, rg in enumerate(pf.metadata.row_groups or []):
             print(f"  row group {i}: rows={rg.num_rows} "
                   f"bytes={rg.total_compressed_size}")
+            for ci, col in enumerate(rg.columns or []):
+                m = col.meta_data
+                if m is None:
+                    continue
+                encs = ",".join(fmt.Encoding(e).name
+                                for e in (m.encodings or []))
+                line = (f"    column {ci} {'.'.join(m.path_in_schema)}:"
+                        f" values={m.num_values}"
+                        f" codec={fmt.Codec(m.codec or 0).name}"
+                        f" encodings=[{encs}]"
+                        f" compressed={m.total_compressed_size}"
+                        f" uncompressed={m.total_uncompressed_size}")
+                st = m.statistics
+                if st is not None and st.null_count is not None:
+                    line += f" nulls={st.null_count}"
+                print(line)
     else:
         cmd_ls(args)
 
