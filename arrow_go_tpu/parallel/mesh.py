@@ -34,3 +34,54 @@ def row_sharding(mesh: Mesh) -> NamedSharding:
 
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
+
+
+# ---------------------------------------------------------------------------
+# multi-host (DCN) — the cross-slice analog of the reference's multi-node
+# Flight endpoint fan-out (SURVEY.md §5): jax's distributed runtime makes
+# every host's local chips part of ONE global mesh; the shard_map exchanges
+# in shuffle.py/aggregate.py/join.py/sort.py then ride ICI within a slice
+# and DCN across slices with no code change.
+# ---------------------------------------------------------------------------
+
+def initialize_multihost(coordinator_address: Optional[str] = None,
+                         num_processes: Optional[int] = None,
+                         process_id: Optional[int] = None) -> None:
+    """Join this host to a multi-host jax runtime (idempotent). On TPU
+    pods the three arguments are auto-detected from the environment; on
+    CPU/GPU fleets pass them explicitly (reference analog: the Flight
+    client fanning out to FlightInfo endpoints across hosts — here the
+    runtime itself becomes multi-host and collectives replace RPC)."""
+    if jax.process_count() > 1:
+        return   # already initialized
+    kwargs = {}
+    if coordinator_address is not None:
+        kwargs["coordinator_address"] = coordinator_address
+    if num_processes is not None:
+        kwargs["num_processes"] = num_processes
+    if process_id is not None:
+        kwargs["process_id"] = process_id
+    try:
+        jax.distributed.initialize(**kwargs)
+    except RuntimeError:
+        pass     # single-process run or already initialized
+
+
+def global_mesh() -> Mesh:
+    """1-D mesh over ALL devices of ALL participating hosts
+    (jax.devices() is global after initialize_multihost)."""
+    return Mesh(np.array(jax.devices()), (SHARD_AXIS,))
+
+
+def local_row_range(mesh: Mesh, n_rows: int) -> Sequence[int]:
+    """[start, stop) of the global row range owned by this host's
+    addressable shards — what a per-host ingest pipeline (Flight DoPut,
+    parquet scan) should load before handing to shard_map."""
+    devs = list(mesh.devices.flat)
+    n = len(devs)
+    per = -(-n_rows // n)
+    mine = [i for i, d in enumerate(devs)
+            if d.process_index == jax.process_index()]
+    if not mine:
+        return (0, 0)
+    return (min(mine) * per, min(n_rows, (max(mine) + 1) * per))

@@ -1,0 +1,16 @@
+#!/usr/bin/env bash
+# Dual-mode test matrix (reference ci/scripts/test.sh runs every suite
+# twice — with asm and with the `noasm` tag — to prove SIMD/fallback
+# parity; our analog proves native-C++/pure-python and pallas/interpret
+# parity on the virtual CPU mesh).
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+echo "== mode 1: default (native C++ codecs + pallas kernels) =="
+python -m pytest tests/ -q
+
+echo "== mode 2: AGT_DISABLE_NATIVE=1 (pure-python codec fallbacks) =="
+AGT_DISABLE_NATIVE=1 python -m pytest tests/ -q
+
+echo "== mode 3: AGT_FORCE_PALLAS_INTERPRET=1 (pallas interpret mode) =="
+AGT_FORCE_PALLAS_INTERPRET=1 python -m pytest tests/ -q

@@ -156,3 +156,13 @@ def test_distributed_sort():
     for k, r in zip(got_keys, got_rows):
         assert keys[r] == k and valid[r]
     assert sum(counts) == valid.sum()
+
+
+def test_multihost_helpers_single_process():
+    """initialize_multihost is a no-op single-process; local_row_range
+    covers the whole table when one process owns every shard."""
+    from arrow_go_tpu.parallel import mesh as pm
+    pm.initialize_multihost()          # must not raise single-process
+    m = pm.make_mesh()
+    lo, hi = pm.local_row_range(m, 1000)
+    assert lo == 0 and hi == 1000
