@@ -31,6 +31,10 @@ MAGIC_ENCRYPTED = b"PARE"
 
 DEFAULT_BUF_SIZE = 4096  # reference parquet.DefaultBufSize
 
+# threaded reads only when each work cell has at least this much
+# compressed input — below it pool startup + GIL contention dominate
+_MIN_TASK_BYTES = 512 * 1024
+
 
 class ReaderProperties:
     """Reference parquet.ReaderProperties (reader_properties.go:37).
@@ -289,6 +293,9 @@ class ParquetFile:
         rg = self.metadata.row_groups[i]
         sel = self._selected_fields(columns)
         if use_threads and len(sel) > 1:
+            total = rg.total_compressed_size or 0
+            use_threads = total / len(sel) >= _MIN_TASK_BYTES
+        if use_threads and len(sel) > 1:
             with ThreadPoolExecutor(
                     max_workers=min(len(sel), os.cpu_count() or 4)) as pool:
                 cols = list(pool.map(
@@ -311,7 +318,14 @@ class ParquetFile:
         sel = self._selected_fields(columns)
         fields = [f for f, _ in sel]
         schema = dt.Schema(fields, self.schema.metadata)
-        if use_threads and len(keep) * len(sel) > 1:
+        if use_threads:
+            # fan out only when each (row group x field) cell carries
+            # enough decompress/decode work to beat pool + GIL overhead
+            total = sum(self.metadata.row_groups[i].total_compressed_size
+                        or 0 for i in keep)
+            ntasks = max(len(keep) * len(sel), 1)
+            use_threads = ntasks > 1 and total / ntasks >= _MIN_TASK_BYTES
+        if use_threads:
             # one pool over ALL (row group x field) cells — the reference's
             # two-level fan-out (per-field errgroup + row-group
             # producer/consumer, pqarrow/file_reader.go:255-283,362-404)

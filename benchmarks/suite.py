@@ -195,6 +195,30 @@ def main():
     dt_s = _bench(do_join, (lkd.values, rkd.values))
     report("hash_join_local", dt_s, n + m, lk.nbytes + rk.nbytes)
 
+    # 6. parquet scan (host decode path; reference
+    #    parquet/internal/encoding/encoding_benchmarks_test.go configs)
+    import io as _io
+    nh = n_heavy
+    # 8 incompressible float64 columns: the codec-bound scan shape where
+    # the threaded per-field fan-out pays (strings are GIL-bound python
+    # decode and are covered by tests, not this throughput config)
+    pt = agt.table({f"c{i}": agt.from_numpy(rng.standard_normal(nh))
+                    for i in range(8)})
+    from arrow_go_tpu import parquet as pq
+    buf = _io.BytesIO()
+    pq.write_table(pt, buf, compression="zstd",
+                   row_group_size=max(nh // 8, 1024))
+    blob = buf.getvalue()
+    for use_threads, name in [(False, "parquet_scan_serial"),
+                              (True, "parquet_scan_threads")]:
+        ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            out = pq.ParquetFile(blob).read_table(use_threads=use_threads)
+            ts.append(time.perf_counter() - t0)
+        assert out.num_rows == nh
+        report(name, float(np.median(ts)), nh, len(blob))
+
     print(json.dumps({"suite": "done", "n": n,
                       "backend": jax.default_backend()}))
 
