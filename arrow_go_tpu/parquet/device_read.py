@@ -198,3 +198,18 @@ def read_column_device(pf, rg_i: int, column: str,
         mask = jnp.pad(mask, (0, P - n))
         validity = bitmap.pack_mask(mask)
     return DeviceColumn(values, validity, n, t)
+
+
+def read_batch_device(pf, rg_i: int, columns=None, pad=None):
+    """All (device-readable) columns of a row group as a DeviceBatch —
+    the scan entry point for device pipelines: parquet -> HBM -> compute
+    with no host value materialization."""
+    from ..device.block import DeviceBatch
+    if columns is None:
+        columns = [f.name for f in pf.schema.fields]
+    nrows = pf.metadata.row_groups[rg_i].num_rows or 0
+    if pad is None:
+        pad = pad_length(nrows)
+    cols = [read_column_device(pf, rg_i, c, pad=pad) for c in columns]
+    schema = dt.Schema([f for f in pf.schema.fields if f.name in columns])
+    return DeviceBatch(schema, cols, nrows)

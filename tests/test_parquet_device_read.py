@@ -94,3 +94,17 @@ def test_device_read_unsupported_falls_through():
     pf2 = _file(t2)
     with pytest.raises((ArrowNotImplemented, Exception)):
         read_column_device(pf2, 0, "l")
+
+
+def test_read_batch_device():
+    from arrow_go_tpu.parquet.device_read import read_batch_device
+    from arrow_go_tpu.device.block import batch_from_device
+    n = 3000
+    t = agt.table({"a": agt.from_numpy(rng.integers(0, 99, n),
+                                       rng.random(n) < 0.9),
+                   "b": agt.from_numpy(rng.standard_normal(n))})
+    pf = _file(t, use_dictionary=False, compression="zstd")
+    db = read_batch_device(pf, 0)
+    back = batch_from_device(db)
+    host = pf.read_row_group(0)
+    assert back.to_pydict() == host.to_pydict()
