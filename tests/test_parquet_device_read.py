@@ -108,3 +108,26 @@ def test_read_batch_device():
     back = batch_from_device(db)
     host = pf.read_row_group(0)
     assert back.to_pydict() == host.to_pydict()
+
+
+def test_device_read_pyarrow_written_file():
+    """Cross-implementation: pyarrow writes (its own encoder choices,
+    RLE_DICTIONARY + snappy), our device path decodes bit-exactly."""
+    pa = pytest.importorskip("pyarrow")
+    import pyarrow.parquet as papq
+    n = 30000
+    ints = rng.integers(0, 200, n)
+    imask = rng.random(n) < 0.9
+    floats = rng.standard_normal(n)
+    pt = pa.table({
+        "i": pa.array([int(v) if m else None
+                       for v, m in zip(ints, imask)], pa.int64()),
+        "f": pa.array(floats, pa.float64()),
+    })
+    buf = io.BytesIO()
+    papq.write_table(pt, buf, compression="snappy", data_page_size=4096)
+    pf = pq.ParquetFile(buf.getvalue())
+    for col in ("i", "f"):
+        dev = read_column_device(pf, 0, col)
+        back = from_device(dev)
+        assert back.to_pylist() == pt.column(col).to_pylist()
