@@ -72,9 +72,13 @@ def _iter_pages(pf, chunk):
         yield hdr, body
 
 
-def _decode_data_page(hdr, body, desc, codec, dict_dev, np_dtype):
+def _decode_data_page(hdr, body, desc, codec, dict_dev, np_dtype,
+                      codes_only: bool = False):
     """One data page -> (row_values[nv] on device, present_mask[nv] bool).
-    Values in non-present rows are unspecified garbage behind the mask."""
+    Values in non-present rows are unspecified garbage behind the mask.
+    codes_only: return int32 dictionary CODES instead of gathered values
+    (the string-on-device model — strings live as codes + a host
+    dictionary, exactly like device.block.to_device's ingest)."""
     ptype = fmt.PageType(hdr.type)
     if ptype == fmt.PageType.DATA_PAGE:
         dph = hdr.data_page_header
@@ -114,6 +118,18 @@ def _decode_data_page(hdr, body, desc, codec, dict_dev, np_dtype):
     pos = jnp.clip(pos, 0)
 
     phys = desc.physical_type
+    if codes_only:
+        if encoding not in (fmt.Encoding.RLE_DICTIONARY,
+                            fmt.Encoding.PLAIN_DICTIONARY):
+            raise ArrowNotImplemented(
+                "device string read needs all-dictionary pages "
+                f"(page encoding {encoding.name})")
+        width = vals_raw[0]
+        st, ir, pay, words = dd.parse_rle_segments(vals_raw[1:], nv, width)
+        codes = dd.rle_hybrid_decode_device(
+            jnp.asarray(st), jnp.asarray(ir), jnp.asarray(pay),
+            jnp.asarray(words), width, nv).astype(jnp.int32)
+        return codes[pos], present
     if encoding == fmt.Encoding.PLAIN:
         if phys == fmt.Type.BOOLEAN:
             # PLAIN boolean is 1-bit packed over present values
@@ -163,28 +179,35 @@ def read_column_device(pf, rg_i: int, column: str,
         raise ArrowNotImplemented("device read of encrypted columns")
     field = next(f for f in pf.schema.fields if f.name == column)
     t = field.type
-    if t.id not in (dt.TypeId.INT32, dt.TypeId.INT64, dt.TypeId.FLOAT32,
-                    dt.TypeId.FLOAT64, dt.TypeId.BOOL):
+    codes_only = t.is_binary_like and desc.physical_type == fmt.Type.BYTE_ARRAY
+    if not codes_only and t.id not in (
+            dt.TypeId.INT32, dt.TypeId.INT64, dt.TypeId.FLOAT32,
+            dt.TypeId.FLOAT64, dt.TypeId.BOOL):
         raise ArrowNotImplemented(f"device read of {t} columns")
-    np_dtype = np.bool_ if t.id == dt.TypeId.BOOL else t.np_dtype
+    np_dtype = np.int32 if codes_only else (
+        np.bool_ if t.id == dt.TypeId.BOOL else t.np_dtype)
 
     chunk = pf.metadata.row_groups[rg_i].columns[li]
     codec = chunk.meta_data.codec or 0
     dict_dev = None
+    dict_host_vals = None
     parts, masks = [], []
     for hdr, body in _iter_pages(pf, chunk):
         ptype = fmt.PageType(hdr.type)
         if ptype == fmt.PageType.DICTIONARY_PAGE:
             payload = comp.decompress(codec, body, hdr.uncompressed_page_size)
             nvd = hdr.dictionary_page_header.num_values or 0
-            dict_host = enc.plain_decode(desc.physical_type, payload, nvd,
-                                         desc.type_length)
-            dict_dev = jnp.asarray(np.ascontiguousarray(dict_host))
+            dict_host_vals = enc.plain_decode(
+                desc.physical_type, payload, nvd, desc.type_length)
+            if not codes_only:
+                dict_dev = jnp.asarray(np.ascontiguousarray(dict_host_vals))
+            else:
+                dict_dev = True   # marker: codes are decodable
             continue
         if ptype not in (fmt.PageType.DATA_PAGE, fmt.PageType.DATA_PAGE_V2):
             raise ArrowNotImplemented(f"page type {ptype}")
         vals, present = _decode_data_page(hdr, body, desc, codec, dict_dev,
-                                          np_dtype)
+                                          np_dtype, codes_only)
         parts.append(vals)
         masks.append(present)
 
@@ -197,6 +220,13 @@ def read_column_device(pf, rg_i: int, column: str,
     if desc.max_def_level > 0:
         mask = jnp.pad(mask, (0, P - n))
         validity = bitmap.pack_mask(mask)
+    if codes_only:
+        from ..array.builders import make_builder
+        bb = make_builder(t)
+        for u in (dict_host_vals or []):
+            bb.append(u)
+        return DeviceColumn(values, validity, n, dt.dictionary(dt.int32, t),
+                            dictionary=bb.finish())
     return DeviceColumn(values, validity, n, t)
 
 

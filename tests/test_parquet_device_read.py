@@ -86,14 +86,31 @@ def test_device_read_v2_pages_row_groups():
 
 
 def test_device_read_unsupported_falls_through():
+    # PLAIN-encoded strings (no dictionary) have no device representation
     t = agt.table({"s": ["a", "b", None]})
-    pf = _file(t)
+    pf = _file(t, use_dictionary=False)
     with pytest.raises(ArrowNotImplemented):
         read_column_device(pf, 0, "s")
     t2 = agt.table({"l": agt.array([[1], None], dt.list_(dt.int64))})
     pf2 = _file(t2)
     with pytest.raises((ArrowNotImplemented, Exception)):
         read_column_device(pf2, 0, "l")
+
+
+def test_device_read_strings_as_dictionary_codes():
+    """Dict-encoded strings land on device as int32 codes + host
+    dictionary (the engine's string model, device.block.to_device)."""
+    n = 8000
+    words = [f"w{i}" for i in range(40)]
+    vals = [words[i % 40] if i % 7 else None for i in range(n)]
+    t = agt.table({"s": vals})
+    pf = _file(t, use_dictionary=True, data_page_size=2048,
+               compression="zstd")
+    dev = read_column_device(pf, 0, "s")
+    assert dev.type.id == dt.TypeId.DICTIONARY
+    assert dev.dictionary is not None
+    back = from_device(dev)
+    assert back.to_pylist() == vals
 
 
 def test_read_batch_device():
