@@ -44,6 +44,18 @@ def main():
     print(f"[scan] filtered to {hot.num_rows} rows "
           f"(pushdown skipped row groups below id 500)")
 
+    # 3b. device scan fast path: pages decode IN HBM (bit-unpack / RLE /
+    # dict gather as XLA programs); strings arrive as dictionary codes
+    from arrow_go_tpu.parquet.device_read import read_batch_device
+    from arrow_go_tpu.ops import reductions
+    pf = parquet.ParquetFile(pq_path)
+    db = read_batch_device(pf, 0)
+    amt = db.column("amount")
+    dev_sum = float(reductions.reduce_xla(
+        amt.values, amt.validity, amt.length, "sum"))
+    print(f"[device scan] row group 0 decoded in HBM, "
+          f"sum(amount)={dev_sum} over {amt.length} rows")
+
     # 4. group-by on device
     by_region = pc.group_by(hot, "region",
                             [("amount", "sum"), ("amount", "count"),
