@@ -137,13 +137,45 @@ def rle_hybrid_decode_device(seg_starts: jax.Array, seg_is_run: jax.Array,
     return jnp.where(run == 1, pay.astype(jnp.uint32), packed_vals)
 
 
+def _bucket(n: int) -> int:
+    return 1 << max(n - 1, 1).bit_length()
+
+
+def pad_segments(st: np.ndarray, ir: np.ndarray, pay: np.ndarray,
+                 words: np.ndarray):
+    """Pad segment tables and the word stream to power-of-2 buckets so the
+    jitted decode compiles once per bucket, not once per page. Padding
+    starts use INT32_MAX: sorted order holds and searchsorted(side=right)-1
+    never lands on them for real indices."""
+    S = _bucket(len(st))
+    stp = np.full(S, np.iinfo(np.int32).max, np.int32)
+    stp[:len(st)] = st
+    irp = np.zeros(S, np.uint32); irp[:len(ir)] = ir
+    payp = np.zeros(S, np.int64); payp[:len(pay)] = pay
+    W = _bucket(len(words))
+    wp = np.zeros(W, np.uint32); wp[:len(words)] = words
+    return stp, irp, payp, wp
+
+
+_rle_hybrid_jit = None
+
+
+def rle_hybrid_decode_jit(st, ir, pay, words, bit_width: int, n: int):
+    """One fused XLA program per (segment-bucket, word-bucket, bw, n)."""
+    global _rle_hybrid_jit
+    if _rle_hybrid_jit is None:
+        _rle_hybrid_jit = jax.jit(rle_hybrid_decode_device,
+                                  static_argnums=(4, 5))
+    stp, irp, payp, wp = pad_segments(st, ir, pay, words)
+    return _rle_hybrid_jit(jnp.asarray(stp), jnp.asarray(irp),
+                           jnp.asarray(payp), jnp.asarray(wp), bit_width, n)
+
+
 def rle_decode_device(data: bytes, n: int, bit_width: int) -> jax.Array:
     """Convenience: host control parse + device decode in one call
     (device analog of parquet/encodings.rle_decode)."""
     st, ir, pay, words = parse_rle_segments(data, n, bit_width)
-    return rle_hybrid_decode_device(jnp.asarray(st), jnp.asarray(ir),
-                                    jnp.asarray(pay), jnp.asarray(words),
-                                    bit_width, n)
+    return rle_hybrid_decode_jit(st, ir, pay, words, bit_width, n)
 
 
 # ---------------------------------------------------------------------------

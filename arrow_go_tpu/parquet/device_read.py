@@ -107,9 +107,7 @@ def _decode_data_page(hdr, body, desc, codec, dict_dev, np_dtype,
     # definition levels (bit width 1 for flat nullable) decoded on device
     if def_stream is not None:
         st, ir, pay, words = dd.parse_rle_segments(def_stream, nv, 1)
-        defs = dd.rle_hybrid_decode_device(
-            jnp.asarray(st), jnp.asarray(ir), jnp.asarray(pay),
-            jnp.asarray(words), 1, nv)
+        defs = dd.rle_hybrid_decode_jit(st, ir, pay, words, 1, nv)
         present = defs == 1
     else:
         present = jnp.ones(nv, jnp.bool_)
@@ -126,9 +124,8 @@ def _decode_data_page(hdr, body, desc, codec, dict_dev, np_dtype,
                 f"(page encoding {encoding.name})")
         width = vals_raw[0]
         st, ir, pay, words = dd.parse_rle_segments(vals_raw[1:], nv, width)
-        codes = dd.rle_hybrid_decode_device(
-            jnp.asarray(st), jnp.asarray(ir), jnp.asarray(pay),
-            jnp.asarray(words), width, nv).astype(jnp.int32)
+        codes = dd.rle_hybrid_decode_jit(st, ir, pay, words, width,
+                                         nv).astype(jnp.int32)
         return codes[pos], present
     if encoding == fmt.Encoding.PLAIN:
         if phys == fmt.Type.BOOLEAN:
@@ -149,9 +146,7 @@ def _decode_data_page(hdr, body, desc, codec, dict_dev, np_dtype,
             raise ArrowInvalid("dictionary page missing")
         width = vals_raw[0]
         st, ir, pay, words = dd.parse_rle_segments(vals_raw[1:], nv, width)
-        codes = dd.rle_hybrid_decode_device(
-            jnp.asarray(st), jnp.asarray(ir), jnp.asarray(pay),
-            jnp.asarray(words), width, nv)
+        codes = dd.rle_hybrid_decode_jit(st, ir, pay, words, width, nv)
         dense = dd.dict_decode_device(codes, dict_dev)
     elif encoding == fmt.Encoding.BYTE_STREAM_SPLIT:
         k = np.dtype(np_dtype).itemsize
