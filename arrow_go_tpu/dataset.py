@@ -213,6 +213,35 @@ class Scanner:
             if rb.num_rows:
                 yield rb
 
+    def device_batches(self):
+        """Yield DeviceBatch per row group / fragment batch — the device
+        pipeline entry point. Parquet fragments take the in-HBM page
+        decode fast path (parquet/device_read.py) when the column set
+        supports it; everything else decodes on host and ships via
+        to_device. The residual filter/projection stay with the caller's
+        device program (they fuse there; this is ingest only)."""
+        from .device.block import batch_to_device
+        from .parquet.device_read import read_batch_device
+        cols = self._needed_columns()
+        for frag in self.dataset.fragments:
+            if isinstance(frag, ParquetFragment):
+                from . import parquet as _pq
+                pf = _pq.ParquetFile(frag.path)
+                keep = range(pf.num_row_groups)
+                if self._guards:
+                    keep = [i for i in keep
+                            if pf._row_group_may_match(i, self._guards)]
+                from .compute.errors import ArrowNotImplemented
+                for rg in keep:
+                    try:
+                        yield read_batch_device(pf, rg, columns=cols)
+                    except ArrowNotImplemented:
+                        # nested/encrypted/plain-string columns: host decode
+                        yield batch_to_device(pf.read_row_group(rg, cols))
+            else:
+                for rb in frag.scan(cols, self._guards):
+                    yield batch_to_device(rb)
+
     def to_table(self) -> Table:
         batches = list(self.batches())
         if not batches:

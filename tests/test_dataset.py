@@ -99,3 +99,21 @@ def test_dataset_parallel_scan_matches_serial(pq_dir):
     assert par.to_pydict() == ser.to_pydict()
     assert par.num_rows == 250
     assert par.column("id").to_pylist() == list(range(250))
+
+
+def test_dataset_device_batches(pq_dir):
+    from arrow_go_tpu.device.block import batch_from_device
+    ds = dataset(pq_dir)
+    sc = ds.scanner(columns=["id", "v"])
+    rows = 0
+    for db in sc.device_batches():
+        rb = batch_from_device(db)
+        assert rb.schema.names == ["id", "v"]
+        rows += rb.num_rows
+    assert rows == 300
+    # fragment with a string column falls back to host decode + to_device
+    sc2 = ds.scanner()
+    got = []
+    for db in sc2.device_batches():
+        got.extend(batch_from_device(db).column("cat").to_pylist())
+    assert got[:4] == ["c0", "c1", "c2", "c3"]
