@@ -84,6 +84,17 @@ class DeviceColumn:
     type: dt.DataType
     dictionary: Optional[Array] = None
 
+    def __post_init__(self):
+        # shape invariants under AGT_ASSERT=1 (the reference's `assert`
+        # build tag, arrow/internal/debug/assert_on.go)
+        from ..utils.debug import debug_assert
+        debug_assert(self.values.shape[0] % 32 == 0,
+                     f"padded length {self.values.shape[0]} not word-aligned")
+        if self.validity is not None:
+            debug_assert(
+                self.validity.shape[0] * 32 == self.values.shape[0],
+                f"validity words {self.validity.shape[0]} != padded/32")
+
     @property
     def padded(self) -> int:
         return self.values.shape[0]

@@ -14,3 +14,7 @@ AGT_DISABLE_NATIVE=1 python -m pytest tests/ -q
 
 echo "== mode 3: AGT_FORCE_PALLAS_INTERPRET=1 (pallas interpret mode) =="
 AGT_FORCE_PALLAS_INTERPRET=1 python -m pytest tests/ -q
+
+echo "== mode 4: AGT_ASSERT=1 (debug asserts, the reference's -tags assert) =="
+AGT_ASSERT=1 python -m pytest tests/test_device_ops.py tests/test_parquet.py \
+    tests/test_parquet_device_read.py tests/test_compute.py -q

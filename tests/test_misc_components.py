@@ -274,3 +274,17 @@ def test_device_memory_watcher_detects_leak():
         with DeviceMemoryWatcher(tolerance=1024):
             leaked.append(jnp.zeros(1 << 20, jnp.float32) + 1)
             leaked[-1].block_until_ready()
+
+
+def test_debug_assert_tag(monkeypatch):
+    """AGT_ASSERT analog of the reference `assert` build tag."""
+    import importlib
+    import arrow_go_tpu.utils.debug as dbg
+    monkeypatch.setenv("AGT_ASSERT", "1")
+    importlib.reload(dbg)
+    with pytest.raises(AssertionError):
+        dbg.debug_assert(False, "boom")
+    dbg.debug_assert(True)
+    monkeypatch.delenv("AGT_ASSERT")
+    importlib.reload(dbg)
+    dbg.debug_assert(False)   # no-op when tag off
