@@ -29,17 +29,13 @@ import numpy as np
 from .. import dtypes as dt
 from ..compute.errors import ArrowInvalid, ArrowNotImplemented
 from ..device.block import DeviceColumn, pad_length
-from ..jaxenv import jax, jnp
+from ..jaxenv import jnp
 from ..ops import bitmap
 from ..ops import decode as dd
 from . import compress as comp
 from . import encodings as enc
 from . import format as fmt
 from .thrift import CompactReader
-
-_PHYS_NP = {fmt.Type.INT32: np.int32, fmt.Type.INT64: np.int64,
-            fmt.Type.FLOAT: np.float32, fmt.Type.DOUBLE: np.float64}
-
 
 def _leaf_of(pf, column: str):
     for li, desc in enumerate(pf.leaves):
