@@ -16,9 +16,32 @@ from .arrays import Array, ArrayData, make_array
 
 
 class Builder:
+    """Base builder. Two contract points matching the reference:
+
+    - ``append(None)`` appends a null for every builder (reference
+      builders treat nil as AppendNull) — enforced centrally via
+      ``__init_subclass__`` so concrete ``append`` impls never see None.
+    - ``finish()`` RESETS the builder (reference ``Builder.NewArray``
+      semantics: the builder is reusable and a second ``finish`` with no
+      intervening appends returns an empty array).
+    """
+
     def __init__(self, type: dt.DataType):
         self.type = type
         self._valid: List[bool] = []
+
+    def __init_subclass__(cls, **kw):
+        super().__init_subclass__(**kw)
+        if "append" in cls.__dict__:
+            orig = cls.__dict__["append"]
+
+            def append(self, v, _orig=orig):
+                if v is None:
+                    return self.append_null()
+                return _orig(self, v)
+
+            append.__doc__ = orig.__doc__
+            cls.append = append
 
     def __len__(self):
         return len(self._valid)

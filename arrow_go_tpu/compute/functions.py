@@ -22,6 +22,7 @@ from ..device.block import (DeviceBatch, DeviceColumn, batch_to_device,
 from ..ops import bitmap, hashing, reductions, selection, sort as sort_ops
 from . import cast as cast_mod
 from . import kernels
+from . import nested_selection
 from .errors import ArrowIndexError, ArrowInvalid, ArrowNotImplemented
 from .registry import Arity, Function, FunctionKind, FunctionRegistry
 
@@ -117,23 +118,111 @@ def _take_device(col: DeviceColumn, idx, count: int) -> DeviceColumn:
     return DeviceColumn(vals, words, count, col.type, col.dictionary)
 
 
+def _device_selectable(t: dt.DataType) -> bool:
+    """Types the HBM block format carries; everything else (nested types,
+    decimal256, intervals, extensions) selects via the vectorized host
+    kernels in nested_selection.py."""
+    tid = t.id
+    if tid in (dt.TypeId.NULL, dt.TypeId.BOOL, dt.TypeId.DECIMAL32,
+               dt.TypeId.DECIMAL64, dt.TypeId.DECIMAL128,
+               dt.TypeId.FIXED_SIZE_BINARY):
+        return True
+    if tid == dt.TypeId.DICTIONARY:
+        return not t.value_type.is_nested
+    if t.is_binary_like:
+        return True
+    return t.np_dtype is not None and t.np_dtype.kind in "iufb"
+
+
+def _host_mask(mask):
+    """Filter mask datum -> (values, validity) bool ndarrays on host."""
+    if isinstance(mask, DeviceColumn):
+        if mask.type.id != dt.TypeId.BOOL:
+            raise ArrowNotImplemented("filter mask must be boolean")
+        n = mask.length
+        vals = np.asarray(jax.device_get(mask.values))[:n].astype(np.bool_)
+        if mask.validity is not None:
+            valid = np.asarray(
+                jax.device_get(mask.validity_mask()))[:n]
+        else:
+            valid = np.ones(n, np.bool_)
+        return vals, valid
+    if isinstance(mask, ChunkedArray):
+        mask = mask.combine()
+    if not isinstance(mask, Array) or mask.type.id != dt.TypeId.BOOL:
+        raise ArrowNotImplemented("filter mask must be boolean")
+    return mask.to_numpy(), mask.validity_bools()
+
+
+def _host_take_indices(indices, n_src: int, options: TakeOptions) -> np.ndarray:
+    """Take-indices datum -> int64 ndarray with -1 for null slots."""
+    if isinstance(indices, DeviceColumn):
+        n = indices.length
+        idx = np.asarray(jax.device_get(indices.values))[:n].astype(np.int64)
+        if indices.validity is not None:
+            valid = np.asarray(jax.device_get(indices.validity_mask()))[:n]
+            idx = np.where(valid, idx, -1)
+    else:
+        if isinstance(indices, ChunkedArray):
+            indices = indices.combine()
+        if not isinstance(indices, Array) or not indices.type.is_integer:
+            raise ArrowNotImplemented("take indices must be integer")
+        idx = np.asarray(indices.to_numpy(), dtype=np.int64).copy()
+        idx[~indices.validity_bools()] = -1
+    if options.bounds_check and len(idx) and (
+            (idx >= n_src).any() or (idx < -1).any()):
+        raise ArrowIndexError(f"take index out of bounds (source length {n_src})")
+    return idx
+
+
+def _wrap_table(result, was_table: bool):
+    if was_table and isinstance(result, RecordBatch):
+        return Table.from_batches([result], result.schema)
+    return result
+
+
+def _combine_table(values: Table) -> RecordBatch:
+    return RecordBatch(values.schema,
+                       [values.column(i).combine()
+                        for i in range(values.num_columns)],
+                       values.num_rows)
+
+
 def filter_(values, mask, options: Optional[FilterOptions] = None):
     options = options or FilterOptions()
-    if isinstance(values, Table):
-        values = values.to_batches(None)[0] if values.num_rows else \
-            RecordBatch(values.schema, [c.combine() for c in
-                        [values.column(i) for i in range(values.num_columns)]], 0)
+    was_table = isinstance(values, Table)
+    if was_table:
+        values = _combine_table(values)
     if isinstance(values, RecordBatch):
-        db = batch_to_device(values)
-        mcol = _as_device(mask, pad=db.padded)
-        if mcol.type.id != dt.TypeId.BOOL:
-            raise ArrowNotImplemented("filter mask must be boolean")
-        idx, cnt = selection.filter_indices(
-            mcol.values, mcol.validity, mcol.length, options.null_selection)
-        count = int(cnt)
-        cols = [_trim(_take_device(c, idx, count), count) for c in db.columns]
-        out = DeviceBatch(db.schema, cols, count)
-        return _maybe_host(out, values, mask)
+        if all(_device_selectable(f.type) for f in values.schema.fields):
+            db = batch_to_device(values)
+            mcol = _as_device(mask, pad=db.padded)
+            if mcol.type.id != dt.TypeId.BOOL:
+                raise ArrowNotImplemented("filter mask must be boolean")
+            idx, cnt = selection.filter_indices(
+                mcol.values, mcol.validity, mcol.length, options.null_selection)
+            count = int(cnt)
+            cols = [_trim(_take_device(c, idx, count), count) for c in db.columns]
+            out = DeviceBatch(db.schema, cols, count)
+            return _wrap_table(_maybe_host(out, values, mask), was_table)
+        # batch contains host-resident (nested/...) columns: one host index
+        # vector, vectorized take per column (reference fans Record filter
+        # out per column the same way, selection.go:674-737)
+        mv, mvalid = _host_mask(mask)
+        hidx = nested_selection.filter_indices_host(
+            mv, mvalid, options.null_selection)
+        cols = [nested_selection.take_host_vec(c, hidx)
+                for c in values.columns]
+        out = RecordBatch(values.schema, cols, len(hidx))
+        return _wrap_table(out, was_table)
+
+    if isinstance(values, (Array, ChunkedArray)) and not _device_selectable(
+            values.type):
+        arr = values.combine() if isinstance(values, ChunkedArray) else values
+        mv, mvalid = _host_mask(mask)
+        hidx = nested_selection.filter_indices_host(
+            mv, mvalid, options.null_selection)
+        return nested_selection.take_host_vec(arr, hidx)
 
     col = _as_device(values)
     mcol = _as_device(mask, pad=col.padded)
@@ -148,19 +237,29 @@ def filter_(values, mask, options: Optional[FilterOptions] = None):
 
 def take(values, indices, options: Optional[TakeOptions] = None):
     options = options or TakeOptions()
-    if isinstance(values, Table):
-        values = RecordBatch(values.schema,
-                             [values.column(i).combine()
-                              for i in range(values.num_columns)],
-                             values.num_rows)
+    was_table = isinstance(values, Table)
+    if was_table:
+        values = _combine_table(values)
     if isinstance(values, RecordBatch):
-        db = batch_to_device(values)
-        icol = _as_device(indices)
-        _check_take_bounds(icol, db.length, options)
-        idx = _take_index_vector(icol)
-        cols = [_take_device(c, idx, icol.length) for c in db.columns]
-        out = DeviceBatch(db.schema, cols, icol.length)
-        return _maybe_host(out, values, indices)
+        if all(_device_selectable(f.type) for f in values.schema.fields):
+            db = batch_to_device(values)
+            icol = _as_device(indices)
+            _check_take_bounds(icol, db.length, options)
+            idx = _take_index_vector(icol)
+            cols = [_take_device(c, idx, icol.length) for c in db.columns]
+            out = DeviceBatch(db.schema, cols, icol.length)
+            return _wrap_table(_maybe_host(out, values, indices), was_table)
+        hidx = _host_take_indices(indices, values.num_rows, options)
+        cols = [nested_selection.take_host_vec(c, hidx)
+                for c in values.columns]
+        out = RecordBatch(values.schema, cols, len(hidx))
+        return _wrap_table(out, was_table)
+
+    if isinstance(values, (Array, ChunkedArray)) and not _device_selectable(
+            values.type):
+        arr = values.combine() if isinstance(values, ChunkedArray) else values
+        hidx = _host_take_indices(indices, len(arr), options)
+        return nested_selection.take_host_vec(arr, hidx)
 
     col = _as_device(values)
     icol = _as_device(indices)

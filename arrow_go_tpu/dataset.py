@@ -231,12 +231,13 @@ class Scanner:
                 if self._guards:
                     keep = [i for i in keep
                             if pf._row_group_may_match(i, self._guards)]
-                from .compute.errors import ArrowNotImplemented
+                from .compute.errors import ArrowInvalid, ArrowNotImplemented
                 for rg in keep:
                     try:
                         yield read_batch_device(pf, rg, columns=cols)
-                    except ArrowNotImplemented:
+                    except (ArrowNotImplemented, ArrowInvalid):
                         # nested/encrypted/plain-string columns: host decode
+                        # (nested columns have no flat leaf -> ArrowInvalid)
                         yield batch_to_device(pf.read_row_group(rg, cols))
             else:
                 for rb in frag.scan(cols, self._guards):

@@ -118,6 +118,29 @@ class DeviceColumn:
         return replace(self, values=values)
 
 
+@dataclass
+class HostColumn:
+    """A column that rides along a DeviceBatch but stays host-resident
+    (nested types the HBM block format doesn't carry). Batch-level
+    selection fans out to the vectorized host kernels in
+    compute/nested_selection.py for these; device kernels that receive
+    one raise ArrowNotImplemented."""
+
+    array: "Array"
+
+    @property
+    def length(self) -> int:
+        return len(self.array)
+
+    @property
+    def type(self) -> dt.DataType:
+        return self.array.type
+
+    @property
+    def null_count(self) -> int:
+        return self.array.null_count
+
+
 def row_mask(padded: int, length) -> jax.Array:
     """mask[i] = i < length (length may be traced)."""
     return jnp.arange(padded, dtype=jnp.int32) < jnp.asarray(length, jnp.int32)
@@ -276,17 +299,28 @@ class DeviceBatch:
 
     @property
     def padded(self) -> int:
-        return self.columns[0].padded if self.columns else 0
+        for c in self.columns:
+            if isinstance(c, DeviceColumn):
+                return c.padded
+        return pad_length(self.length) if self.columns else 0
 
 
 def batch_to_device(rb: RecordBatch, pad: Optional[int] = None) -> DeviceBatch:
+    """Columns the block format carries go to HBM; nested columns ride
+    along host-resident as HostColumn passthroughs."""
     P = pad if pad is not None else pad_length(rb.num_rows)
-    cols = [to_device(c, pad=P) for c in rb.columns]
+    cols = []
+    for c in rb.columns:
+        try:
+            cols.append(to_device(c, pad=P))
+        except NotImplementedError:
+            cols.append(HostColumn(c))
     return DeviceBatch(rb.schema, cols, rb.num_rows)
 
 
 def batch_from_device(db: DeviceBatch) -> RecordBatch:
-    cols = [from_device(c) for c in db.columns]
+    cols = [c.array if isinstance(c, HostColumn) else from_device(c)
+            for c in db.columns]
     # device strings come back dictionary-encoded; decode to declared type
     out_cols, fields = [], []
     for f, c in zip(db.schema.fields, cols):

@@ -297,6 +297,21 @@ def _data_from_pyarrow(parr, t: dt.DataType) -> Array:
         return make_array(ArrayData(t, len(parr), bufs,
                                     null_count=parr.null_count,
                                     offset=parr.offset))
+    if t.id in (dt.TypeId.SPARSE_UNION, dt.TypeId.DENSE_UNION):
+        tids = np.asarray(parr.type_codes, dtype=np.int8)
+        bufs = [Buffer.wrap(np.ascontiguousarray(tids))]
+        if t.id == dt.TypeId.DENSE_UNION:
+            offs = np.asarray(parr.offsets, dtype=np.int32)
+            bufs.append(Buffer.wrap(np.ascontiguousarray(offs)))
+        children = [array_from_pyarrow(parr.field(i)).data
+                    for i in range(parr.type.num_fields)]
+        return make_array(ArrayData(t, len(parr), bufs, children,
+                                    null_count=0))
+    if t.id == dt.TypeId.RUN_END_ENCODED:
+        children = [array_from_pyarrow(parr.run_ends).data,
+                    array_from_pyarrow(parr.values).data]
+        return make_array(ArrayData(t, len(parr), [], children,
+                                    null_count=0, offset=parr.offset))
     flat = (t.is_fixed_width or t.is_binary_like or t.is_decimal)
     if flat:
         nbuf = len(t.buffer_kinds())

@@ -52,8 +52,15 @@ def initialize_multihost(coordinator_address: Optional[str] = None,
     CPU/GPU fleets pass them explicitly (reference analog: the Flight
     client fanning out to FlightInfo endpoints across hosts — here the
     runtime itself becomes multi-host and collectives replace RPC)."""
-    if jax.process_count() > 1:
-        return   # already initialized
+    # Do NOT call jax.process_count() here — it initializes the XLA
+    # backend, after which distributed.initialize() unconditionally fails.
+    # Probe the distributed client state directly instead.
+    try:
+        from jax._src import distributed as _dist
+        if _dist.global_state.client is not None:
+            return   # already initialized
+    except Exception:
+        pass
     kwargs = {}
     if coordinator_address is not None:
         kwargs["coordinator_address"] = coordinator_address
@@ -63,8 +70,20 @@ def initialize_multihost(coordinator_address: Optional[str] = None,
         kwargs["process_id"] = process_id
     try:
         jax.distributed.initialize(**kwargs)
-    except RuntimeError:
-        pass     # single-process run or already initialized
+    except (RuntimeError, ValueError) as e:
+        if "before" in str(e) and "backend" in str(e).lower():
+            # XLA backend already up. Single-process intent: harmless
+            # no-op. Explicit multi-host args: surface the error — a
+            # silent no-op here would drop the user to 1 host.
+            if kwargs:
+                raise RuntimeError(
+                    "initialize_multihost must run before any jax call "
+                    "initializes the backend") from e
+            return
+        msg = str(e).lower()
+        if "already" in msg or "single" in msg or "auto" in msg:
+            return   # single-process run or already initialized
+        raise
 
 
 def global_mesh() -> Mesh:

@@ -131,7 +131,8 @@ def _decode_data_page(hdr, body, desc, codec, dict_dev, np_dtype,
             ).astype(jnp.bool_)
         else:
             k = np.dtype(np_dtype).itemsize
-            n_present = len(vals_raw) // k
+            # clamp: trailing padding bytes must not push n_present past nv
+            n_present = min(len(vals_raw) // k, nv)
             raw_dev = jnp.asarray(
                 np.frombuffer(vals_raw[:n_present * k], np.uint8))
             dense = dd.plain_decode_device(raw_dev, np_dtype, n_present)
@@ -146,7 +147,7 @@ def _decode_data_page(hdr, body, desc, codec, dict_dev, np_dtype,
         dense = dd.dict_decode_device(codes, dict_dev)
     elif encoding == fmt.Encoding.BYTE_STREAM_SPLIT:
         k = np.dtype(np_dtype).itemsize
-        n_present = len(vals_raw) // k
+        n_present = min(len(vals_raw) // k, nv)
         raw_dev = jnp.asarray(
             np.frombuffer(vals_raw[:n_present * k], np.uint8))
         dense = dd.byte_stream_split_decode_device(raw_dev, np_dtype,
@@ -231,6 +232,13 @@ def read_batch_device(pf, rg_i: int, columns=None, pad=None):
     nrows = pf.metadata.row_groups[rg_i].num_rows or 0
     if pad is None:
         pad = pad_length(nrows)
+    if len(set(columns)) != len(columns):
+        raise ArrowInvalid(f"duplicate column names in {columns!r}")
+    by_name = {f.name: f for f in pf.schema.fields}
+    missing = [c for c in columns if c not in by_name]
+    if missing:
+        raise ArrowInvalid(f"unknown columns {missing!r}")
     cols = [read_column_device(pf, rg_i, c, pad=pad) for c in columns]
-    schema = dt.Schema([f for f in pf.schema.fields if f.name in columns])
+    # fields in REQUESTED order so schema stays positionally aligned with cols
+    schema = dt.Schema([by_name[c] for c in columns])
     return DeviceBatch(schema, cols, nrows)

@@ -207,3 +207,44 @@ def test_tracked_allocator():
     alloc.assert_size(0)
     with pytest.raises(RuntimeError):
         alloc.free(b)
+
+
+def test_builder_append_none_is_null():
+    """append(None) == append_null for every builder family (reference
+    builders treat nil as AppendNull); finish() resets the builder
+    (reference Builder.NewArray reuse semantics)."""
+    from arrow_go_tpu.array.builders import make_builder
+    cases = [
+        (dt.int64, [1, None, 3]),
+        (dt.bool_, [True, None]),
+        (dt.string, ["a", None]),
+        (dt.binary_view, [b"xy", None]),
+        (dt.fixed_size_binary(2), [b"ab", None]),
+        (dt.decimal128(10, 2), [None]),
+        (dt.list_(dt.int64), [[1], None, [2, 3]]),
+        (dt.ListViewType(dt.int64), [[1], None]),
+        (dt.map_(dt.string, dt.int64), [{"k": 1}, None]),
+        (dt.fixed_size_list(dt.int64, 2), [[1, 2], None]),
+        (dt.struct({"x": dt.int64}), [{"x": 1}, None]),
+        (dt.dictionary(dt.int32, dt.string), ["a", None, "a"]),
+        (dt.run_end_encoded(dt.int32, dt.string), ["a", "a", None]),
+    ]
+    for t, vals in cases:
+        b = make_builder(t)
+        for v in vals:
+            b.append(v)            # None must go through append_null
+        arr = b.finish()
+        want = [v if not isinstance(v, dict) else v for v in vals]
+        if t.id == dt.TypeId.MAP:
+            want = [sorted(v.items()) if isinstance(v, dict) else v
+                    for v in vals]
+            got = [sorted(x) if isinstance(x, list) else x
+                   for x in arr.to_pylist()]
+            assert got == want, t
+        else:
+            assert arr.to_pylist() == want, t
+        if t.id != dt.TypeId.RUN_END_ENCODED:   # REE nulls live in values
+            assert arr.null_count == sum(v is None for v in vals), t
+        # finish() reset the builder: next finish is an empty array
+        again = b.finish()
+        assert len(again) == 0, t

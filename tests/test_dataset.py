@@ -117,3 +117,22 @@ def test_dataset_device_batches(pq_dir):
     for db in sc2.device_batches():
         got.extend(batch_from_device(db).column("cat").to_pylist())
     assert got[:4] == ["c0", "c1", "c2", "c3"]
+
+
+def test_dataset_device_batches_nested_column_falls_back(tmp_path):
+    """A parquet fragment containing a nested (list) column must fall back
+    to host decode, not crash the scan (round-3 ADVICE regression)."""
+    from arrow_go_tpu.device.block import batch_from_device
+    t = agt.table({
+        "id": agt.array(list(range(6)), dt.int64),
+        "tags": agt.array([[1, 2], None, [], [3], [4, 5, 6], [7]],
+                          dt.list_(dt.int64)),
+    })
+    p = tmp_path / "nested.parquet"
+    parquet.write_table(t, str(p))
+    ds = dataset(str(p))
+    out = []
+    for db in ds.scanner().device_batches():
+        out.append(batch_from_device(db))
+    assert sum(r.num_rows for r in out) == 6
+    assert out[0].column("tags").to_pylist()[0] == [1, 2]

@@ -148,3 +148,24 @@ def test_device_read_pyarrow_written_file():
         dev = read_column_device(pf, 0, col)
         back = from_device(dev)
         assert back.to_pylist() == pt.column(col).to_pylist()
+
+
+def test_read_batch_device_column_order():
+    """Caller column order must map names to the right data (round-3
+    regression: schema was built in file order, cols in caller order)."""
+    from arrow_go_tpu.parquet.device_read import read_batch_device
+    from arrow_go_tpu.device.block import batch_from_device
+    from arrow_go_tpu.compute.errors import ArrowInvalid
+    n = 500
+    t = agt.table({"a": agt.from_numpy(np.arange(n)),
+                   "b": agt.from_numpy(np.arange(n) * 2.5)})
+    pf = _file(t, use_dictionary=False)
+    db = read_batch_device(pf, 0, columns=["b", "a"])
+    back = batch_from_device(db)
+    assert back.schema.names == ["b", "a"]
+    assert back.column("a").to_pylist() == list(range(n))
+    assert back.column("b").to_pylist() == [i * 2.5 for i in range(n)]
+    with pytest.raises(ArrowInvalid):
+        read_batch_device(pf, 0, columns=["a", "nope"])
+    with pytest.raises(ArrowInvalid):
+        read_batch_device(pf, 0, columns=["a", "a"])
