@@ -8,14 +8,15 @@ from .. import dtypes as dt
 from .cast import CastOptions
 from .errors import (ArrowError, ArrowIndexError, ArrowInvalid, ArrowKeyError,
                      ArrowNotImplemented)
-from .functions import (CountOptions, FilterOptions, SetLookupOptions,
+from .functions import (CountOptions, FilterOptions, MakeStructOptions,  # noqa: F401
+                        SetLookupOptions,
                         SortKey, SortOptions, TakeOptions, VarianceOptions,
                         dictionary_encode, fill_null, filter_, if_else,
-                        index_in, is_in, min_max, sort, sort_indices, take, unique,
-                        value_counts)
+                        index_in, is_in, make_struct, min_max, sort,
+                        sort_indices, take, unique, value_counts)
 from .expression import (Expression, FieldRef, Literal, call,  # noqa: F401
                          compile_expression, execute_scalar_expression,
-                         field, literal)
+                         field, literal, project)
 from .groupby import group_by  # noqa: F401
 from .run_ends import run_end_decode, run_end_encode  # noqa: F401
 from .scalars import Scalar, make_array_from_scalar, parse_scalar, scalar  # noqa: F401

@@ -153,6 +153,12 @@ def call(function: str, args: Sequence[Expression], options=None) -> Call:
                            for a in args], options)
 
 
+def project(values: Sequence[Expression], names: Sequence[str]) -> Call:
+    """Shorthand for `make_struct` producing record-batch-shaped output
+    (reference expression.go:573-581 Project)."""
+    return call("make_struct", list(values), {"field_names": list(names)})
+
+
 # ---------------------------------------------------------------------------
 # evaluation over a DeviceBatch (traceable)
 # ---------------------------------------------------------------------------
@@ -181,6 +187,11 @@ def _eval(expr: Expression, db: DeviceBatch):
         return _resolve_field(db, expr)
     if isinstance(expr, Call):
         args = [_eval(a, db) for a in expr.args]
+        if expr.function == "make_struct":
+            # struct output lives on host (device blocks are flat);
+            # only valid in eager execution, not inside compiled programs
+            from .functions import make_struct
+            return make_struct(*args, options=expr.options)
         return _apply(expr.function, args, expr.options)
     raise ArrowInvalid(f"bad expression node {expr!r}")
 

@@ -69,6 +69,15 @@ class CountOptions:
     mode: str = "only_valid"              # 'only_valid' | 'only_null' | 'all'
 
 
+@dataclass
+class MakeStructOptions:
+    """reference compute.MakeStructOptions (expression.go:573-581
+    Project builds on make_struct)."""
+    field_names: List[str] = dc_field(default_factory=list)
+    field_nullability: Optional[List[bool]] = None
+    field_metadata: Optional[List[Optional[dict]]] = None
+
+
 # ---------------------------------------------------------------------------
 # helpers
 # ---------------------------------------------------------------------------
@@ -584,6 +593,57 @@ def if_else(cond, left, right):
     return _maybe_host(out, cond, left, right)
 
 
+def make_struct(*args, options=None):
+    """Zip N columns into one struct column (reference expression.go:573-581:
+    Expression.Project builds on make_struct; registered at
+    exec_internals). Output rows are never null — nulls stay in the
+    children. Accepts Arrays / DeviceColumns / python scalars."""
+    if options is None:
+        options = MakeStructOptions()
+    elif isinstance(options, dict):
+        options = MakeStructOptions(**options)
+    elif isinstance(options, (list, tuple)):
+        options = MakeStructOptions(field_names=list(options))
+    names = list(options.field_names)
+    if len(names) < len(args):
+        names += [str(i) for i in range(len(names), len(args))]
+
+    n = None
+    for a in args:
+        if isinstance(a, DeviceColumn):
+            n = a.length if n is None else n
+        elif isinstance(a, ChunkedArray):
+            n = len(a) if n is None else n
+        elif isinstance(a, Array):
+            n = len(a) if n is None else n
+    if n is None:
+        raise ArrowInvalid("make_struct needs at least one array argument")
+
+    from ..array.arrays import ArrayData, array as make_host_array
+    children = []
+    for a in args:
+        if isinstance(a, DeviceColumn):
+            a = from_device(a)
+        elif isinstance(a, ChunkedArray):
+            a = a.combine()
+        elif not isinstance(a, Array):
+            a = make_host_array([a] * n)
+        if len(a) != n:
+            raise ArrowInvalid(
+                f"make_struct column length {len(a)} != {n}")
+        children.append(a)
+
+    nullable = options.field_nullability or [True] * len(children)
+    st = dt.struct({nm: c.type for nm, c in zip(names, children)})
+    # apply nullability onto the struct's fields
+    for f, nb in zip(st.fields(), nullable):
+        f.nullable = bool(nb)
+    data = ArrayData(st, n, [None], children=[c.data for c in children],
+                     null_count=0)
+    from ..array.arrays import make_array
+    return make_array(data)
+
+
 # ---------------------------------------------------------------------------
 # scalar aggregates (reference compute "sum"/"min_max"/"count"/"mean")
 # ---------------------------------------------------------------------------
@@ -749,6 +809,31 @@ def register_all(reg: FunctionRegistry) -> None:
     # fixed-width lattice)
     reg.register(Function("cast", FunctionKind.SCALAR, Arity.unary(),
                           _exec_cast, raw_args=True))
+    # per-target cast functions (reference cast.go:80 RegisterScalarCast
+    # registers one function per output type; parameterized targets take
+    # the concrete type through options["to_type"])
+    _cast_targets = {
+        "cast_int8": dt.int8, "cast_int16": dt.int16,
+        "cast_int32": dt.int32, "cast_int64": dt.int64,
+        "cast_uint8": dt.uint8, "cast_uint16": dt.uint16,
+        "cast_uint32": dt.uint32, "cast_uint64": dt.uint64,
+        "cast_half_float": dt.float16, "cast_float": dt.float32,
+        "cast_double": dt.float64, "cast_boolean": dt.bool_,
+        "cast_string": dt.string, "cast_large_string": dt.large_string,
+        "cast_binary": dt.binary, "cast_large_binary": dt.large_binary,
+        "cast_string_view": dt.string_view, "cast_binary_view": dt.binary_view,
+        "cast_date32": dt.date32, "cast_date64": dt.date64,
+        "cast_month_day_nano_interval": dt.month_day_nano_interval,
+        # parameterized targets: type must come through options
+        "cast_time32": None, "cast_time64": None, "cast_timestamp": None,
+        "cast_duration": None, "cast_decimal": None, "cast_decimal256": None,
+        "cast_fixed_sized_binary": None, "cast_list": None,
+        "cast_large_list": None, "cast_fixed_size_list": None,
+        "cast_struct": None, "cast_extension": None, "cast_dictionary": None,
+    }
+    for _cname, _ct in _cast_targets.items():
+        reg.register(Function(_cname, FunctionKind.SCALAR, Arity.unary(),
+                              _mk_cast_to(_cname, _ct), raw_args=True))
 
     # selection meta functions
     reg.register(Function("filter", FunctionKind.META, Arity.binary(),
@@ -795,6 +880,8 @@ def register_all(reg: FunctionRegistry) -> None:
                           fill_null, raw_args=True))
     reg.register(Function("if_else", FunctionKind.SCALAR, Arity.ternary(),
                           if_else, raw_args=True))
+    reg.register(Function("make_struct", FunctionKind.SCALAR,
+                          Arity.varargs(1), make_struct, raw_args=True))
 
     # scalar aggregates
     for name, fn in [("sum", agg_sum), ("min", agg_min), ("max", agg_max),
@@ -828,6 +915,21 @@ def _mk_compare(op):
 def _mk_bool(op):
     def exec_fn(a, b, options=None):
         return kernels.boolean_binary(op, a, b)
+    return exec_fn
+
+
+def _mk_cast_to(name: str, default_t):
+    def exec_fn(a, options=None):
+        to_t, opts = default_t, None
+        if isinstance(options, dt.DataType):
+            to_t = options
+        elif isinstance(options, dict):
+            to_t = options.get("to_type") or default_t
+            opts = options.get("options")
+        if to_t is None:
+            raise ArrowInvalid(f"{name} requires to_type in options")
+        return _exec_cast(a, {"to_type": to_t, "options": opts})
+    exec_fn.__name__ = name
     return exec_fn
 
 
