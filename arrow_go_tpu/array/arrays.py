@@ -251,7 +251,9 @@ class DecimalArray(Array):
     def value(self, i: int):
         import decimal as pydec
         u = self.unscaled(i)
-        return pydec.Decimal(u).scaleb(-self.type.scale)
+        # decimal256 overflows the default 28-digit context: scale exactly
+        return pydec.Decimal(u).scaleb(-self.type.scale,
+                                       pydec.Context(prec=80))
 
     def unscaled_array(self) -> np.ndarray:
         """All unscaled values as object ints (host path) — device path packs

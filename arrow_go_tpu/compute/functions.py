@@ -134,7 +134,7 @@ def _device_selectable(t: dt.DataType) -> bool:
     tid = t.id
     if tid in (dt.TypeId.NULL, dt.TypeId.BOOL, dt.TypeId.DECIMAL32,
                dt.TypeId.DECIMAL64, dt.TypeId.DECIMAL128,
-               dt.TypeId.FIXED_SIZE_BINARY):
+               dt.TypeId.DECIMAL256, dt.TypeId.FIXED_SIZE_BINARY):
         return True
     if tid == dt.TypeId.DICTIONARY:
         return not t.value_type.is_nested

@@ -157,10 +157,13 @@ def _cast_operands(a: DeviceColumn, b: DeviceColumn, to: dt.DataType):
     return av, bv
 
 
+_WIDE_DECIMALS = (dt.TypeId.DECIMAL128, dt.TypeId.DECIMAL256)
+
+
 def arithmetic_binary(op: str, a, b, checked: bool = True) -> DeviceColumn:
-    if isinstance(a, DeviceColumn) and a.type.id == dt.TypeId.DECIMAL128 or \
+    if isinstance(a, DeviceColumn) and a.type.id in _WIDE_DECIMALS or \
             isinstance(b, DeviceColumn) and getattr(b, "type", None) is not None \
-            and getattr(b.type, "id", None) == dt.TypeId.DECIMAL128:
+            and getattr(b.type, "id", None) in _WIDE_DECIMALS:
         return _decimal_binary(op, a, b)
     a, b = _align(a, b)
     to = common_numeric_type(a.type, b.type)
@@ -252,8 +255,8 @@ def arithmetic_unary(op: str, a: DeviceColumn, checked: bool = True) -> DeviceCo
 
 
 def compare(op: str, a, b) -> DeviceColumn:
-    if (isinstance(a, DeviceColumn) and a.type.id == dt.TypeId.DECIMAL128) or \
-            (isinstance(b, DeviceColumn) and b.type.id == dt.TypeId.DECIMAL128):
+    if (isinstance(a, DeviceColumn) and a.type.id in _WIDE_DECIMALS) or \
+            (isinstance(b, DeviceColumn) and b.type.id in _WIDE_DECIMALS):
         return _decimal_binary(op, a, b)
     # string comparisons: dictionary codes vs a host literal resolve to a
     # per-code truth table gathered on device
@@ -277,53 +280,63 @@ def compare(op: str, a, b) -> DeviceColumn:
 
 
 def _decimal_binary(op: str, a, b) -> DeviceColumn:
-    """decimal128 add/subtract/multiply + comparisons on (lo,hi) limb
-    pairs (reference decimal promotion rules, arrow/compute arithmetic.go
-    decimal paths)."""
+    """decimal128/decimal256 add/subtract/multiply + comparisons on
+    little-endian uint64 limb matrices (reference decimal promotion
+    rules, arrow/compute arithmetic.go decimal paths;
+    arrow/decimal256/decimal256.go 4x64-limb semantics)."""
     from ..ops import decimal as dec
-    import decimal as pydec
     if not isinstance(a, DeviceColumn):
         a = _decimal_scalar_to_col(a, b)
     if not isinstance(b, DeviceColumn):
         b = _decimal_scalar_to_col(b, a)
     ta, tb = a.type, b.type
-    if not (ta.id == dt.TypeId.DECIMAL128 and tb.id == dt.TypeId.DECIMAL128):
+    if not (ta.id in _WIDE_DECIMALS and tb.id in _WIDE_DECIMALS):
         raise ArrowNotImplemented(f"decimal binary {op} with {ta} vs {tb}")
     validity = _out_validity(a, b)
     n = _max_len(a, b)
     av, bv = a.values, b.values
+    k = max(av.shape[1], bv.shape[1])
+    max_p = 76 if k == 4 else 38
+    mk = (dt.decimal256 if k == 4 else dt.decimal128)
+
+    def widen(v):
+        if v.shape[1] < k:
+            # sign-extend extra limbs
+            ext = jax.lax.bitcast_convert_type(
+                jax.lax.bitcast_convert_type(v[:, -1], jnp.int64)
+                >> jnp.int64(63), jnp.uint64)
+            pads = [ext] * (k - v.shape[1])
+            return jnp.concatenate(
+                [v] + [p[:, None] for p in pads], axis=1)
+        return v
+
+    av, bv = widen(av), widen(bv)
     if op in ("add", "subtract") or op in _COMPARE:
         s_out = max(ta.scale, tb.scale)
         if ta.scale < s_out:
-            av = dec.scale_by_pow10(av, s_out - ta.scale)
+            av = dec.scale_by_pow10_n(av, s_out - ta.scale)
         if tb.scale < s_out:
-            bv = dec.scale_by_pow10(bv, s_out - tb.scale)
-        if op == "add":
-            out = dec.add128(av, bv)
-            p = min(38, max(ta.precision - ta.scale,
-                            tb.precision - tb.scale) + s_out + 1)
-            return DeviceColumn(out, validity, n, dt.decimal128(p, s_out))
-        if op == "subtract":
-            out = dec.sub128(av, bv)
-            p = min(38, max(ta.precision - ta.scale,
-                            tb.precision - tb.scale) + s_out + 1)
-            return DeviceColumn(out, validity, n, dt.decimal128(p, s_out))
-        c = dec.cmp128(av, bv)
+            bv = dec.scale_by_pow10_n(bv, s_out - tb.scale)
+        if op in ("add", "subtract"):
+            out = dec.addn(av, bv) if op == "add" else dec.subn(av, bv)
+            p = min(max_p, max(ta.precision - ta.scale,
+                               tb.precision - tb.scale) + s_out + 1)
+            return DeviceColumn(out, validity, n, mk(p, s_out))
+        c = dec.cmpn(av, bv)
         fn = {"equal": c == 0, "not_equal": c != 0, "less": c < 0,
               "less_equal": c <= 0, "greater": c > 0,
               "greater_equal": c >= 0}[op]
         return DeviceColumn(fn, validity, n, dt.bool_)
     if op == "multiply":
-        out = dec.mul128(a.values, b.values)
-        p = min(38, ta.precision + tb.precision + 1)
+        out = dec.muln(av, bv)
+        p = min(max_p, ta.precision + tb.precision + 1)
         return DeviceColumn(out, validity, n,
-                            dt.decimal128(p, ta.scale + tb.scale))
+                            mk(p, ta.scale + tb.scale))
     raise ArrowNotImplemented(f"decimal {op}")
 
 
 def _decimal_scalar_to_col(v, like: DeviceColumn) -> DeviceColumn:
     import decimal as pydec
-    from ..ops import decimal as dec
     t = like.type
     if isinstance(v, pydec.Decimal):
         unscaled = int(v.scaleb(t.scale))
@@ -331,10 +344,10 @@ def _decimal_scalar_to_col(v, like: DeviceColumn) -> DeviceColumn:
         unscaled = v * 10 ** t.scale
     else:
         raise ArrowNotImplemented(f"decimal scalar {type(v)}")
-    lo = unscaled & ((1 << 64) - 1)
-    hi = (unscaled >> 64) & ((1 << 64) - 1)
-    vals = jnp.broadcast_to(jnp.asarray([[lo, hi]], jnp.uint64),
-                            (like.padded, 2))
+    k = t.bit_width // 64
+    limbs = [(unscaled >> (64 * i)) & ((1 << 64) - 1) for i in range(k)]
+    vals = jnp.broadcast_to(jnp.asarray([limbs], jnp.uint64),
+                            (like.padded, k))
     return DeviceColumn(vals, None, like.length, t)
 
 

@@ -71,6 +71,11 @@ def _build() -> Optional[ctypes.CDLL]:
         lib.byte_array_unpack.argtypes = [ctypes.c_char_p, ctypes.c_size_t,
                                           ctypes.c_size_t, ctypes.c_void_p,
                                           ctypes.c_void_p]
+        lib.factorize_offsets.restype = ctypes.c_int64
+        lib.factorize_offsets.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
+                                          ctypes.c_int32, ctypes.c_void_p,
+                                          ctypes.c_int64, ctypes.c_void_p,
+                                          ctypes.c_void_p]
         _lib = lib
         return _lib
 
@@ -434,3 +439,36 @@ def _py_lz4_decompress_into(data: bytes, out: bytearray) -> None:
         ml += 4
         for _ in range(ml):
             out.append(out[-off])
+
+
+def factorize_offsets(data: np.ndarray, offsets: np.ndarray,
+                      valid: Optional[np.ndarray] = None):
+    """First-occurrence dictionary-encode of offsets+data byte rows (the
+    reference's internal/hashing memo-table GetOrInsert, as native code).
+    offsets: int32 or int64, length n+1, zero-copy from the array buffer.
+    valid: optional bool array; null rows encode as the empty string.
+    Returns (codes int32[n], uniq_first int64[n_uniq]) or None when the
+    native library is unavailable (callers fall back to numpy)."""
+    lib = _build()
+    if lib is None:
+        return None
+    n = len(offsets) - 1
+    data = np.ascontiguousarray(data, dtype=np.uint8)
+    offsets = np.ascontiguousarray(offsets)
+    offw = offsets.dtype.itemsize
+    if offw not in (4, 8):
+        return None
+    vptr = None
+    if valid is not None:
+        valid = np.ascontiguousarray(valid, dtype=np.uint8)
+        vptr = valid.ctypes.data_as(ctypes.c_void_p)
+    codes = np.empty(max(n, 1), dtype=np.int32)
+    uniq_first = np.empty(max(n, 1), dtype=np.int64)
+    got = lib.factorize_offsets(
+        data.ctypes.data_as(ctypes.c_void_p),
+        offsets.ctypes.data_as(ctypes.c_void_p), offw, vptr, n,
+        codes.ctypes.data_as(ctypes.c_void_p),
+        uniq_first.ctypes.data_as(ctypes.c_void_p))
+    if got < 0:
+        return None
+    return codes[:n], uniq_first[:got]

@@ -10,6 +10,7 @@
 #include <cstdint>
 #include <cstring>
 #include <cstddef>
+#include <cstdlib>
 
 extern "C" {
 
@@ -358,5 +359,133 @@ int64_t byte_array_unpack(const uint8_t* src, size_t src_len, size_t n,
     }
     out_offsets[n] = (int64_t)out;
     return (int64_t)out;
+}
+
+// --------------------------------------------------------------------------
+// byte-string factorize: first-occurrence memo table (the role of the
+// reference's internal/hashing/xxh3_memo_table.go GetOrInsert — dense
+// memo codes in insertion order). Open addressing, 64-bit mix hash,
+// full bytes compare only on hash hit. Used for dictionary-encoding
+// string columns at device ingest.
+// codes[i] gets the dense code of row i; uniq_first[] gets the row index
+// of each code's first occurrence (caller gathers dictionary bytes).
+// Returns number of uniques, or -1 on alloc failure.
+// --------------------------------------------------------------------------
+static inline uint64_t hash_bytes(const uint8_t* p, int64_t len) {
+    uint64_t h = 0x9E3779B97F4A7C15ULL ^ (uint64_t)len;
+    int64_t k = 0;
+    for (; k + 8 <= len; k += 8) {
+        uint64_t w;
+        memcpy(&w, p + k, 8);
+        h = (h ^ w) * 0x100000001B3ULL;
+        h ^= h >> 29;
+    }
+    if (k < len) {
+        uint64_t tail = 0;
+        memcpy(&tail, p + k, (size_t)(len - k));
+        h = (h ^ tail) * 0x100000001B3ULL;
+        h ^= h >> 29;
+    }
+    h *= 0xFF51AFD7ED558CCDULL;
+    return h ^ (h >> 32);
+}
+
+int64_t factorize_offsets(const uint8_t* data, const void* offsets,
+                          int32_t offwidth, const uint8_t* valid,
+                          int64_t n, int32_t* codes, int64_t* uniq_first) {
+    if (n == 0) return 0;
+    const int32_t* off32 = (const int32_t*)offsets;
+    const int64_t* off64 = (const int64_t*)offsets;
+    // growing table (reference xxh3_memo_table load-factor upsize,
+    // xxh3_memo_table_types.go:143-155): stays cache-resident while the
+    // dictionary is small instead of paying a DRAM miss per row.
+    // Dictionary BYTES are appended to a compact scratch (dict_*) so the
+    // verify-compare hits cache too, not a random row in the source
+    // column (the reference's BinaryMemoTable builder plays this role).
+    uint64_t cap = 4096;
+    int32_t* slots = (int32_t*)malloc(cap * sizeof(int32_t));
+    uint64_t* uhash = (uint64_t*)malloc(cap * sizeof(uint64_t));
+    uint64_t doff_cap = 4096;
+    int64_t* doffs = (int64_t*)malloc((doff_cap + 1) * sizeof(int64_t));
+    uint64_t dbytes_cap = 1 << 16;
+    uint8_t* dbytes = (uint8_t*)malloc(dbytes_cap);
+    if (!slots || !uhash || !doffs || !dbytes) {
+        free(slots); free(uhash); free(doffs); free(dbytes);
+        return -1;
+    }
+    memset(slots, 0xFF, cap * sizeof(int32_t));
+    doffs[0] = 0;
+    uint64_t mask = cap - 1;
+    int32_t nuniq = 0;
+    for (int64_t i = 0; i < n; i++) {
+        int64_t s0, s1;
+        if (offwidth == 4) { s0 = off32[i]; s1 = off32[i + 1]; }
+        else               { s0 = off64[i]; s1 = off64[i + 1]; }
+        int64_t len = s1 - s0;
+        if (valid && !valid[i]) { len = 0; s0 = 0; }
+        const uint8_t* p = data + s0;
+        const uint64_t h = hash_bytes(p, len);
+        uint64_t s = h & mask;
+        int32_t code;
+        for (;;) {
+            int32_t j = slots[s];
+            if (j < 0) {
+                // new unique: append bytes to the compact dictionary
+                if ((uint64_t)nuniq >= doff_cap) {
+                    doff_cap <<= 1;
+                    int64_t* nd = (int64_t*)realloc(
+                        doffs, (doff_cap + 1) * sizeof(int64_t));
+                    if (!nd) goto fail;
+                    doffs = nd;
+                }
+                while ((uint64_t)(doffs[nuniq] + len) > dbytes_cap) {
+                    dbytes_cap <<= 1;
+                    uint8_t* nb = (uint8_t*)realloc(dbytes, dbytes_cap);
+                    if (!nb) goto fail;
+                    dbytes = nb;
+                }
+                memcpy(dbytes + doffs[nuniq], p, (size_t)len);
+                doffs[nuniq + 1] = doffs[nuniq] + len;
+                slots[s] = nuniq;
+                uniq_first[nuniq] = i;
+                uhash[nuniq] = h;
+                code = nuniq++;
+                break;
+            }
+            if (uhash[j] == h) {
+                if (doffs[j + 1] - doffs[j] == len &&
+                    memcmp(dbytes + doffs[j], p, (size_t)len) == 0) {
+                    code = j;
+                    break;
+                }
+            }
+            s = (s + 1) & mask;
+        }
+        codes[i] = code;
+        if ((uint64_t)nuniq * 10 >= cap * 7) {   // load factor 0.7: grow
+            uint64_t ncap = cap << 1;
+            int32_t* ns = (int32_t*)malloc(ncap * sizeof(int32_t));
+            uint64_t* nh = (uint64_t*)malloc(ncap * sizeof(uint64_t));
+            if (!ns || !nh) { free(ns); free(nh); goto fail; }
+            memset(ns, 0xFF, ncap * sizeof(int32_t));
+            const uint64_t nmask = ncap - 1;
+            for (uint64_t t = 0; t < cap; t++) {
+                int32_t j = slots[t];
+                if (j < 0) continue;
+                uint64_t q = uhash[j] & nmask;
+                while (ns[q] >= 0) q = (q + 1) & nmask;
+                ns[q] = j;
+            }
+            // uhash is indexed by code, just move it over
+            memcpy(nh, uhash, (size_t)nuniq * sizeof(uint64_t));
+            free(slots); free(uhash);
+            slots = ns; uhash = nh; cap = ncap; mask = nmask;
+        }
+    }
+    free(slots); free(uhash); free(doffs); free(dbytes);
+    return nuniq;
+fail:
+    free(slots); free(uhash); free(doffs); free(dbytes);
+    return -1;
 }
 }  // extern "C"

@@ -104,3 +104,121 @@ def scale_by_pow10(a, k: int):
                         | (out[:, 0] >> jnp.uint64(63))], axis=1)
         out = add128(x8, x2)
     return out
+
+
+# ---------------------------------------------------------------------------
+# generic N-limb two's-complement arithmetic: decimal256 runs as (P, 4)
+# uint64 little-endian limbs (reference arrow/decimal256/decimal256.go —
+# the 4x64 Add/Sub/Mul/Cmp semantics, TPU-vectorized over whole columns)
+# ---------------------------------------------------------------------------
+
+def addn(a, b):
+    """(P,k) + (P,k) ripple-carry, wrapping."""
+    k = a.shape[1]
+    limbs = []
+    carry = jnp.zeros(a.shape[0], U64)
+    for i in range(k):
+        s = a[:, i] + b[:, i]
+        c1 = (s < a[:, i]).astype(U64)
+        s2 = s + carry
+        c2 = (s2 < s).astype(U64)
+        limbs.append(s2)
+        carry = c1 + c2
+    return jnp.stack(limbs, axis=1)
+
+
+def negn(a):
+    """two's-complement negate: ~a + 1 with carries."""
+    k = a.shape[1]
+    limbs = []
+    carry = jnp.ones(a.shape[0], U64)
+    for i in range(k):
+        inv = ~a[:, i]
+        s = inv + carry
+        carry = (s < inv).astype(U64)
+        limbs.append(s)
+    return jnp.stack(limbs, axis=1)
+
+
+def subn(a, b):
+    return addn(a, negn(b))
+
+
+def muln(a, b):
+    """Low 64k bits of the product (wrapping), via 32-bit limbs."""
+    k = a.shape[1]
+    m = 2 * k                               # 32-bit limb count
+    a32 = []
+    b32 = []
+    for i in range(k):
+        a32 += [a[:, i] & MASK32, a[:, i] >> jnp.uint64(32)]
+        b32 += [b[:, i] & MASK32, b[:, i] >> jnp.uint64(32)]
+    out32 = []
+    carry = jnp.zeros(a.shape[0], U64)
+    for j in range(m):
+        # sum of partial products landing on 32-bit limb j, plus carry.
+        # each partial fits u64; the running sum can exceed 64 bits for
+        # large k, so split the accumulation into (lo32, overflow) parts.
+        acc_lo = carry & MASK32
+        acc_hi = carry >> jnp.uint64(32)
+        for i in range(j + 1):
+            p = a32[i] * b32[j - i]
+            acc_lo = acc_lo + (p & MASK32)
+            acc_hi = acc_hi + (p >> jnp.uint64(32))
+        acc_hi = acc_hi + (acc_lo >> jnp.uint64(32))
+        out32.append(acc_lo & MASK32)
+        carry = acc_hi
+    limbs = [out32[2 * i] | (out32[2 * i + 1] << jnp.uint64(32))
+             for i in range(k)]
+    return jnp.stack(limbs, axis=1)
+
+
+def cmpn(a, b):
+    """Signed compare over k limbs: -1 / 0 / 1 as int32."""
+    k = a.shape[1]
+    out = jnp.zeros(a.shape[0], jnp.int32)
+    # top limb signed, others unsigned; scan most significant first and
+    # keep the first nonzero verdict
+    for i in reversed(range(k)):
+        if i == k - 1:
+            av = jax.lax.bitcast_convert_type(a[:, i], jnp.int64)
+            bv = jax.lax.bitcast_convert_type(b[:, i], jnp.int64)
+        else:
+            av, bv = a[:, i], b[:, i]
+        here = jnp.where(av < bv, -1, jnp.where(av > bv, 1, 0)
+                         ).astype(jnp.int32)
+        # less significant limbs only break ties
+        out = here if i == k - 1 else jnp.where(out == 0, here, out)
+    return out
+
+
+def is_negative_n(a):
+    return jax.lax.bitcast_convert_type(a[:, -1], jnp.int64) < 0
+
+
+def from_int64_n(v, k: int):
+    """int64 column -> (P,k) limbs (sign-extended)."""
+    lo = jax.lax.bitcast_convert_type(v, U64)
+    ext = jax.lax.bitcast_convert_type(v >> jnp.int64(63), U64)
+    return jnp.stack([lo] + [ext] * (k - 1), axis=1)
+
+
+def shln_1(a, shift: int):
+    """a << shift (0 <= shift < 64), whole-column."""
+    k = a.shape[1]
+    s = jnp.uint64(shift)
+    if shift == 0:
+        return a
+    inv = jnp.uint64(64 - shift)
+    limbs = [a[:, 0] << s]
+    for i in range(1, k):
+        limbs.append((a[:, i] << s) | (a[:, i - 1] >> inv))
+    return jnp.stack(limbs, axis=1)
+
+
+def scale_by_pow10_n(a, p10: int):
+    """a * 10^p10 (static, >= 0): (x<<3) + (x<<1) per factor of ten."""
+    out = a
+    for _ in range(p10):
+        out = addn(shln_1(out, 3), shln_1(out, 1))
+    return out

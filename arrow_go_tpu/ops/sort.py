@@ -27,8 +27,10 @@ from ..ops import bitmap
 
 class SortOperand(NamedTuple):
     flag: jax.Array   # int32: 0 null-first, 1 valid, 2 null-last, 3 padding
-    hi: jax.Array     # uint32 high key word (64-bit keys sort as two u32
-    lo: jax.Array     # lanes: TPU has no native u64 compare)
+    words: tuple      # uint32 key words, most significant first (64-bit
+                      # keys = 2 words, decimal128 = 4, decimal256 = 8:
+                      # TPU has no native u64 compare, so wide keys sort
+                      # as stacked u32 lanes in one lax.sort)
 
 
 def _orderable_bits(values: jax.Array, t: dt.DataType) -> jax.Array:
@@ -52,46 +54,61 @@ def _orderable_bits(values: jax.Array, t: dt.DataType) -> jax.Array:
     return jnp.where(neg, ~bits, bits | sign)
 
 
+def _u64_words(key: jax.Array) -> List[jax.Array]:
+    """u64 -> [hi32, lo32]."""
+    return [(key >> jnp.uint64(32)).astype(jnp.uint32),
+            key.astype(jnp.uint32)]
+
+
 def sort_key(col_values: jax.Array, t: dt.DataType,
              validity: Optional[jax.Array], n,
              descending: bool = False, nulls_first: bool = False,
              rank: Optional[jax.Array] = None) -> SortOperand:
-    """Build the (flag, key) operand pair for one sort column."""
+    """Build the (flag, key words) operand for one sort column."""
     P = col_values.shape[0]
     if rank is not None:  # dictionary strings: host-computed rank per code
         key = jnp.take(rank, jnp.clip(col_values, 0, rank.shape[0] - 1)
                        ).astype(jnp.uint64)
+        words = _u64_words(key)
+    elif col_values.ndim == 2:
+        # decimal limb matrix (P, k) uint64, little-endian limbs: key words
+        # run most-significant limb first, top limb sign-flipped so
+        # unsigned word order == signed two's-complement order
+        k = col_values.shape[1]
+        words = []
+        for li in reversed(range(k)):
+            limb = col_values[:, li]
+            if li == k - 1:
+                limb = limb ^ jnp.uint64(1 << 63)
+            words.extend(_u64_words(limb))
     else:
         key = _orderable_bits(col_values, t).astype(jnp.uint64)
+        words = _u64_words(key)
     if descending:
-        key = ~key
+        words = [~w for w in words]
     flag = jnp.ones(P, jnp.int32)
     if validity is not None:
         isnull = ~bitmap.expand_words(validity, P)
         flag = jnp.where(isnull, 0 if nulls_first else 2, flag)
     flag = jnp.where(row_mask(P, n), flag, 3)
-    hi = (key >> jnp.uint64(32)).astype(jnp.uint32)
-    lo = key.astype(jnp.uint32)
-    return SortOperand(flag, hi, lo)
+    return SortOperand(flag, tuple(words))
 
 
 def argsort_single(op: SortOperand) -> jax.Array:
     """Stable ascending argsort -> int32 permutation."""
-    P = op.hi.shape[0]
-    iota = jnp.arange(P, dtype=jnp.int32)
-    res = jax.lax.sort((op.flag, op.hi, op.lo, iota), num_keys=3,
-                       is_stable=True)
-    return res[-1]
+    return argsort_multi([op])
 
 
 def argsort_multi(ops: List[SortOperand]) -> jax.Array:
     """Stable multi-key argsort, first operand most significant — a single
-    lax.sort with 3k interleaved keys."""
-    P = ops[0].hi.shape[0]
+    lax.sort with all (flag, word...) keys interleaved."""
+    P = ops[0].flag.shape[0]
     iota = jnp.arange(P, dtype=jnp.int32)
     operands = []
     for op in ops:
-        operands.extend([op.flag, op.hi, op.lo])
+        operands.append(op.flag)
+        operands.extend(op.words)
+    nk = len(operands)
     operands.append(iota)
-    res = jax.lax.sort(tuple(operands), num_keys=3 * len(ops), is_stable=True)
+    res = jax.lax.sort(tuple(operands), num_keys=nk, is_stable=True)
     return res[-1]
