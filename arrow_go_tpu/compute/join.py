@@ -12,6 +12,7 @@ left anti; multi-column keys; null keys never match (SQL semantics).
 """
 from __future__ import annotations
 
+import functools
 from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -151,49 +152,101 @@ def hash_join(left, right, keys=None, *, left_keys=None, right_keys=None,
         r_unmatched = ~r_matched & row_mask(PR, rdb.length)
         n_extra = int(jnp.sum(r_unmatched.astype(jnp.int32)))
 
-    # materialize pair indices on host-sized buffers
+    # materialize pair indices ON DEVICE (count-then-materialize: out_n is
+    # the single host sync sizing the output bucket; the expansion itself
+    # is the same traced searchsorted program as parallel/join.py's
+    # local_join_inner — no np.repeat, no host pair buffers)
     out_n = total + n_extra
-    if out_n == 0:
-        li = np.zeros(0, np.int64)
-        ri = np.zeros(0, np.int64)
-    else:
-        starts = np.asarray(jax.device_get(offsets - emit))
-        emit_np = np.asarray(jax.device_get(emit))
-        lo_np = np.asarray(jax.device_get(lo))
-        cnt_np = np.asarray(jax.device_get(counts))
-        ridx_np = np.asarray(jax.device_get(ridx_sorted))
-        li = np.empty(out_n, np.int64)
-        ri = np.empty(out_n, np.int64)
-        # vectorized expansion: one segment per left row
-        pos = 0
-        row_of = np.repeat(np.arange(PL), emit_np)
-        li[:total] = row_of
-        within = np.arange(total) - np.repeat(starts, emit_np)
-        src = lo_np[row_of] + within
-        has_match = cnt_np[row_of] > 0
-        ri[:total] = np.where(has_match,
-                              ridx_np[np.clip(src, 0, len(ridx_np) - 1)], -1)
-        if n_extra:
-            extra_rows = np.asarray(jax.device_get(
-                jnp.nonzero(~r_matched & row_mask(PR, rdb.length),
-                            size=PR, fill_value=-1)[0]))[:n_extra]
-            li[total:] = -1
-            ri[total:] = extra_rows
+    from ..device.block import pad_length
+    cap = pad_length(max(out_n, 1))
+    li, ri = _expand_pairs(lo, counts, emit, offsets, ridx_sorted,
+                           total, cap, PL, max(PR, 1))
+    if n_extra:
+        extra_rows = jnp.nonzero(~r_matched & row_mask(PR, rdb.length),
+                                 size=PR, fill_value=-1)[0].astype(jnp.int32)
+        ri = jax.lax.dynamic_update_slice(ri, extra_rows[:n_extra],
+                                          (total,))
 
-    out_cols: List[Array] = []
+    return _emit_join_output(left, right, ldb, rdb, li, ri, out_n,
+                             left_keys, right_keys, join_type,
+                             left_suffix, right_suffix)
+
+
+@functools.partial(jax.jit, static_argnames=("cap", "PL", "PR"))
+def _expand_pairs(lo, counts, emit, offsets, ridx_sorted, total,
+                  cap: int, PL: int, PR: int):
+    """Traced pair expansion: output slot j -> (left row, right row).
+    Slots >= total (and unmatched-left slots' right side) are -1."""
+    j = jnp.arange(cap, dtype=jnp.int32)
+    row = jnp.searchsorted(offsets, j, side="right",
+                           method="sort").astype(jnp.int32)
+    row_c = jnp.clip(row, 0, PL - 1)
+    start = jnp.where(row_c > 0,
+                      jnp.take(offsets, jnp.maximum(row_c - 1, 0)), 0)
+    within = j - start.astype(jnp.int32)
+    src = jnp.clip(jnp.take(lo, row_c) + within, 0, PR - 1)
+    has_match = jnp.take(counts, row_c) > 0
+    in_range = j < total
+    li = jnp.where(in_range, row_c, -1)
+    ri = jnp.where(in_range & has_match,
+                   jnp.take(ridx_sorted, src), -1)
+    return li, ri
+
+
+def _emit_join_output(left, right, ldb, rdb, li, ri, out_n,
+                      left_keys, right_keys, join_type,
+                      left_suffix, right_suffix) -> RecordBatch:
+    """Gather output columns through the device pair indices. Device
+    columns gather on device; HostColumn passthroughs (nested types)
+    gather via the vectorized host kernels."""
+    from ..device.block import (DeviceBatch, DeviceColumn, HostColumn,
+                                batch_from_device)
+    from .functions import _take_device, _trim
+    from .nested_selection import take_host_vec
+
+    li_host = ri_host = None
+
+    def out_col(db, batch, i, idx, idx_host_name):
+        nonlocal li_host, ri_host
+        c = db.columns[i]
+        if isinstance(c, HostColumn):
+            if idx_host_name == "l":
+                if li_host is None:
+                    li_host = np.asarray(jax.device_get(li))[:out_n].astype(np.int64)
+                hidx = li_host
+            else:
+                if ri_host is None:
+                    ri_host = np.asarray(jax.device_get(ri))[:out_n].astype(np.int64)
+                hidx = ri_host
+            return take_host_vec(batch.columns[i], hidx)
+        return _trim(_take_device(c, idx, out_n), out_n)
+
+    out_cols = []
+    fields = []
     names: List[str] = []
     rkey_set = set(right_keys)
-    for f, col in zip(left.schema.fields, left.columns):
-        out_cols.append(take_host(col, li))
+    for i, f in enumerate(left.schema.fields):
+        out_cols.append(out_col(ldb, left, i, li, "l"))
         names.append(f.name + left_suffix)
-    for f, col in zip(right.schema.fields, right.columns):
+        fields.append(f.with_name(names[-1]))
+    for i, f in enumerate(right.schema.fields):
         if f.name in rkey_set and join_type == "inner" and \
                 f.name in set(left_keys):
             continue
-        out_cols.append(take_host(col, ri))
-        names.append(f.name + (right_suffix
-                               if (f.name + left_suffix) in names else ""))
-    return RecordBatch.from_arrays(out_cols, names)
+        nm = f.name + (right_suffix if (f.name + left_suffix) in names
+                       else "")
+        out_cols.append(out_col(rdb, right, i, ri, "r"))
+        names.append(nm)
+        fields.append(f.with_name(nm))
+    # assemble: device columns ride one DeviceBatch -> host batch
+    host_cols = []
+    for f, c in zip(fields, out_cols):
+        if isinstance(c, DeviceColumn):
+            db1 = DeviceBatch(dt.Schema([f]), [c], out_n)
+            host_cols.append(batch_from_device(db1).columns[0])
+        else:
+            host_cols.append(c)
+    return RecordBatch.from_arrays(host_cols, names)
 
 
 def _right_matched(rk_sorted, ridx_sorted, lq, lvalid, PR):

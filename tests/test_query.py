@@ -205,3 +205,45 @@ def test_join_matches_pyarrow(rng):
                             theirs.column("lv").to_pylist(),
                             theirs.column("rv").to_pylist()))
     assert ours_set == theirs_set
+
+
+def test_hash_join_nested_payload_and_scale():
+    """Join output gathers device-side for flat columns and through the
+    host kernels for nested payloads (round-3: np.repeat host expansion
+    deleted from compute/join.py)."""
+    left = agt.table({
+        "k": agt.array([1, 2, 3, 4, 2], dt.int64),
+        "tags": agt.array([[1], [2, 3], None, [], [5]], dt.list_(dt.int64)),
+    })
+    right = agt.table({"k": agt.array([2, 3, 2], dt.int64),
+                       "v": agt.array([10.0, 20.0, 30.0])})
+    j = pc.hash_join(left, right, "k")
+    got = sorted(zip(j.column("k").to_pylist(),
+                     [tuple(x) if x is not None else None
+                      for x in j.column("tags").to_pylist()],
+                     j.column("v").to_pylist()))
+    assert got == [(2, (2, 3), 10.0), (2, (2, 3), 30.0),
+                   (2, (5,), 10.0), (2, (5,), 30.0), (3, None, 20.0)]
+    # pyarrow cross-check at a few thousand rows
+    import numpy as np
+    import pyarrow as pa
+    rng = np.random.default_rng(3)
+    lk = rng.integers(0, 500, 4000)
+    rk = rng.integers(0, 500, 3000)
+    lv = rng.standard_normal(4000)
+    rv = rng.standard_normal(3000)
+    lt = agt.table({"k": agt.from_numpy(lk), "lv": agt.from_numpy(lv)})
+    rt = agt.table({"k": agt.from_numpy(rk), "rv": agt.from_numpy(rv)})
+    for how_ours, how_pa in [("inner", "inner"), ("left outer", "left outer"),
+                             ("full outer", "full outer")]:
+        j = pc.hash_join(lt, rt, "k", join_type=how_ours)
+        plt = pa.table({"k": lk, "lv": lv})
+        prt = pa.table({"k": rk, "rv": rv})
+        want = plt.join(prt, "k", join_type=how_pa)
+        a = sorted(map(tuple, zip(*[j.column(c).to_pylist()
+                                    for c in ("k", "lv", "rv")])),
+                   key=lambda x: (x[0] is None, x))
+        b = sorted(map(tuple, zip(*[want.column(c).to_pylist()
+                                    for c in ("k", "lv", "rv")])),
+                   key=lambda x: (x[0] is None, x))
+        assert a == b, how_ours
