@@ -28,8 +28,13 @@ class HashTable(NamedTuple):
     n_groups: jax.Array   # scalar int32
 
 
-def build(keys: jax.Array, valid: jax.Array, table_size: int) -> HashTable:
-    """Insert all valid rows' keys; equal keys share a slot."""
+def build(keys: jax.Array, valid: jax.Array, table_size: int,
+          init_keys=None, init_occupied=None) -> HashTable:
+    """Insert all valid rows' keys; equal keys share a slot.
+
+    init_keys/init_occupied: resume from an existing table (the streamed
+    chunked-aggregation path in parallel/overlap.py inserts chunk after
+    chunk into one persistent table)."""
     P = keys.shape[0]
     T = table_size
     h = (hashing.hash32(keys) % jnp.uint32(T)).astype(jnp.int32)
@@ -60,8 +65,14 @@ def build(keys: jax.Array, valid: jax.Array, table_size: int) -> HashTable:
         unresolved = unresolved & ~matched
         return table_keys, occupied, unresolved, r + 1
 
-    table_keys0 = jnp.zeros(T, keys.dtype)
-    occupied0 = jnp.zeros(T, jnp.bool_)
+    # derive shard-varying-ness from the inputs so while_loop carries
+    # type-match when running inside shard_map (zeros alone would be
+    # replicated); outside shard_map these are no-ops
+    zvar = keys.sum() * 0
+    table_keys0 = (init_keys if init_keys is not None
+                   else jnp.zeros(T, keys.dtype) + zvar)
+    occupied0 = (init_occupied if init_occupied is not None
+                 else jnp.zeros(T, jnp.bool_) | (zvar > 0))
     state = (table_keys0, occupied0, valid, jnp.asarray(0, jnp.int32))
     table_keys, occupied, _, _ = jax.lax.while_loop(cond, body, state)
 
@@ -80,7 +91,7 @@ def build(keys: jax.Array, valid: jax.Array, table_size: int) -> HashTable:
         unresolved = unresolved & ~hit
         return slots, unresolved, r + 1
 
-    slots0 = jnp.full(P, -1, jnp.int32)
+    slots0 = jnp.full(P, -1, jnp.int32) + h * 0
     slots, _, _ = jax.lax.while_loop(
         find_cond, find_body, (slots0, valid, jnp.asarray(0, jnp.int32)))
     n_groups = jnp.sum(occupied.astype(jnp.int32))
@@ -123,8 +134,8 @@ def probe(ht_keys: jax.Array, occupied: jax.Array, query: jax.Array,
         unresolved = unresolved & ~hit & ~miss
         return slots, found, unresolved, r + 1
 
-    slots0 = jnp.full(Q, -1, jnp.int32)
-    found0 = jnp.zeros(Q, jnp.bool_)
+    slots0 = jnp.full(Q, -1, jnp.int32) + h * 0
+    found0 = jnp.zeros(Q, jnp.bool_) | ((h * 0) > 0)
     slots, found, _, _ = jax.lax.while_loop(
         cond, body, (slots0, found0, qvalid, jnp.asarray(0, jnp.int32)))
     return found, slots

@@ -15,7 +15,7 @@ from ..jaxenv import jax, jnp
 from ..ops import bitmap, hashing
 from ..device.block import row_mask
 
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
 from .mesh import SHARD_AXIS

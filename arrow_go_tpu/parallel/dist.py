@@ -1,0 +1,533 @@
+"""Generalized distributed operators over the device mesh.
+
+Round-3 expansion of the distributed tier (parallel/{shuffle,aggregate,
+join,sort}.py kept for the narrow single-column forms): every operator
+here takes TUPLES of key columns and payload columns, so multi-column /
+string-keyed (dictionary-coded) queries run distributed, and the two
+skew/efficiency mechanisms the north star calls out are built in:
+
+- **Pre-aggregating group-by (combiner).** Each shard aggregates locally
+  BEFORE the exchange, so a hot key ships at most one partial row per
+  shard — per-shard received row counts are bounded by (global distinct
+  groups), not by the skew of the raw rows, and exchange volume drops
+  from O(rows) to O(local groups). This is the skew-proof form of hash
+  aggregation (role of the reference's chunked-stream hash aggregate;
+  SURVEY.md §7 hard parts "skewed shuffle").
+- **Hot-key broadcast join.** Per-shard key histograms (device top-k)
+  detect hot keys; their build-side rows are all_gather-broadcast to
+  every shard instead of hash-routed to one, and their probe-side rows
+  never move. Non-hot keys take the normal hash all_to_all. A single
+  Zipf-hot key therefore costs O(hot_build_rows) replicated memory
+  instead of overflowing one shard's capacity (north-star "skew-aware
+  repartitioning + hot keys").
+
+Everything is shard_map + XLA collectives over ICI; no host syncs inside
+the step (overflow flags and counts return as device scalars).
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Sequence, Tuple
+
+from ..jaxenv import jax, jnp
+from .. import dtypes as dt
+from ..device.block import row_mask
+from ..ops import bitmap, hashing
+
+from jax import shard_map
+from jax.sharding import Mesh, PartitionSpec as P
+
+from .mesh import SHARD_AXIS
+from . import shuffle as shuf
+
+BIG = jnp.int64(1) << 62
+
+
+def _dt_of(arr) -> dt.DataType:
+    return dt.bool_ if arr.dtype == jnp.bool_ else dt.from_numpy_dtype(
+        jnp.dtype(arr.dtype))
+
+
+def _hash_multi(keys: Tuple[jax.Array, ...]) -> jax.Array:
+    """Combined 32-bit hash over multiple key columns."""
+    h = None
+    for k in keys:
+        hk = hashing.hash32(k)
+        h = hk if h is None else (h * jnp.uint32(0x9E3779B1)) ^ hk
+    return h
+
+
+def _local_codes(keys: Tuple[jax.Array, ...], valid: jax.Array):
+    """Per-shard dense codes over a multi-column key (exact equality
+    within the shard — cardinality-multiplied per-column encodes, then a
+    final encode of the combination)."""
+    L = keys[0].shape[0]
+    words = bitmap.pack_mask(valid)
+    combined = None
+    for k in keys:
+        res = hashing.encode_codes(k, _dt_of(k), words, L)
+        card = res.n_unique.astype(jnp.int64) + 1
+        part = jnp.where(res.codes >= 0, res.codes.astype(jnp.int64), -1)
+        if combined is None:
+            combined = part
+        else:
+            combined = jnp.where((combined >= 0) & (part >= 0),
+                                 combined * card + part, -1)
+    return hashing.encode_codes(combined, dt.int64,
+                                bitmap.pack_mask(combined >= 0), L)
+
+
+# ---------------------------------------------------------------------------
+# distributed group-by with local pre-aggregation
+# ---------------------------------------------------------------------------
+
+_MERGE = {"sum": "sum", "count": "sum", "min": "min", "max": "max"}
+
+
+def _scatter_agg(codes, valid, v, agg: str, L: int):
+    """Per-group partials at slot=code (padding slot L)."""
+    slot = jnp.where(valid & (codes >= 0), codes, L)
+    if agg == "count":
+        return jnp.zeros(L + 1, jnp.int64).at[slot].add(1, mode="drop")[:L]
+    if agg == "sum":
+        acc_dt = (jnp.int64 if v.dtype.kind in "bi"
+                  else jnp.uint64 if v.dtype.kind == "u" else v.dtype)
+        return jnp.zeros(L + 1, acc_dt).at[slot].add(
+            jnp.where(valid, v.astype(acc_dt), jnp.zeros((), acc_dt)),
+            mode="drop")[:L]
+    if agg in ("min", "max"):
+        if v.dtype.kind == "f":
+            ident = jnp.array(jnp.inf if agg == "min" else -jnp.inf, v.dtype)
+        else:
+            info = jnp.iinfo(v.dtype)
+            ident = jnp.array(info.max if agg == "min" else info.min, v.dtype)
+        init = jnp.full(L + 1, ident, v.dtype)
+        red = init.at[slot].min if agg == "min" else init.at[slot].max
+        return red(jnp.where(valid, v, ident), mode="drop")[:L]
+    raise ValueError(agg)
+
+
+def _expand_aggs(agg_specs):
+    """mean -> (sum, count) partial pair; returns (partial specs,
+    finisher list). Each finisher maps merged partial columns -> final."""
+    partials = []        # (val_idx, partial_agg)
+    finishers = []       # (name, fn(merged list, start) -> (arr, consumed))
+    for vi, agg in agg_specs:
+        if agg == "mean":
+            partials.append((vi, "sum"))
+            partials.append((vi, "count"))
+            finishers.append(("mean", 2))
+        else:
+            partials.append((vi, agg))
+            finishers.append((agg, 1))
+    return tuple(partials), tuple(finishers)
+
+
+def make_distributed_group_by(mesh: Mesh, cap: int, n_keys: int,
+                              agg_specs: Tuple[Tuple[int, str], ...],
+                              n_vals: int):
+    """Jitted distributed GROUP BY over multi-column keys.
+
+    agg_specs: ((val_index, 'sum'|'count'|'min'|'max'|'mean'), ...).
+    Inputs (row-sharded): *keys, *vals, valid.
+    Outputs (row-sharded): key columns (group reps), final agg columns,
+    n_groups[1] per shard, overflow flag.
+    """
+    D = mesh.devices.size
+    partial_specs, finishers = _expand_aggs(tuple(agg_specs))
+
+    def step(*args):
+        keys = args[:n_keys]
+        vals = args[n_keys:n_keys + n_vals]
+        valid = args[n_keys + n_vals]
+        L = keys[0].shape[0]
+
+        # 1. local pre-aggregation (combiner): one partial row per local
+        # group — hot keys collapse before any row moves
+        res = _local_codes(keys, valid)
+        codes = res.codes
+        first = jnp.clip(res.first_index, 0, L - 1)
+        gvalid = jnp.arange(L, dtype=jnp.int32) < res.n_unique
+        gkeys = tuple(jnp.take(k, first) for k in keys)
+        parts = tuple(_scatter_agg(codes, valid, vals[vi], pa, L)
+                      for vi, pa in partial_specs)
+
+        # 2. shuffle PARTIALS by key hash (volume = local groups, not rows)
+        dest = shuf.partition_of(_hash_multi(gkeys), D)
+        body = shuf.shuffle_shard_fn(D, cap)
+        received, counts, overflow = body(dest, gvalid, *(gkeys + parts))
+        rkeys = received[:n_keys]
+        rparts = received[n_keys:]
+        rvalid = shuf.row_validity_mask(rkeys[0], counts, cap)
+
+        # 3. final merge: re-encode received keys, merge-reduce partials
+        res2 = _local_codes(rkeys, rvalid)
+        codes2 = res2.codes
+        L2 = rkeys[0].shape[0]
+        first2 = jnp.clip(res2.first_index, 0, L2 - 1)
+        out_keys = tuple(jnp.take(k, first2) for k in rkeys)
+        merged = []
+        for (vi, pa), rp in zip(partial_specs, rparts):
+            merged.append(_scatter_agg(codes2, rvalid, rp, _MERGE[pa], L2))
+        # finish: mean = sum/count
+        outs = []
+        i = 0
+        for agg, consumed in finishers:
+            if agg == "mean":
+                s, c = merged[i], merged[i + 1]
+                outs.append(s.astype(jnp.float64)
+                            / jnp.maximum(c, 1).astype(jnp.float64))
+            else:
+                outs.append(merged[i])
+            i += consumed
+        return (out_keys, tuple(outs), res2.n_unique.reshape(1),
+                jax.lax.pmax(overflow.astype(jnp.int32),
+                             SHARD_AXIS).astype(jnp.bool_))
+
+    spec = P(SHARD_AXIS)
+    fn = shard_map(step, mesh=mesh,
+                   in_specs=(spec,) * (n_keys + n_vals + 1),
+                   out_specs=((spec,) * n_keys,
+                              (spec,) * len(finishers), spec, P()))
+    return jax.jit(fn)
+
+
+# ---------------------------------------------------------------------------
+# distributed join: multi-key, multi-payload, join types, hot-key broadcast
+# ---------------------------------------------------------------------------
+
+def _local_pairs(lcodes, lvalid, rcodes, rvalid, cap_out: int, how: str):
+    """Traced local join pair expansion (generalizes
+    parallel/join.local_join_inner with join types)."""
+    PL, PR = lcodes.shape[0], rcodes.shape[0]
+    rkey = jnp.where(rvalid, rcodes.astype(jnp.int64), BIG)
+    r_iota = jnp.arange(PR, dtype=jnp.int32)
+    rk_u = jax.lax.bitcast_convert_type(rkey, jnp.uint64) ^ (jnp.uint64(1) << 63)
+    rhi = (rk_u >> jnp.uint64(32)).astype(jnp.uint32)
+    rlo = rk_u.astype(jnp.uint32)
+    shi, slo, ridx_sorted = jax.lax.sort((rhi, rlo, r_iota), num_keys=2,
+                                         is_stable=True)
+    rk_sorted = jax.lax.bitcast_convert_type(
+        (shi.astype(jnp.uint64) << jnp.uint64(32)) | slo.astype(jnp.uint64),
+        jnp.int64) ^ jnp.int64(-(2 ** 63))
+    lq = jnp.where(lvalid, lcodes.astype(jnp.int64), BIG - 1)
+    lo = jnp.searchsorted(rk_sorted, lq, side="left", method="sort")
+    hi = jnp.searchsorted(rk_sorted, lq, side="right", method="sort")
+    counts = jnp.where(lvalid, hi - lo, 0).astype(jnp.int32)
+
+    if how == "left semi":
+        return (counts > 0) & lvalid
+    if how == "left anti":
+        return (counts == 0) & lvalid
+
+    if how == "left outer":
+        emit = jnp.where(lvalid, jnp.maximum(counts, 1), 0)
+    else:  # inner
+        emit = counts
+    offsets = jnp.cumsum(emit)
+    total = offsets[-1] if PL else jnp.asarray(0, jnp.int32)
+    overflow = total > cap_out
+    j = jnp.arange(cap_out, dtype=jnp.int32)
+    row = jnp.searchsorted(offsets, j, side="right",
+                           method="sort").astype(jnp.int32)
+    row_c = jnp.clip(row, 0, PL - 1)
+    start = jnp.where(row_c > 0,
+                      jnp.take(offsets, jnp.maximum(row_c - 1, 0)), 0)
+    within = j - start
+    src = jnp.clip(jnp.take(lo, row_c) + within, 0, PR - 1)
+    has_match = jnp.take(counts, row_c) > 0
+    in_range = j < total
+    li = jnp.where(in_range, row_c, -1)
+    ri = jnp.where(in_range & has_match, jnp.take(ridx_sorted, src), -1)
+    return li, ri, total, overflow
+
+
+def _hot_key_list(keys: Tuple[jax.Array, ...], valid, K: int, thresh: int):
+    """Device top-K hot DETECTION per shard + all_gather union: returns a
+    sorted [D*K] int64 list of combined-hash sentinels for hot keys (the
+    sentinel BIG marks unused slots). Detection keys on the combined key
+    hash — a collision only costs an unnecessary broadcast, never a
+    wrong result (equality is re-checked by the join codes)."""
+    h = _hash_multi(keys).astype(jnp.int64)
+    h = jnp.where(valid, h, -1)
+    L = h.shape[0]
+    res = hashing.encode_codes(h, dt.int64, bitmap.pack_mask(valid), L)
+    codes = res.codes
+    cnt = jnp.zeros(L + 1, jnp.int32).at[
+        jnp.where(codes >= 0, codes, L)].add(1, mode="drop")[:L]
+    topv, topi = jax.lax.top_k(cnt, K)
+    first = jnp.clip(res.first_index, 0, L - 1)
+    cand = jnp.take(h, jnp.take(first, topi))
+    cand = jnp.where(topv > thresh, cand, BIG)
+    allc = jax.lax.all_gather(cand, SHARD_AXIS).reshape(-1)
+    return jnp.sort(allc)
+
+
+def _in_sorted(sorted_list, x):
+    pos = jnp.searchsorted(sorted_list, x, side="left", method="sort")
+    pos_c = jnp.clip(pos, 0, sorted_list.shape[0] - 1)
+    return jnp.take(sorted_list, pos_c) == x
+
+
+def make_distributed_join(mesh: Mesh, cap_shuffle: int, cap_out: int,
+                          n_keys: int = 1, n_lpay: int = 1, n_rpay: int = 1,
+                          how: str = "inner", hot_k: int = 0,
+                          hot_thresh: int = 0, cap_hot: int = 0,
+                          cap_hot_out: int = 0):
+    """Jitted distributed join over multi-column keys with payloads.
+
+    how: 'inner' | 'left outer' | 'left semi' | 'left anti'.
+    hot_k > 0 enables skew handling: per-shard top-hot_k keys with local
+    count > hot_thresh join via build-side broadcast (capacity cap_hot
+    rows per shard broadcast; cap_hot_out output pairs) instead of the
+    hash exchange.
+
+    Inputs (row-sharded): *lkeys, *lpays, lvalid, *rkeys, *rpays, rvalid.
+    Outputs per shard: key cols + left payloads + right payloads of the
+    matched pairs (slots >= n_out padded -1/0), n_out, overflow — for
+    semi/anti: a row mask over the left side instead.
+    """
+    D = mesh.devices.size
+    nl = n_keys + n_lpay
+    semi = how in ("left semi", "left anti")
+
+    def gather_cols(cols, idx, fill=0):
+        out = []
+        for c in cols:
+            g = jnp.take(c, jnp.clip(idx, 0, c.shape[0] - 1))
+            out.append(jnp.where(idx >= 0, g,
+                                 jnp.zeros((), c.dtype) if c.dtype != jnp.bool_
+                                 else False))
+        return tuple(out)
+
+    def step(*args):
+        lkeys = args[:n_keys]
+        lpays = args[n_keys:nl]
+        lvalid = args[nl]
+        rkeys = args[nl + 1: nl + 1 + n_keys]
+        rpays = args[nl + 1 + n_keys: nl + 1 + n_keys + n_rpay]
+        rvalid = args[nl + 1 + n_keys + n_rpay]
+
+        lv, rv = lvalid, rvalid
+        if hot_k:
+            hot = _hot_key_list(lkeys, lvalid, hot_k, hot_thresh)
+            lhot = _in_sorted(hot, _hash_multi(lkeys).astype(jnp.int64)) & lvalid
+            rhot = _in_sorted(hot, _hash_multi(rkeys).astype(jnp.int64)) & rvalid
+            lv = lvalid & ~lhot
+            rv = rvalid & ~rhot
+
+        # normal path: hash exchange of non-hot rows
+        body = shuf.shuffle_shard_fn(D, cap_shuffle)
+        ldest = shuf.partition_of(_hash_multi(lkeys), D)
+        lrecv, lcounts, lov = body(ldest, lv, *(lkeys + lpays))
+        rdest = shuf.partition_of(_hash_multi(rkeys), D)
+        rrecv, rcounts, rov = body(rdest, rv, *(rkeys + rpays))
+        slk, slp = lrecv[:n_keys], lrecv[n_keys:]
+        srk, srp = rrecv[:n_keys], rrecv[n_keys:]
+        lrows = shuf.row_validity_mask(slk[0], lcounts, cap_shuffle)
+        rrows = shuf.row_validity_mask(srk[0], rcounts, cap_shuffle)
+
+        # per-shard codes over the CONCAT of both sides (exact equality)
+        Lc, Rc = slk[0].shape[0], srk[0].shape[0]
+        both = tuple(jnp.concatenate([a, b]) for a, b in zip(slk, srk))
+        bvalid = jnp.concatenate([lrows, rrows])
+        resb = _local_codes(both, bvalid)
+        lcodes, rcodes = resb.codes[:Lc], resb.codes[Lc:]
+
+        if semi:
+            # semi/anti need the verdict on ORIGINAL left rows: route the
+            # match mask back is complex; instead run the match where the
+            # left rows landed, then ship the mask back via a reverse
+            # all_to_all of the packed mask
+            m = _local_pairs(lcodes, lrows, rcodes, rrows, 1, how)
+            # reverse exchange: received rows came as [D, cap] blocks
+            back = jax.lax.all_to_all(m.reshape(D, cap_shuffle), SHARD_AXIS,
+                                      split_axis=0, concat_axis=0,
+                                      tiled=True).reshape(-1)
+            # unpack: row i of this shard sits at (dest block, slot) — recompute
+            dest_l = jnp.where(lv, ldest, D)
+            order = jnp.argsort(jnp.where(lv, dest_l, D), stable=True)
+            sorted_dest = jnp.take(dest_l, order)
+            iota = jnp.arange(dest_l.shape[0], dtype=jnp.int32)
+            startc = jnp.cumsum(jnp.zeros(D + 2, jnp.int32).at[
+                jnp.clip(sorted_dest + 1, 0, D + 1)].add(1))
+            slot_sorted = iota - jnp.take(startc, sorted_dest)
+            slot = jnp.zeros_like(iota).at[order].set(slot_sorted)
+            flat = jnp.clip(dest_l, 0, D - 1) * cap_shuffle + \
+                jnp.clip(slot, 0, cap_shuffle - 1)
+            verdict = jnp.take(back, flat) & lv
+            if hot_k:
+                # hot left rows never entered the exchange: their verdict
+                # comes from the broadcast build side
+                hverd = _hot_semi(lkeys, lhot, rkeys, rpays, rhot, how)
+                verdict = jnp.where(lhot, hverd, verdict)
+            ov = jax.lax.pmax((lov | rov).astype(jnp.int32), SHARD_AXIS)
+            return verdict, ov.astype(jnp.bool_)
+
+        li, ri, n_out, jov = _local_pairs(lcodes, lrows, rcodes, rrows,
+                                          cap_out, how)
+        out_keys = gather_cols(slk, li)
+        out_lp = gather_cols(slp, li)
+        out_rp = gather_cols(srp, ri)
+        rmatch = jnp.where(li >= 0, ri >= 0, False)
+        overflow = lov | rov | jov
+
+        if hot_k:
+            # hot path: broadcast the (small) hot build side everywhere,
+            # join against the LOCAL hot probe rows (they never moved)
+            hk, hp, hov2 = _broadcast_hot(rkeys, rpays, rhot, cap_hot)
+            hrows = jnp.arange(hk[0].shape[0]) < hov2[0]
+            bothh = tuple(jnp.concatenate([a, b]) for a, b in zip(lkeys, hk))
+            bvh = jnp.concatenate([lhot, hrows])
+            resh = _local_codes(bothh, bvh)
+            Lh = lkeys[0].shape[0]
+            hli, hri, hn, hovf = _local_pairs(
+                resh.codes[:Lh], lhot, resh.codes[Lh:], hrows,
+                cap_hot_out, "inner" if how == "inner" else "left outer")
+            hout_keys = gather_cols(lkeys, hli)
+            hout_lp = gather_cols(lpays, hli)
+            hout_rp = gather_cols(hp, hri)
+            hrmatch = jnp.where(hli >= 0, hri >= 0, False)
+            overflow = overflow | hovf | hov2[1]
+            ov = jax.lax.pmax(overflow.astype(jnp.int32), SHARD_AXIS)
+            return (out_keys, out_lp, out_rp, rmatch, n_out.reshape(1),
+                    hout_keys, hout_lp, hout_rp, hrmatch, hn.reshape(1),
+                    ov.astype(jnp.bool_))
+
+        ov = jax.lax.pmax(overflow.astype(jnp.int32), SHARD_AXIS)
+        return (out_keys, out_lp, out_rp, rmatch, n_out.reshape(1),
+                ov.astype(jnp.bool_))
+
+    def _broadcast_hot(rkeys, rpays, rhot, cap_h):
+        """Compact local hot build rows to [cap_h], all_gather them."""
+        L = rhot.shape[0]
+        pos = jnp.cumsum(rhot.astype(jnp.int32)) - 1
+        nhot = jnp.sum(rhot.astype(jnp.int32))
+        ovf = nhot > cap_h
+        tgt = jnp.where(rhot & (pos < cap_h), pos, cap_h)
+        cols = []
+        for c in rkeys + rpays:
+            buf = jnp.zeros(cap_h + 1, c.dtype).at[tgt].set(c, mode="drop")
+            cols.append(buf[:cap_h])
+        gathered = [jax.lax.all_gather(c, SHARD_AXIS).reshape(-1)
+                    for c in cols]
+        ns = jax.lax.all_gather(jnp.minimum(nhot, cap_h), SHARD_AXIS)
+        # validity over the concatenated [D*cap_h] buffer
+        slotn = jnp.arange(D * cap_h, dtype=jnp.int32)
+        srcn = slotn // cap_h
+        n_each = jnp.take(ns.reshape(-1), srcn)
+        total_valid = (slotn % cap_h) < n_each
+        # re-compact is unnecessary: mark validity via count per source
+        nv = jnp.sum(ns)
+        # reorder so valid rows are a prefix? keep mask-based instead:
+        # return rows + mask encoded as (rows, (nv, ovf_any))
+        ovf_any = jax.lax.pmax(ovf.astype(jnp.int32),
+                               SHARD_AXIS).astype(jnp.bool_)
+        hk = tuple(gathered[:n_keys])
+        hp = tuple(gathered[n_keys:])
+        # encode validity in the keys via mask: give invalid slots a
+        # poison pattern by returning the mask through hov2[0] as count
+        # over a compacted order
+        order = jnp.argsort(~total_valid, stable=True)
+        hk = tuple(jnp.take(c, order) for c in hk)
+        hp = tuple(jnp.take(c, order) for c in hp)
+        return hk, hp, (nv, ovf_any)
+
+    def _hot_semi(lkeys, lhot, rkeys, rpays, rhot, how_):
+        hk, hp, (nv, _ovf) = _broadcast_hot(rkeys, rpays, rhot, cap_hot)
+        hrows = jnp.arange(hk[0].shape[0]) < nv
+        bothh = tuple(jnp.concatenate([a, b]) for a, b in zip(lkeys, hk))
+        bvh = jnp.concatenate([lhot, hrows])
+        resh = _local_codes(bothh, bvh)
+        Lh = lkeys[0].shape[0]
+        return _local_pairs(resh.codes[:Lh], lhot, resh.codes[Lh:], hrows,
+                            1, how_)
+
+    spec = P(SHARD_AXIS)
+    n_in = (n_keys + n_lpay + 1) + (n_keys + n_rpay + 1)
+    if semi:
+        out_specs = (spec, P())
+    elif hot_k:
+        out_specs = ((spec,) * n_keys, (spec,) * n_lpay, (spec,) * n_rpay,
+                     spec, spec,
+                     (spec,) * n_keys, (spec,) * n_lpay, (spec,) * n_rpay,
+                     spec, spec, P())
+    else:
+        out_specs = ((spec,) * n_keys, (spec,) * n_lpay, (spec,) * n_rpay,
+                     spec, spec, P())
+    fn = shard_map(step, mesh=mesh, in_specs=(spec,) * n_in,
+                   out_specs=out_specs)
+    return jax.jit(fn)
+
+
+# ---------------------------------------------------------------------------
+# distributed multi-key sort
+# ---------------------------------------------------------------------------
+
+def make_distributed_sort_multi(mesh: Mesh, cap: int, n_keys: int,
+                                n_payload: int = 0, n_samples: int = 64,
+                                descending: Tuple[bool, ...] = ()):
+    """Range-partition on the primary key (equal primaries land on the
+    same shard), exchange all key+payload columns, local multi-key sort
+    via ops/sort.argsort_multi. Reading shards in order yields the global
+    multi-key ascending order."""
+    from ..ops import sort as sort_ops
+    D = mesh.devices.size
+    desc = tuple(descending) + (False,) * (n_keys - len(descending))
+
+    def body(*args):
+        keys = args[:n_keys]
+        valid = args[n_keys]
+        payload = args[n_keys + 1:]
+        k0 = keys[0]
+        sent = (jnp.array(jnp.inf, k0.dtype) if k0.dtype.kind == "f"
+                else jnp.array(jnp.iinfo(k0.dtype).max, k0.dtype))
+        kprim = jnp.where(valid, k0, sent)
+        L = kprim.shape[0]
+
+        sk = jnp.sort(kprim)
+        pos = (jnp.arange(n_samples, dtype=jnp.int32)
+               * jnp.int32(max(L // n_samples, 1))) % jnp.int32(L)
+        sample = jnp.take(sk, pos)
+        all_samples = jax.lax.all_gather(sample, SHARD_AXIS).reshape(-1)
+        flat = jnp.sort(all_samples)
+        S = flat.shape[0]
+        qpos = (jnp.arange(1, D, dtype=jnp.int32) * S) // D
+        splitters = jnp.take(flat, qpos)
+        dest = jnp.searchsorted(splitters, kprim,
+                                side="right").astype(jnp.int32)
+
+        packed, counts, overflow = shuf._pack_for_send(
+            dest, valid, D, cap, keys + payload)
+        received = [jax.lax.all_to_all(p, SHARD_AXIS, split_axis=0,
+                                       concat_axis=0, tiled=True)
+                    for p in packed]
+        recv_counts = jax.lax.all_to_all(counts, SHARD_AXIS, split_axis=0,
+                                         concat_axis=0, tiled=True)
+        any_ov = jax.lax.pmax(overflow.astype(jnp.int32), SHARD_AXIS)
+
+        rmask = shuf.row_validity_mask(received[0].reshape(-1), recv_counts,
+                                       cap)
+        rkeys = [r.reshape(-1) for r in received[:n_keys]]
+        rpay = [r.reshape(-1) for r in received[n_keys:]]
+        ops = []
+        for i, rk in enumerate(rkeys):
+            # padding slots sort to the tail via the validity flag
+            # (exchange already dropped real nulls, so flag 2 marks
+            # padding only); all received rows are "in range" (n = L2)
+            ops.append(sort_ops.sort_key(
+                rk, _dt_of(rk), bitmap.pack_mask(rmask),
+                rk.shape[0], descending=desc[i]))
+        perm = sort_ops.argsort_multi(ops)
+        out_keys = tuple(jnp.take(rk, perm) for rk in rkeys)
+        out_pay = tuple(jnp.take(rp, perm) for rp in rpay)
+        n_local = jnp.sum(recv_counts).astype(jnp.int32)
+        return out_keys, out_pay, n_local.reshape(1), \
+            any_ov.astype(jnp.bool_)
+
+    spec = P(SHARD_AXIS)
+    fn = shard_map(body, mesh=mesh,
+                   in_specs=(spec,) * (n_keys + 1 + n_payload),
+                   out_specs=((spec,) * n_keys, (spec,) * n_payload,
+                              spec, P()))
+    return jax.jit(fn)

@@ -14,7 +14,7 @@ from ..jaxenv import jax, jnp
 from ..device.block import row_mask
 from ..ops import hashing
 
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
 from .mesh import SHARD_AXIS

@@ -17,7 +17,7 @@ from typing import NamedTuple, Optional, Sequence, Tuple
 from ..jaxenv import jax, jnp
 from ..ops import hashing
 
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
 from .mesh import SHARD_AXIS

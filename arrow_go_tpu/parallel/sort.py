@@ -23,7 +23,7 @@ import numpy as np
 
 from ..jaxenv import jax, jnp
 
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
 from .mesh import SHARD_AXIS
