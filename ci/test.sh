@@ -18,3 +18,11 @@ AGT_FORCE_PALLAS_INTERPRET=1 python -m pytest tests/ -q
 echo "== mode 4: AGT_ASSERT=1 (debug asserts, the reference's -tags assert) =="
 AGT_ASSERT=1 python -m pytest tests/test_device_ops.py tests/test_parquet.py \
     tests/test_parquet_device_read.py tests/test_compute.py -q
+
+# mode 5 (opt-in, needs a real chip): compiled-TPU kernel smoke vs
+# analytic oracles — the reference's "with asm" half of the dual runs.
+# Usage: AGT_TPU_SMOKE=1 ci/test.sh  (or run ci/tpu_smoke.py directly)
+if [[ "${AGT_TPU_SMOKE:-}" == "1" ]]; then
+  echo "== mode 5: TPU smoke (one executable, compiled kernels vs oracles) =="
+  python ci/tpu_smoke.py
+fi
