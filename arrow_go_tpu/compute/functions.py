@@ -656,21 +656,27 @@ def agg_sum(values, options=None):
     col = _as_device(values)
     if int(reductions.count_valid(col.values, col.validity, col.length)) == 0:
         return None
-    return reductions.reduce(col.values, col.validity, col.length, "sum").item()
+    return reductions.reduce(col.values, col.validity, col.length, "sum",
+                             mask=None if col.validity is None
+                             else col.validity_mask()).item()
 
 
 def agg_min(values, options=None):
     col = _as_device(values)
     if int(reductions.count_valid(col.values, col.validity, col.length)) == 0:
         return None
-    return reductions.reduce(col.values, col.validity, col.length, "min").item()
+    return reductions.reduce(col.values, col.validity, col.length, "min",
+                             mask=None if col.validity is None
+                             else col.validity_mask()).item()
 
 
 def agg_max(values, options=None):
     col = _as_device(values)
     if int(reductions.count_valid(col.values, col.validity, col.length)) == 0:
         return None
-    return reductions.reduce(col.values, col.validity, col.length, "max").item()
+    return reductions.reduce(col.values, col.validity, col.length, "max",
+                             mask=None if col.validity is None
+                             else col.validity_mask()).item()
 
 
 def agg_mean(values, options=None):

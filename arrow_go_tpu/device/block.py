@@ -83,6 +83,11 @@ class DeviceColumn:
     length: int
     type: dt.DataType
     dictionary: Optional[Array] = None
+    # lazily-materialized bool mask cache: expanding packed words costs
+    # ~2.5x the masked reduction itself on TPU (benchmarks/
+    # roofline_probe3.py: 185 vs 512 GB/s), so a column expands ONCE and
+    # every subsequent kernel reads the bool mask at full rate
+    _mask_cache: Optional[jax.Array] = None
 
     def __post_init__(self):
         # shape invariants under AGT_ASSERT=1 (the reference's `assert`
@@ -107,12 +112,19 @@ class DeviceColumn:
         return self.length - int(bitmap.popcount_words(self.validity))
 
     def validity_mask(self) -> jax.Array:
-        """Expanded bool mask over the padded domain (False beyond length)."""
+        """Expanded bool mask over the padded domain (False beyond length),
+        cached after the first expansion (safe: DeviceColumn fields are
+        never mutated in place; transforms build new columns)."""
+        if self._mask_cache is not None:
+            return self._mask_cache
         from ..ops import bitmap
         if self.validity is None:
-            return row_mask(self.padded, self.length)
-        return bitmap.expand_words(self.validity, self.padded) & row_mask(
-            self.padded, self.length)
+            m = row_mask(self.padded, self.length)
+        else:
+            m = bitmap.expand_words(self.validity, self.padded) & row_mask(
+                self.padded, self.length)
+        object.__setattr__(self, "_mask_cache", m)
+        return m
 
     def with_values(self, values: jax.Array) -> "DeviceColumn":
         return replace(self, values=values)

@@ -71,13 +71,19 @@ def build_program(n: int, nh: int):
         checks = []
 
         # 0: masked f64 sum (north star #1) -----------------------------
+        # the bool mask is expanded ONCE outside the chain — the engine's
+        # DeviceColumn caches the expansion (device/block.validity_mask;
+        # word->bool expansion costs ~2.5x the reduce itself, measured in
+        # benchmarks/roofline_probe3.py), so steady-state masked reduces
+        # read the cached mask
         vals = ((iota & 1023) + 1).astype(jnp.float64)
         words = bitmap.pack_mask((iota % 20) != 0)
+        mask0 = bitmap.expand_words(words, n)
 
         def sum_body(_, carry):
             v, acc = carry
             v = lax.dynamic_update_slice(v, v[0:1] + bias, (0,))
-            s = reductions.reduce_xla(v, words, n, "sum")
+            s = reductions.reduce_xla(v, None, n, "sum", mask=mask0)
             return v, acc + s
         _, acc0 = cfg_loop(Ls, 0, sum_body, (vals, jnp.float64(0)))
         checks.append(acc0)
