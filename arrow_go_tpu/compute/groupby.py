@@ -36,7 +36,7 @@ def _combined_codes_traced(key_vals, key_valids, key_types, length):
     Null key -> its own code. Returns (codes[P], n_groups, first_row[P])."""
     combined = None
     for vals, validity, t in zip(key_vals, key_valids, key_types):
-        res = hashing.encode_codes(vals, t, validity, length)
+        res = hashing.encode_codes(vals, t, validity, length, order="key")
         # null -> dedicated code n_unique
         codes = jnp.where(res.codes >= 0, res.codes, res.n_unique)
         card = res.n_unique + 1
@@ -44,7 +44,9 @@ def _combined_codes_traced(key_vals, key_valids, key_types, length):
             combined = codes.astype(jnp.int64)
         else:
             combined = combined * card.astype(jnp.int64) + codes.astype(jnp.int64)
-    res = hashing.encode_codes(combined, dt.int64, None, length)
+    # codes in key order; the program remaps to first-occurrence
+    # order itself via first_index (cheaper encode, probe4)
+    res = hashing.encode_codes(combined, dt.int64, None, length, order="key")
     return res.codes, res.n_unique, res.first_index
 
 

@@ -47,7 +47,7 @@ def _key_codes(left: DeviceBatch, right: DeviceBatch,
         val_both = jnp.concatenate([_valid(lc), _valid(rc)])
         words = bitmap.pack_mask(val_both)
         res = hashing.encode_codes(both, lc.type if lc.type.id != dt.TypeId.DICTIONARY else dt.int32,
-                                   words, both.shape[0])
+                                   words, both.shape[0], order="key")
         codes = res.codes
         card = res.n_unique.astype(jnp.int64) + 1
         part = jnp.where(codes >= 0, codes.astype(jnp.int64), -1)

@@ -36,8 +36,17 @@ class EncodeResult(NamedTuple):
 
 
 def encode_codes(values: jax.Array, t: dt.DataType,
-                 validity: Optional[jax.Array], n) -> EncodeResult:
-    """Dense first-occurrence codes for each row (the MemoTable analog)."""
+                 validity: Optional[jax.Array], n,
+                 order: str = "first_occurrence") -> EncodeResult:
+    """Dense codes for each row (the MemoTable analog).
+
+    order='first_occurrence': codes numbered by first appearance —
+    reference memo-table parity (dictionary_encode/unique observables).
+    order='key': codes numbered in key-sorted order — equality-only
+    consumers (group-by internals, join code spaces, shuffles) take this
+    path: it skips the rep-ranking sort + searchsorted + extra scatter,
+    ~2x cheaper on TPU (benchmarks/roofline_probe4.py: searchsorted and
+    scatter dominate; sort/cumsum are cheap)."""
     P = values.shape[0]
     valid = row_mask(P, n)
     if validity is not None:
@@ -61,6 +70,24 @@ def encode_codes(values: jax.Array, t: dt.DataType,
     start = start & (svalid == 1)
     n_unique = jnp.sum(start.astype(jnp.int32))
 
+    isnull = ~valid & row_mask(P, n)
+    has_null = jnp.any(isnull)
+    null_first_row = jnp.min(jnp.where(isnull, iota, P))
+
+    if order == "key":
+        # run id in key order IS the code: one cumsum + one scatter
+        run_id = jnp.cumsum(start.astype(jnp.int32)) - 1
+        codes = jnp.full(P, -1, jnp.int32)
+        codes = codes.at[sidx].set(
+            jnp.where(svalid == 1, run_id, -1))
+        # first occurrence per run: stable (key, iota) sort puts the
+        # minimal original index at the run start
+        first_index = jnp.full(P, P, jnp.int32).at[
+            jnp.where(start, run_id, P)].min(
+            jnp.where(start, sidx, P), mode="drop")
+        return EncodeResult(codes, n_unique, has_null, first_index,
+                            null_first_row)
+
     # representative (first occurrence) = min original index per group.
     # since sort is stable on (key, iota), the first row of each run holds
     # the minimal original index: propagate the run-start position forward
@@ -82,9 +109,6 @@ def encode_codes(values: jax.Array, t: dt.DataType,
     first_index = first_index.at[jnp.where(start, code_sorted_domain, P)
                                  ].min(jnp.where(start, sidx, P), mode="drop")
 
-    isnull = ~valid & row_mask(P, n)
-    has_null = jnp.any(isnull)
-    null_first_row = jnp.min(jnp.where(isnull, iota, P))
     return EncodeResult(codes, n_unique, has_null, first_index, null_first_row)
 
 

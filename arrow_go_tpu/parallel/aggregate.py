@@ -38,7 +38,7 @@ def local_group_agg(keys: jax.Array, values: jax.Array, valid: jax.Array,
     # invalid rows land beyond n after we compact? simpler: pass validity
     # words built from `valid`
     words = bitmap.pack_mask(valid)
-    res = hashing.encode_codes(keys, kt, words, P_)
+    res = hashing.encode_codes(keys, kt, words, P_, order="key")
     codes = res.codes
     outs = []
     for agg in aggs:

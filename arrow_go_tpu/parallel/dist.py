@@ -65,7 +65,7 @@ def _local_codes(keys: Tuple[jax.Array, ...], valid: jax.Array):
     words = bitmap.pack_mask(valid)
     combined = None
     for k in keys:
-        res = hashing.encode_codes(k, _dt_of(k), words, L)
+        res = hashing.encode_codes(k, _dt_of(k), words, L, order="key")
         card = res.n_unique.astype(jnp.int64) + 1
         part = jnp.where(res.codes >= 0, res.codes.astype(jnp.int64), -1)
         if combined is None:
@@ -74,7 +74,8 @@ def _local_codes(keys: Tuple[jax.Array, ...], valid: jax.Array):
             combined = jnp.where((combined >= 0) & (part >= 0),
                                  combined * card + part, -1)
     return hashing.encode_codes(combined, dt.int64,
-                                bitmap.pack_mask(combined >= 0), L)
+                                bitmap.pack_mask(combined >= 0), L,
+                                order="key")
 
 
 # ---------------------------------------------------------------------------
@@ -197,49 +198,14 @@ def make_distributed_group_by(mesh: Mesh, cap: int, n_keys: int,
 # ---------------------------------------------------------------------------
 
 def _local_pairs(lcodes, lvalid, rcodes, rvalid, cap_out: int, how: str):
-    """Traced local join pair expansion (generalizes
-    parallel/join.local_join_inner with join types)."""
-    PL, PR = lcodes.shape[0], rcodes.shape[0]
-    rkey = jnp.where(rvalid, rcodes.astype(jnp.int64), BIG)
-    r_iota = jnp.arange(PR, dtype=jnp.int32)
-    rk_u = jax.lax.bitcast_convert_type(rkey, jnp.uint64) ^ (jnp.uint64(1) << 63)
-    rhi = (rk_u >> jnp.uint64(32)).astype(jnp.uint32)
-    rlo = rk_u.astype(jnp.uint32)
-    shi, slo, ridx_sorted = jax.lax.sort((rhi, rlo, r_iota), num_keys=2,
-                                         is_stable=True)
-    rk_sorted = jax.lax.bitcast_convert_type(
-        (shi.astype(jnp.uint64) << jnp.uint64(32)) | slo.astype(jnp.uint64),
-        jnp.int64) ^ jnp.int64(-(2 ** 63))
-    lq = jnp.where(lvalid, lcodes.astype(jnp.int64), BIG - 1)
-    lo = jnp.searchsorted(rk_sorted, lq, side="left", method="sort")
-    hi = jnp.searchsorted(rk_sorted, lq, side="right", method="sort")
-    counts = jnp.where(lvalid, hi - lo, 0).astype(jnp.int32)
-
-    if how == "left semi":
-        return (counts > 0) & lvalid
-    if how == "left anti":
-        return (counts == 0) & lvalid
-
-    if how == "left outer":
-        emit = jnp.where(lvalid, jnp.maximum(counts, 1), 0)
-    else:  # inner
-        emit = counts
-    offsets = jnp.cumsum(emit)
-    total = offsets[-1] if PL else jnp.asarray(0, jnp.int32)
-    overflow = total > cap_out
-    j = jnp.arange(cap_out, dtype=jnp.int32)
-    row = jnp.searchsorted(offsets, j, side="right",
-                           method="sort").astype(jnp.int32)
-    row_c = jnp.clip(row, 0, PL - 1)
-    start = jnp.where(row_c > 0,
-                      jnp.take(offsets, jnp.maximum(row_c - 1, 0)), 0)
-    within = j - start
-    src = jnp.clip(jnp.take(lo, row_c) + within, 0, PR - 1)
-    has_match = jnp.take(counts, row_c) > 0
-    in_range = j < total
-    li = jnp.where(in_range, row_c, -1)
-    ri = jnp.where(in_range & has_match, jnp.take(ridx_sorted, src), -1)
-    return li, ri, total, overflow
+    """Traced local join (sort-merge core, parallel/join.py — probe4:
+    searchsorted costs ~430ms/16M queries on v5e, the merged sort ~50ms)."""
+    from .join import local_join_inner, local_join_semi
+    lk = lcodes.astype(jnp.int64)
+    rk = rcodes.astype(jnp.int64)
+    if how in ("left semi", "left anti"):
+        return local_join_semi(lk, lvalid, rk, rvalid, how)
+    return local_join_inner(lk, lvalid, rk, rvalid, cap_out, how=how)
 
 
 def _hot_key_list(keys: Tuple[jax.Array, ...], valid, K: int, thresh: int):
@@ -251,7 +217,8 @@ def _hot_key_list(keys: Tuple[jax.Array, ...], valid, K: int, thresh: int):
     h = _hash_multi(keys).astype(jnp.int64)
     h = jnp.where(valid, h, -1)
     L = h.shape[0]
-    res = hashing.encode_codes(h, dt.int64, bitmap.pack_mask(valid), L)
+    res = hashing.encode_codes(h, dt.int64, bitmap.pack_mask(valid), L,
+                               order="key")
     codes = res.codes
     cnt = jnp.zeros(L + 1, jnp.int32).at[
         jnp.where(codes >= 0, codes, L)].add(1, mode="drop")[:L]

@@ -1,10 +1,11 @@
 """Distributed hash join over the device mesh (north-star config #5).
 
 Both sides hash-partition by key over the shards (shuffle.py all_to_all
-over ICI); each shard then runs a fully-traced local join: sort-build +
-searchsorted-probe with a capacity-bounded pair expansion. No host syncs
-inside the step — output counts and overflow flags come back as device
-scalars, so the whole distributed join is ONE jitted XLA program.
+over ICI); each shard then runs a fully-traced local SORT-MERGE join
+with a capacity-bounded pair expansion (see local_join_inner for the
+TPU cost model). No host syncs inside the step — output counts and
+overflow flags come back as device scalars, so the whole distributed
+join is ONE jitted XLA program.
 """
 from __future__ import annotations
 
@@ -23,46 +24,119 @@ from . import shuffle as shuf
 BIG = jnp.int64(1) << 62
 
 
-def local_join_inner(lkeys, lvalid, rkeys, rvalid, cap_out: int):
-    """Traced inner join on one shard.
+def local_join_inner(lkeys, lvalid, rkeys, rvalid, cap_out: int,
+                     how: str = "inner"):
+    """Traced join on one shard — SORT-MERGE over both sides at once.
 
+    TPU rationale (benchmarks/roofline_probe4.py): `searchsorted` costs
+    ~430 ms per 16M queries on v5e while `lax.sort` is ~50 ms and cumsum/
+    cummax are ~5 ms, so the probe phase is ONE combined sort of
+    [right; left] with a side flag (rights sort before lefts within a
+    key), match counts fall out of prefix sums, and the pair expansion
+    maps output slot -> sorted position with a scatter-max + cummax fill
+    instead of a binary search.
+
+    how: 'inner' | 'left outer'.
     Returns (li[cap_out], ri[cap_out], n_out, overflow): local row indices
-    of matched pairs; slots >= n_out are padding.
+    of matched pairs; slots >= n_out are padding (-1).
     """
     PL, PR = lkeys.shape[0], rkeys.shape[0]
-    rkey = jnp.where(rvalid, rkeys, BIG)
-    r_iota = jnp.arange(PR, dtype=jnp.int32)
-    # sort via two u32 lanes (TPU-native compares), recombine for the
-    # binary-search probe
-    rk_u = jax.lax.bitcast_convert_type(rkey, jnp.uint64) ^ (jnp.uint64(1) << 63)
-    rhi = (rk_u >> jnp.uint64(32)).astype(jnp.uint32)
-    rlo = rk_u.astype(jnp.uint32)
-    shi, slo, ridx_sorted = jax.lax.sort((rhi, rlo, r_iota), num_keys=2,
-                                         is_stable=True)
-    rk_sorted = jax.lax.bitcast_convert_type(
-        (shi.astype(jnp.uint64) << jnp.uint64(32)) | slo.astype(jnp.uint64),
-        jnp.int64) ^ jnp.int64(-(2**63))
-    lq = jnp.where(lvalid, lkeys, BIG - 1)
-    lo = jnp.searchsorted(rk_sorted, lq, side="left", method="sort")
-    hi = jnp.searchsorted(rk_sorted, lq, side="right", method="sort")
-    counts = jnp.where(lvalid, hi - lo, 0).astype(jnp.int32)
-    offsets = jnp.cumsum(counts)
-    total = offsets[-1] if PL else jnp.asarray(0, jnp.int32)
+    N = PL + PR
+    keys_all = jnp.concatenate([rkeys, lkeys])
+    valid_all = jnp.concatenate([rvalid, lvalid])
+    side = jnp.concatenate([jnp.zeros(PR, jnp.int32),
+                            jnp.ones(PL, jnp.int32)])
+    orig = jnp.concatenate([jnp.arange(PR, dtype=jnp.int32),
+                            jnp.arange(PL, dtype=jnp.int32)])
+    flag = (~valid_all).astype(jnp.int32)
+    k_u = jax.lax.bitcast_convert_type(keys_all, jnp.uint64) \
+        ^ (jnp.uint64(1) << 63)
+    khi = (k_u >> jnp.uint64(32)).astype(jnp.uint32)
+    klo = k_u.astype(jnp.uint32)
+    sflag, shi, slo, sside, sorig = jax.lax.sort(
+        (flag, khi, klo, side, orig), num_keys=4, is_stable=True)
+    pos = jnp.arange(N, dtype=jnp.int32)
+    # run starts among valid rows (key change in sorted order)
+    prev_hi = jnp.concatenate([shi[:1], shi[:-1]])
+    prev_lo = jnp.concatenate([slo[:1], slo[:-1]])
+    start = ((shi != prev_hi) | (slo != prev_lo) | (pos == 0)) \
+        & (sflag == 0)
+    is_right = (sside == 0) & (sflag == 0)
+    is_left = (sside == 1) & (sflag == 0)
+    R_incl = jnp.cumsum(is_right.astype(jnp.int32))
+    grp_start = jax.lax.cummax(jnp.where(start, pos, -1))
+    grp_start_c = jnp.clip(grp_start, 0, N - 1)
+    R_before = jnp.take(R_incl, grp_start_c) - \
+        jnp.take(is_right, grp_start_c).astype(jnp.int32)
+    counts_pos = jnp.where(is_left, R_incl - R_before, 0)
+    if how == "left outer":
+        emit_pos = jnp.where(is_left, jnp.maximum(counts_pos, 1), 0)
+    else:
+        emit_pos = counts_pos
+    offsets = jnp.cumsum(emit_pos)
+    total = offsets[-1] if N else jnp.asarray(0, jnp.int32)
     overflow = total > cap_out
 
+    # right rank -> original right row id
+    rank = R_incl - 1
+    right_orig = jnp.zeros(max(PR, 1), jnp.int32).at[
+        jnp.where(is_right, rank, PR)].set(sorig, mode="drop")
+
+    # slot j -> emitting sorted position: scatter-max of position at its
+    # first output slot, then cummax forward-fill
+    starts_j = offsets - emit_pos
+    mark = jnp.zeros(cap_out, jnp.int32).at[
+        jnp.where(emit_pos > 0, jnp.clip(starts_j, 0, cap_out - 1),
+                  cap_out)].max(pos, mode="drop")
+    rowpos = jax.lax.cummax(mark)
     j = jnp.arange(cap_out, dtype=jnp.int32)
-    row = jnp.searchsorted(offsets, j, side="right", method="sort").astype(jnp.int32)
-    row_c = jnp.clip(row, 0, PL - 1)
-    start = jnp.where(row_c > 0, offsets[jnp.maximum(row_c - 1, 0)], 0)
-    start = jnp.where(row_c == 0, 0, start)
-    within = j - start
-    src = jnp.clip(lo[row_c] + within, 0, PR - 1)
-    li = row_c
-    ri = jnp.take(ridx_sorted, src)
-    valid_out = j < total
-    li = jnp.where(valid_out, li, -1)
-    ri = jnp.where(valid_out, ri, -1)
+    within = j - jnp.take(starts_j, rowpos)
+    r_rank = jnp.take(R_before, rowpos) + within
+    in_range = j < total
+    has_match = jnp.take(counts_pos, rowpos) > 0
+    li = jnp.where(in_range, jnp.take(sorig, rowpos), -1)
+    ri = jnp.where(in_range & has_match,
+                   jnp.take(right_orig, jnp.clip(r_rank, 0, max(PR - 1, 0))),
+                   -1)
     return li, ri, total, overflow
+
+
+def local_join_semi(lkeys, lvalid, rkeys, rvalid, how: str):
+    """Traced semi/anti verdict per ORIGINAL left row (sort-merge probe,
+    same cost model as local_join_inner). how: 'left semi'|'left anti'."""
+    PL, PR = lkeys.shape[0], rkeys.shape[0]
+    N = PL + PR
+    keys_all = jnp.concatenate([rkeys, lkeys])
+    valid_all = jnp.concatenate([rvalid, lvalid])
+    side = jnp.concatenate([jnp.zeros(PR, jnp.int32),
+                            jnp.ones(PL, jnp.int32)])
+    orig = jnp.concatenate([jnp.arange(PR, dtype=jnp.int32),
+                            jnp.arange(PL, dtype=jnp.int32)])
+    flag = (~valid_all).astype(jnp.int32)
+    k_u = jax.lax.bitcast_convert_type(keys_all, jnp.uint64) \
+        ^ (jnp.uint64(1) << 63)
+    khi = (k_u >> jnp.uint64(32)).astype(jnp.uint32)
+    klo = k_u.astype(jnp.uint32)
+    sflag, shi, slo, sside, sorig = jax.lax.sort(
+        (flag, khi, klo, side, orig), num_keys=4, is_stable=True)
+    pos = jnp.arange(N, dtype=jnp.int32)
+    prev_hi = jnp.concatenate([shi[:1], shi[:-1]])
+    prev_lo = jnp.concatenate([slo[:1], slo[:-1]])
+    start = ((shi != prev_hi) | (slo != prev_lo) | (pos == 0)) \
+        & (sflag == 0)
+    is_right = (sside == 0) & (sflag == 0)
+    is_left = (sside == 1) & (sflag == 0)
+    R_incl = jnp.cumsum(is_right.astype(jnp.int32))
+    grp_start = jax.lax.cummax(jnp.where(start, pos, -1))
+    grp_start_c = jnp.clip(grp_start, 0, N - 1)
+    R_before = jnp.take(R_incl, grp_start_c) - \
+        jnp.take(is_right, grp_start_c).astype(jnp.int32)
+    matched = is_left & ((R_incl - R_before) > 0)
+    out = jnp.zeros(PL, jnp.bool_).at[
+        jnp.where(is_left, sorig, PL)].set(matched, mode="drop")
+    if how == "left anti":
+        return ~out & lvalid
+    return out & lvalid
 
 
 def make_distributed_join(mesh: Mesh, cap_shuffle: int, cap_out: int):

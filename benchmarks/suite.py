@@ -112,7 +112,7 @@ def build_program(n: int, nh: int):
                 k, acc = carry
                 k = lax.dynamic_update_slice(
                     k, k[0:1] + bias.astype(k.dtype), (0,))
-                res = hashing.encode_codes(k, dt.int64, None, nh)
+                res = hashing.encode_codes(k, dt.int64, None, nh, order="key")
                 s = jnp.zeros(nh + 1, jnp.int64).at[
                     jnp.where(res.codes >= 0, res.codes, nh)].add(
                     hv, mode="drop")
