@@ -237,6 +237,28 @@ def filter_(values, mask, options: Optional[FilterOptions] = None):
     mcol = _as_device(mask, pad=col.padded)
     if mcol.type.id != dt.TypeId.BOOL:
         raise ArrowNotImplemented("filter mask must be boolean")
+    if col.values.ndim == 1:
+        # single column: values (+ validity) ride the compaction sort —
+        # one fused kernel, no random re-gather (probe4 cost model)
+        payloads = [col.values]
+        has_validity = col.validity is not None
+        if has_validity:
+            payloads.append(col.validity_mask().astype(jnp.int32))
+        outs, out_null, cnt = selection.filter_with_payload(
+            mcol.values, mcol.validity, mcol.length, tuple(payloads),
+            options.null_selection)
+        count = int(cnt)
+        emit_null = options.null_selection == "emit_null"
+        if has_validity or emit_null:
+            vmask = (outs[1] == 1) if has_validity else \
+                jnp.ones(col.padded, jnp.bool_)
+            vmask = vmask & ~out_null & row_mask(col.padded, count)
+            words = bitmap.pack_mask(vmask)
+        else:
+            words = None
+        out = _trim(DeviceColumn(outs[0], words, count, col.type,
+                                 col.dictionary), count)
+        return _maybe_host(out, values, mask)
     idx, cnt = selection.filter_indices(
         mcol.values, mcol.validity, mcol.length, options.null_selection)
     count = int(cnt)

@@ -59,6 +59,35 @@ def filter_indices(mask: jax.Array, mask_validity: Optional[jax.Array], n,
     return out, count
 
 
+def filter_with_payload(mask: jax.Array, mask_validity: Optional[jax.Array],
+                        n, cols, null_selection: str = "drop"):
+    """Filter that carries value columns THROUGH the compaction sort
+    instead of gathering afterwards — a random 16M gather costs ~144 ms
+    on v5e while extra sort operands are nearly free
+    (benchmarks/roofline_probe4.py), so for a handful of columns this is
+    the faster single-fused kernel. Returns (compacted cols tuple,
+    null-row mask over the padded domain, count)."""
+    P = mask.shape[0]
+    valid = bitmap.length_words(P, n)
+    if mask_validity is not None:
+        mv = bitmap.expand_words(mask_validity & valid, P)
+    else:
+        mv = bitmap.expand_words(valid, P)
+    m = mask & mv
+    if null_selection == "emit_null":
+        sel = (mask | ~mv) & bitmap.expand_words(valid, P)
+        is_null_slot = ~mv & sel
+    else:
+        sel = m
+        is_null_slot = jnp.zeros_like(sel)
+    count = jnp.sum(sel.astype(INT_IDX))
+    flag = (~sel).astype(INT_IDX)
+    operands = (flag, is_null_slot.astype(INT_IDX)) + tuple(cols)
+    res = jax.lax.sort(operands, num_keys=1, is_stable=True)
+    out_null = res[1] == 1
+    return tuple(res[2:]), out_null, count
+
+
 def gather(values: jax.Array, indices: jax.Array) -> jax.Array:
     """Bounds-safe gather (negative/overflow indices clamp; validity handles
     their nullness)."""

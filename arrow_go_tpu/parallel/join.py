@@ -82,18 +82,33 @@ def local_join_inner(lkeys, lvalid, rkeys, rvalid, cap_out: int,
     right_orig = jnp.zeros(max(PR, 1), jnp.int32).at[
         jnp.where(is_right, rank, PR)].set(sorig, mode="drop")
 
-    # slot j -> emitting sorted position: scatter-max of position at its
-    # first output slot, then cummax forward-fill
+    # slot j -> pair: each emitting position scatters at its first output
+    # slot; cummax forward-fills the runs. MONOTONE quantities (sorted
+    # position, run start slot, right-rank base) fill directly — cummax
+    # of a monotone sequence's marks yields the owning run's value — so
+    # only li and ri need a gather each (probe4: per-slot random gathers
+    # are the expensive primitive).
     starts_j = offsets - emit_pos
-    mark = jnp.zeros(cap_out, jnp.int32).at[
-        jnp.where(emit_pos > 0, jnp.clip(starts_j, 0, cap_out - 1),
-                  cap_out)].max(pos, mode="drop")
-    rowpos = jax.lax.cummax(mark)
+    tgt = jnp.where(emit_pos > 0, jnp.clip(starts_j, 0, cap_out - 1),
+                    cap_out)
+    rowpos = jax.lax.cummax(
+        jnp.zeros(cap_out, jnp.int32).at[tgt].max(pos, mode="drop"))
+    fill_start = jax.lax.cummax(
+        jnp.zeros(cap_out, jnp.int32).at[tgt].max(starts_j, mode="drop"))
+    fill_rbase = jax.lax.cummax(
+        jnp.zeros(cap_out, jnp.int32).at[tgt].max(
+            jnp.where(emit_pos > 0, R_before, 0), mode="drop"))
     j = jnp.arange(cap_out, dtype=jnp.int32)
-    within = j - jnp.take(starts_j, rowpos)
-    r_rank = jnp.take(R_before, rowpos) + within
+    within = j - fill_start
+    r_rank = fill_rbase + within
     in_range = j < total
-    has_match = jnp.take(counts_pos, rowpos) > 0
+    if how == "left outer":
+        fill_match = jax.lax.cummax(
+            jnp.full(cap_out, -1, jnp.int32).at[tgt].max(
+                jnp.where(counts_pos > 0, pos, -1), mode="drop"))
+        has_match = fill_match == rowpos
+    else:
+        has_match = in_range
     li = jnp.where(in_range, jnp.take(sorig, rowpos), -1)
     ri = jnp.where(in_range & has_match,
                    jnp.take(right_orig, jnp.clip(r_rank, 0, max(PR - 1, 0))),

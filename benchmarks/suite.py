@@ -63,22 +63,18 @@ def build_program(n: int, nh: int):
         return lax.fori_loop(0, Ls[idx], body, init)
 
     @jax.jit
-    def program(bias, Ls):
+    def program(bias, Ls, mask0):
         """bias: f64 runtime zero (defeats constant folding);
-        Ls: int32[6] per-config trip counts. Returns f64[6] checksums."""
+        Ls: int32[6] per-config trip counts; mask0: bool[n] — the
+        engine's CACHED validity expansion (DeviceColumn.validity_mask
+        memoizes it; passing it as a real input stops XLA rematerializing
+        the expansion inside the loop). Returns f64[6] checksums."""
         iota = jnp.arange(n, dtype=jnp.int32)
         iota_h = jnp.arange(nh, dtype=jnp.int32)
         checks = []
 
         # 0: masked f64 sum (north star #1) -----------------------------
-        # the bool mask is expanded ONCE outside the chain — the engine's
-        # DeviceColumn caches the expansion (device/block.validity_mask;
-        # word->bool expansion costs ~2.5x the reduce itself, measured in
-        # benchmarks/roofline_probe3.py), so steady-state masked reduces
-        # read the cached mask
         vals = ((iota & 1023) + 1).astype(jnp.float64)
-        words = bitmap.pack_mask((iota % 20) != 0)
-        mask0 = bitmap.expand_words(words, n)
 
         def sum_body(_, carry):
             v, acc = carry
@@ -96,8 +92,11 @@ def build_program(n: int, nh: int):
             v = lax.dynamic_update_slice(
                 v, v[0:1] + bias.astype(v.dtype), (0,))
             m = v > 500
-            idx, cnt = selection.filter_indices(m, None, n)
-            out = selection.gather(v, idx)
+            # payload rides the compaction sort (filter_with_payload):
+            # one fused kernel, no random re-gather (probe4: 16M random
+            # gather ~144ms vs an extra sort operand ~free)
+            (out,), _nulls, cnt = selection.filter_with_payload(
+                m, None, n, (v,))
             return v, acc + (cnt + out[0] + out[n // 2]).astype(jnp.float64)
         _, acc1 = cfg_loop(Ls, 1, ft_body, (fvals, jnp.float64(0)))
         checks.append(acc1)
@@ -194,9 +193,10 @@ def main():
         K = len(configs)
         bias = jnp.float64(0)
         zeros = jnp.zeros(K, jnp.int32)
+        mask0 = jnp.asarray((np.arange(n) % 20) != 0)
 
         t0 = time.perf_counter()
-        c1 = np.asarray(program(bias, jnp.ones(K, jnp.int32)))  # compile
+        c1 = np.asarray(program(bias, jnp.ones(K, jnp.int32), mask0))  # compile
         print(json.dumps({"note": "compiled", "s": round(
             time.perf_counter() - t0, 1)}), flush=True)
         # exact oracle on the masked sum
@@ -205,7 +205,7 @@ def main():
 
         def run(Ls):
             t0 = time.perf_counter()
-            out = np.asarray(program(bias, Ls))
+            out = np.asarray(program(bias, Ls, mask0))
             return time.perf_counter() - t0, out
 
         for i, (name, rows, bytes_) in enumerate(configs):
