@@ -108,6 +108,40 @@ def hash_join(left, right, keys=None, *, left_keys=None, right_keys=None,
     lvalid = row_mask(PL, ldb.length) & (lcodes >= 0)
     rvalid = row_mask(PR, rdb.length) & (rcodes >= 0)
 
+    # common join types ride the sort-merge core (parallel/join.py —
+    # probe4: searchsorted costs ~430ms/16M queries on v5e, the merged
+    # sort ~50ms). Count-then-materialize: one cheap cap=1 pass sizes
+    # the output, then the real expansion runs at the padded capacity.
+    from ..parallel.join import local_join_inner, local_join_semi
+    if join_type in ("left semi", "left anti"):
+        verdict = local_join_semi(lcodes, lvalid, rcodes, rvalid, join_type)
+        mask = verdict if join_type == "left semi" else \
+            (verdict | ~(lcodes >= 0)) & row_mask(PL, ldb.length)
+        return _select_left(left, mask & row_mask(PL, ldb.length),
+                            ldb.length)
+    if join_type in ("inner", "left outer"):
+        from ..device.block import pad_length
+        *_, total_dev, _ov = local_join_inner(
+            lcodes, lvalid, rcodes, rvalid, 1, how=join_type)
+        total = int(total_dev)
+        # left outer also emits NULL-KEY left rows (they match nothing
+        # but stay in the output with a null right side)
+        null_left = row_mask(PL, ldb.length) & ~(lcodes >= 0)
+        n_null = int(jnp.sum(null_left.astype(jnp.int32))) \
+            if join_type == "left outer" else 0
+        out_n = total + n_null
+        cap = pad_length(max(out_n, 1))
+        li, ri, _, _ = local_join_inner(
+            lcodes, lvalid, rcodes, rvalid, cap, how=join_type)
+        if n_null:
+            null_rows = jnp.nonzero(null_left, size=PL, fill_value=-1
+                                    )[0].astype(jnp.int32)
+            li = jax.lax.dynamic_update_slice(li, null_rows[:n_null],
+                                              (total,))
+        return _emit_join_output(left, right, ldb, rdb, li, ri, out_n,
+                                 left_keys, right_keys, join_type,
+                                 left_suffix, right_suffix)
+
     # build side: sort right codes with original indices
     BIG = jnp.int64(1) << 62
     rsort_key = jnp.where(rvalid, rcodes, BIG)

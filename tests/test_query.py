@@ -247,3 +247,25 @@ def test_hash_join_nested_payload_and_scale():
                                     for c in ("k", "lv", "rv")])),
                    key=lambda x: (x[0] is None, x))
         assert a == b, how_ours
+
+
+def test_hash_join_null_keys_all_types():
+    """Null join keys never match; anti includes null-key left rows
+    (reference SQL semantics) — exercised on the sort-merge fast path."""
+    import pyarrow as pa
+    lt = agt.table({"k": agt.array([1, None, 2, 3], dt.int64),
+                    "v": agt.array([10, 20, 30, 40], dt.int64)})
+    rt = agt.table({"k": agt.array([2, None, 3], dt.int64),
+                    "w": agt.array([5, 6, 7], dt.int64)})
+    plt = pa.table({"k": [1, None, 2, 3], "v": [10, 20, 30, 40]})
+    prt = pa.table({"k": [2, None, 3], "w": [5, 6, 7]})
+    for how in ("inner", "left outer", "left semi", "left anti"):
+        got = pc.hash_join(lt, rt, "k", join_type=how)
+        want = plt.join(prt, "k", join_type=how)
+        cols = [c for c in ("k", "v", "w") if c in want.column_names
+                and c in got.schema.names]
+        ga = sorted(map(tuple, zip(*[got.column(c).to_pylist()
+                                     for c in cols])), key=str)
+        wa = sorted(map(tuple, zip(*[want.column(c).to_pylist()
+                                     for c in cols])), key=str)
+        assert ga == wa, (how, ga, wa)
