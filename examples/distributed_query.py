@@ -73,5 +73,66 @@ def main():
           f"(min={merged[0]}, max={merged[-1]})")
 
 
+
+
+
+def skew_and_strings():
+    """Round-3 tier (parallel/dist.py): Zipf-skewed keys + multi-column
+    string-keyed queries. Run after main() on the same mesh env."""
+    import jax
+    import jax.numpy as jnp
+    from arrow_go_tpu.parallel import dist, make_mesh, row_sharding
+
+    mesh = make_mesh()
+    D = mesh.devices.size
+    sh = row_sharding(mesh)
+    N = 2048 * D
+    rng = np.random.default_rng(1)
+
+    # 80%-hot key: the pre-aggregating group-by finishes at a capacity far
+    # below the hot key's row count (one partial row per shard per group)
+    zkeys = np.where(rng.random(N) < 0.8, 7,
+                     rng.integers(0, 50, N)).astype(np.int64)
+    vals = rng.integers(0, 100, N).astype(np.int64)
+    gfn = dist.make_distributed_group_by(
+        mesh, cap=128, n_keys=1,
+        agg_specs=((0, "sum"), (0, "mean"), (0, "max")), n_vals=1)
+    keys_out, aggs, ngroups, ov = gfn(
+        jax.device_put(jnp.asarray(zkeys), sh),
+        jax.device_put(jnp.asarray(vals), sh),
+        jax.device_put(jnp.ones(N, jnp.bool_), sh))
+    assert not bool(ov)
+    print(f"skewed group-by: {int(np.asarray(ngroups).sum())} groups, "
+          f"no overflow at cap 128 (hot key has ~{int((zkeys == 7).sum())} rows)")
+
+    # hot-key broadcast join: the hot probe rows never move; the hot build
+    # rows broadcast over ICI
+    rk = rng.integers(0, 50, N).astype(np.int64)
+    jfn = dist.make_distributed_join(
+        mesh, cap_shuffle=1024, cap_out=1 << 18, n_keys=1, n_lpay=1,
+        n_rpay=1, hot_k=4, hot_thresh=64, cap_hot=128, cap_hot_out=1 << 20)
+    out = jfn(jax.device_put(jnp.asarray(zkeys), sh),
+              jax.device_put(jnp.asarray(vals), sh),
+              jax.device_put(jnp.ones(N, jnp.bool_), sh),
+              jax.device_put(jnp.asarray(rk), sh),
+              jax.device_put(jnp.asarray(vals), sh),
+              jax.device_put(jnp.ones(N, jnp.bool_), sh))
+    assert not bool(out[-1])
+    pairs = int(np.asarray(out[4]).sum() + np.asarray(out[9]).sum())
+    print(f"hot-key broadcast join: {pairs} pairs, overflow-free")
+
+    # multi-column string keys ride as shared dictionary codes
+    s1 = rng.integers(0, 25, N).astype(np.int32)     # codes of 25 strings
+    s2 = rng.integers(0, 3, N).astype(np.int64)
+    mfn = dist.make_distributed_group_by(
+        mesh, cap=128, n_keys=2, agg_specs=((0, "count"),), n_vals=1)
+    mout = mfn(jax.device_put(jnp.asarray(s1), sh),
+               jax.device_put(jnp.asarray(s2), sh),
+               jax.device_put(jnp.asarray(vals), sh),
+               jax.device_put(jnp.ones(N, jnp.bool_), sh))
+    print(f"string 2-key group-by: {int(np.asarray(mout[2]).sum())} groups")
+
+
 if __name__ == "__main__":
     main()
+    skew_and_strings()

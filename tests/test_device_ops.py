@@ -242,3 +242,42 @@ def test_string_ingest_vectorized_roundtrip():
     a = agt.array(fvals, dt.fixed_size_binary(8))
     back = from_device(to_device(a)).decode()
     assert back.to_pylist() == a.to_pylist()
+
+
+def test_device_list_column_take_filter():
+    """Device-resident list<primitive> selection (round-2 stretch goal):
+    offsets + flat child in HBM, take/filter run the prefix-sum run
+    expansion on device — bit-exact vs the host kernels."""
+    from arrow_go_tpu.device.block import (
+        list_to_device, list_from_device, list_take_device)
+    from arrow_go_tpu.ops import selection
+    rng2 = np.random.default_rng(9)
+    n = 3000
+    vals = [None if rng2.random() < 0.12 else
+            [int(x) for x in rng2.integers(0, 1000, rng2.integers(0, 6))]
+            for _ in range(n)]
+    a = agt.array(vals, dt.list_(dt.int64))
+    col = list_to_device(a)
+    assert col.null_count == sum(v is None for v in vals)
+    # identity round trip
+    back = list_from_device(col)
+    assert back.to_pylist() == vals
+    # take with nulls + repeats
+    idx_host = [None if rng2.random() < 0.05 else int(rng2.integers(0, n))
+                for _ in range(1500)]
+    import jax.numpy as jnp
+    P_out = pad_length(len(idx_host))
+    idx = np.full(P_out, -1, np.int32)
+    idx[:len(idx_host)] = [-1 if i is None else i for i in idx_host]
+    out = list_take_device(col, jnp.asarray(idx), len(idx_host))
+    got = list_from_device(out).to_pylist()
+    want = [None if i is None else vals[i] for i in idx_host]
+    assert got == want
+    # filter via device mask -> indices -> list take
+    mask = rng2.random(n) < 0.5
+    m = jnp.zeros(col.padded, jnp.bool_).at[:n].set(jnp.asarray(mask))
+    idx2, cnt = selection.filter_indices(m, None, n)
+    out2 = list_take_device(col, idx2.astype(jnp.int32), int(cnt))
+    got2 = list_from_device(out2).to_pylist()
+    want2 = [v for v, k in zip(vals, mask) if k]
+    assert got2 == want2
