@@ -244,10 +244,13 @@ def make_distributed_join(mesh: Mesh, cap_shuffle: int, cap_out: int,
     """Jitted distributed join over multi-column keys with payloads.
 
     how: 'inner' | 'left outer' | 'left semi' | 'left anti'.
-    hot_k > 0 enables skew handling: per-shard top-hot_k keys with local
-    count > hot_thresh join via build-side broadcast (capacity cap_hot
-    rows per shard broadcast; cap_hot_out output pairs) instead of the
-    hash exchange.
+    hot_k > 0 enables skew handling: per-shard top-hot_k PROBE-side
+    (left) keys with local count > hot_thresh join via build-side
+    broadcast (capacity cap_hot rows per shard broadcast; cap_hot_out
+    output pairs) instead of the hash exchange. Limitation: build-side
+    (right) skew is not salted — a key hot only on the right still
+    hash-routes its build rows to one shard (raise cap_shuffle / swap
+    sides for that shape).
 
     Inputs (row-sharded): *lkeys, *lpays, lvalid, *rkeys, *rpays, rvalid.
     Outputs per shard: key cols + left payloads + right payloads of the

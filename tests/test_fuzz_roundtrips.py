@@ -8,6 +8,7 @@ import pytest
 
 import arrow_go_tpu as agt
 from arrow_go_tpu import dtypes as dt
+from arrow_go_tpu import compute as pc
 from arrow_go_tpu import ipc
 from arrow_go_tpu import parquet as pq
 
@@ -124,3 +125,29 @@ def test_fuzz_pyarrow_ipc_to_ours(seed):
         w.write_batch(prb)
     back = ipc.open_stream(sink.getvalue()).read_next_batch()
     assert back.to_pydict() == rb.to_pydict()
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_fuzz_filter_take_vs_pyarrow(seed):
+    """Random mixed batches (flat + nested + dict columns, random nulls)
+    through filter/take, bit-exact vs pyarrow."""
+    pa = pytest.importorskip("pyarrow")
+    import pyarrow.compute as pac
+    from fixtures import random_batch
+    from arrow_go_tpu.interop.pyarrow_interop import record_batch_to_pyarrow
+    rng = np.random.default_rng(100 + seed)
+    rb = random_batch(seed, n=60)
+    prb = record_batch_to_pyarrow(rb)
+    n = rb.num_rows
+    mask = [None if rng.random() < 0.07 else bool(rng.random() < 0.5)
+            for _ in range(n)]
+    got = pc.filter(rb, agt.array(mask, dt.bool_))
+    want = prb.filter(pa.array(mask, pa.bool_()))
+    assert got.to_pydict() == pyarrow_comparable(
+        pa.Table.from_batches([want])), seed
+    idx = [None if rng.random() < 0.07 else int(rng.integers(0, n))
+           for _ in range(40)]
+    got2 = pc.take(rb, agt.array(idx, dt.int64))
+    want2 = prb.take(pa.array(idx, pa.int64()))
+    assert got2.to_pydict() == pyarrow_comparable(
+        pa.Table.from_batches([want2])), seed
