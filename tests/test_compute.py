@@ -482,3 +482,24 @@ def test_decimal128_sort_multiword_keys():
     assert pc.sort_indices(a).to_pylist() == [1, 3, 0, 2]
     assert pc.sort(a, order="descending").to_pylist() == \
         [D("2.5"), D("0.1"), D("-1.0"), None]
+
+
+def test_nan_zero_canonicalization_parity():
+    """NaN unification + distinct +/-0.0 in unique/group_by, NaN above
+    +inf and nulls last in sort — matches pyarrow (SURVEY hard part:
+    null-semantics bit-exactness risks)."""
+    import pyarrow as pa
+    import pyarrow.compute as pac
+    vals = [1.0, float("nan"), -0.0, 0.0, float("nan"), 1.0, None]
+    a = agt.array(vals, dt.float64)
+    ours = [str(v) for v in pc.unique(a).to_pylist()]
+    pas = [str(v) for v in pac.unique(pa.array(vals, pa.float64())).to_pylist()]
+    assert ours == pas
+    t = agt.table({"k": a, "v": agt.array([1] * 7, dt.int64)})
+    g = pc.group_by(t, ["k"], [("v", "count")])
+    assert g.column("v_count").to_pylist() == [2, 2, 1, 1, 1]
+    s = pc.sort(agt.array([3.0, float("nan"), None, float("inf"), -1.0],
+                          dt.float64))
+    got = s.to_pylist()
+    assert got[:3] == [-1.0, 3.0, float("inf")]
+    assert np.isnan(got[3]) and got[4] is None
