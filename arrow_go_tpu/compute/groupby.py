@@ -15,17 +15,17 @@ Null keys form their own group (groups appear in first-occurrence order).
 from __future__ import annotations
 
 import functools
-from typing import Any, List, Optional, Sequence, Tuple
+from typing import List, Sequence, Tuple
 
 import numpy as np
 
 from ..jaxenv import jax, jnp
 from .. import dtypes as dt
-from ..array.arrays import Array, from_numpy, make_array, take_host
+from ..array.arrays import Array, from_numpy, take_host
 from ..array.record import RecordBatch, Table
-from ..device.block import DeviceBatch, DeviceColumn, batch_to_device, row_mask
+from ..device.block import batch_to_device, row_mask
 from ..ops import bitmap, hashing
-from .errors import ArrowInvalid, ArrowNotImplemented
+from .errors import ArrowNotImplemented
 
 _AGGS = ("sum", "count", "count_all", "min", "max", "mean", "product",
          "any", "all", "first", "last")

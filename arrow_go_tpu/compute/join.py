@@ -13,7 +13,7 @@ left anti; multi-column keys; null keys never match (SQL semantics).
 from __future__ import annotations
 
 import functools
-from typing import List, Optional, Sequence, Tuple
+from typing import List, Sequence
 
 import numpy as np
 

@@ -14,7 +14,6 @@ checking.
 """
 from __future__ import annotations
 
-import functools
 from typing import Optional, Tuple
 
 from ..jaxenv import jax, jnp

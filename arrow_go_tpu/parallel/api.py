@@ -1,0 +1,196 @@
+"""Table-level entry points for the distributed tier.
+
+The kernels in parallel/dist.py speak raw sharded arrays; these wrappers
+speak the engine's data model: Table/RecordBatch in, host RecordBatch
+out. Columns shard row-wise over the mesh (`jax.device_put` with a
+NamedSharding), string keys ride as their ingest dictionary codes, and
+group results come back decoded. This is the surface a reference user
+reaches for ("run this GROUP BY across chips") without touching
+shard_map (reference analog: the Flight endpoint fan-out a client would
+hand-roll; SURVEY.md §5 distributed backend).
+"""
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..jaxenv import jax, jnp
+from .. import dtypes as dt
+from ..array.arrays import Array, from_numpy, take_host
+from ..array.record import RecordBatch, Table
+from ..compute.errors import ArrowInvalid, ArrowNotImplemented
+from ..device.block import DeviceColumn, batch_to_device
+from . import dist
+from .mesh import make_mesh, row_sharding
+
+from jax.sharding import Mesh
+
+
+def _as_batch(data) -> RecordBatch:
+    if isinstance(data, Table):
+        return RecordBatch(data.schema,
+                           [data.column(i).combine()
+                            for i in range(data.num_columns)],
+                           data.num_rows)
+    return data
+
+
+def _shard_columns(rb: RecordBatch, names: Sequence[str], mesh: Mesh):
+    """Columns -> row-sharded device arrays padded to a D multiple.
+    Returns (arrays, valid mask, DeviceColumns for decode, n_rows)."""
+    D = mesh.devices.size
+    sh = row_sharding(mesh)
+    db = batch_to_device(rb)
+    n = rb.num_rows
+    P = -(-max(n, 1) // (128 * D)) * (128 * D)
+    arrays, cols = [], []
+    valid = np.ones(P, np.bool_)
+    valid[n:] = False
+    for nm in names:
+        c = db.column(nm)
+        if not isinstance(c, DeviceColumn) or c.values.ndim != 1:
+            raise ArrowNotImplemented(
+                f"distributed ops need flat device columns ({nm})")
+        v = np.zeros(P, np.asarray(c.values).dtype)
+        v[:n] = np.asarray(jax.device_get(c.values))[:n]
+        arrays.append(jax.device_put(jnp.asarray(v), sh))
+        if c.validity is not None:
+            valid[:n] &= np.asarray(jax.device_get(c.validity_mask()))[:n]
+        cols.append(c)
+    return arrays, jax.device_put(jnp.asarray(valid), sh), cols, n
+
+
+def _decode_key(vals: np.ndarray, col: DeviceColumn) -> Array:
+    if col.type.id == dt.TypeId.DICTIONARY:
+        codes = np.clip(vals.astype(np.int64), 0,
+                        max(len(col.dictionary) - 1, 0))
+        return take_host(col.dictionary, codes)
+    return from_numpy(vals.astype(col.type.np_dtype), None, col.type)
+
+
+def distributed_group_by(data, keys, aggregations: Sequence[Tuple[str, str]],
+                         mesh: Optional[Mesh] = None,
+                         cap: Optional[int] = None) -> RecordBatch:
+    """GROUP BY across the mesh (pre-aggregating, skew-proof). Output
+    column order matches compute.group_by: keys then '<col>_<agg>'."""
+    rb = _as_batch(data)
+    if isinstance(keys, str):
+        keys = [keys]
+    mesh = mesh or make_mesh()
+    val_names: List[str] = []
+    agg_specs = []
+    for cname, agg in aggregations:
+        if cname not in val_names:
+            val_names.append(cname)
+        agg_specs.append((val_names.index(cname), agg))
+    key_arrays, valid, key_cols, n = _shard_columns(rb, keys, mesh)
+    val_arrays, _, val_cols, _ = _shard_columns(rb, val_names, mesh)
+
+    D = mesh.devices.size
+    if cap is None:
+        cap = max(128, key_arrays[0].shape[0] // D)
+    fn = dist.make_distributed_group_by(mesh, cap, len(keys),
+                                        tuple(agg_specs), len(val_names))
+    keys_out, aggs_out, ngroups, overflow = fn(*key_arrays, *val_arrays,
+                                               valid)
+    if bool(overflow):
+        raise ArrowInvalid("distributed group_by capacity overflow; "
+                           "raise cap")
+    ng = np.asarray(jax.device_get(ngroups))
+    L = np.asarray(keys_out[0]).shape[0] // D
+    keep = np.concatenate([np.arange(d * L, d * L + int(ng[d]))
+                           for d in range(D)]) if ng.sum() else \
+        np.zeros(0, np.int64)
+
+    out_cols: List[Array] = []
+    names: List[str] = []
+    for nm, kc, ka in zip(keys, key_cols, keys_out):
+        vals = np.asarray(jax.device_get(ka))[keep]
+        out_cols.append(_decode_key(vals, kc))
+        names.append(nm)
+    for (cname, agg), ao in zip(aggregations, aggs_out):
+        vals = np.asarray(jax.device_get(ao))[keep]
+        out_cols.append(from_numpy(vals))
+        names.append(f"{cname}_{agg}")
+    return RecordBatch.from_arrays(out_cols, names)
+
+
+def distributed_hash_join(left, right, keys, mesh: Optional[Mesh] = None,
+                          cap_shuffle: Optional[int] = None,
+                          cap_out: Optional[int] = None,
+                          hot_k: int = 0, hot_thresh: int = 0,
+                          left_suffix: str = "",
+                          right_suffix: str = "_right") -> RecordBatch:
+    """Inner join across the mesh (multi-column keys; hot_k>0 turns on
+    the hot-key broadcast path for Zipf-skewed probe keys)."""
+    lrb, rrb = _as_batch(left), _as_batch(right)
+    if isinstance(keys, str):
+        keys = [keys]
+    mesh = mesh or make_mesh()
+    D = mesh.devices.size
+    lpay = [f.name for f in lrb.schema.fields if f.name not in keys]
+    rpay = [f.name for f in rrb.schema.fields if f.name not in keys]
+
+    lk, lvalid, lk_cols, _ = _shard_columns(lrb, keys, mesh)
+    lp, _, lp_cols, _ = _shard_columns(lrb, lpay, mesh)
+    rk, rvalid, rk_cols, _ = _shard_columns(rrb, keys, mesh)
+    rp, _, rp_cols, _ = _shard_columns(rrb, rpay, mesh)
+    # string keys must share ONE code space across both sides
+    for nm, lc, rc in zip(keys, lk_cols, rk_cols):
+        if (lc.type.id == dt.TypeId.DICTIONARY) != \
+                (rc.type.id == dt.TypeId.DICTIONARY):
+            raise ArrowInvalid(f"join key {nm}: both sides must be "
+                               "strings or both numeric")
+        if lc.type.id == dt.TypeId.DICTIONARY:
+            if lc.dictionary.to_pylist() != rc.dictionary.to_pylist():
+                raise ArrowNotImplemented(
+                    f"join key {nm}: dictionary code spaces differ; "
+                    "unify dictionaries before a distributed join")
+    if cap_shuffle is None:
+        cap_shuffle = max(256, lk[0].shape[0] // D)
+    if cap_out is None:
+        # per-shard pair capacity: key-hash concentration means one shard
+        # can own many keys' full fan-out; default generously to 8x the
+        # GLOBAL row count (callers at large scale pass an explicit cap;
+        # overflow raises with a clear message rather than truncating)
+        cap_out = 8 * lk[0].shape[0]
+    fn = dist.make_distributed_join(
+        mesh, cap_shuffle, cap_out, n_keys=len(keys),
+        n_lpay=len(lpay), n_rpay=len(rpay), hot_k=hot_k,
+        hot_thresh=hot_thresh,
+        cap_hot=max(cap_shuffle // 4, 64) if hot_k else 0,
+        cap_hot_out=cap_out if hot_k else 0)
+    out = fn(*lk, *lp, lvalid, *rk, *rp, rvalid)
+    if bool(out[-1]):
+        raise ArrowInvalid("distributed join capacity overflow; raise caps")
+
+    def collect(keys_o, lp_o, rp_o, counts):
+        cn = np.asarray(jax.device_get(counts))
+        L = np.asarray(keys_o[0] if keys_o else lp_o[0]).shape[0] // D
+        keep = np.concatenate([np.arange(d * L, d * L + int(cn[d]))
+                               for d in range(D)]) if cn.sum() else \
+            np.zeros(0, np.int64)
+        cols, names = [], []
+        for nm, kc, ka in zip(keys, lk_cols, keys_o):
+            cols.append(_decode_key(np.asarray(jax.device_get(ka))[keep], kc))
+            names.append(nm)
+        for nm, pc_, pa in zip(lpay, lp_cols, lp_o):
+            cols.append(_decode_key(np.asarray(jax.device_get(pa))[keep], pc_))
+            names.append(nm + left_suffix)
+        for nm, pc_, pa in zip(rpay, rp_cols, rp_o):
+            cols.append(_decode_key(np.asarray(jax.device_get(pa))[keep], pc_))
+            names.append(nm + (right_suffix if nm + left_suffix in names
+                               else ""))
+        return cols, names
+
+    if hot_k:
+        (ok, olp, orp, _rm, n_out, hk, hlp, hrp, _hrm, hn, _ov) = out
+        c1, names = collect(ok, olp, orp, n_out)
+        c2, _ = collect(hk, hlp, hrp, hn)
+        from ..array.concat import concat_arrays
+        cols = [concat_arrays([a, b]) for a, b in zip(c1, c2)]
+        return RecordBatch.from_arrays(cols, names)
+    ok, olp, orp, _rm, n_out, _ov = out
+    cols, names = collect(ok, olp, orp, n_out)
+    return RecordBatch.from_arrays(cols, names)

@@ -26,12 +26,10 @@ the step (overflow flags and counts return as device scalars).
 """
 from __future__ import annotations
 
-import functools
-from typing import NamedTuple, Optional, Sequence, Tuple
+from typing import Tuple
 
 from ..jaxenv import jax, jnp
 from .. import dtypes as dt
-from ..device.block import row_mask
 from ..ops import bitmap, hashing
 
 from jax import shard_map

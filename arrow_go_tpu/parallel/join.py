@@ -9,10 +9,9 @@ join is ONE jitted XLA program.
 """
 from __future__ import annotations
 
-from typing import NamedTuple, Tuple
+from typing import Tuple
 
 from ..jaxenv import jax, jnp
-from ..device.block import row_mask
 from ..ops import hashing
 
 from jax import shard_map

@@ -22,8 +22,6 @@ mesh and is wired into benchmarks/suite.py.
 from __future__ import annotations
 
 import time
-from typing import Tuple
-
 from ..jaxenv import jax, jnp
 from ..ops import hashing, hashtable
 

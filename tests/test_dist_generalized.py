@@ -286,3 +286,38 @@ def test_bench_overlap_runs(mesh):
     b, s = overlap.bench_overlap(mesh, n_rows_per_shard=4096, n_keys=64,
                                  n_chunks=4, repeats=2)
     assert b > 0 and s > 0
+
+
+def test_table_level_distributed_api(mesh, rng):
+    """parallel.api: Table in -> host RecordBatch out, string keys ride
+    dictionary codes and come back decoded."""
+    import arrow_go_tpu as agt
+    from arrow_go_tpu.parallel import (distributed_group_by,
+                                       distributed_hash_join)
+    n = 1200
+    t = agt.table({
+        "cat": agt.array([f"c{int(x)}" for x in rng.integers(0, 7, n)]),
+        "region": agt.from_numpy(rng.integers(0, 3, n)),
+        "v": agt.from_numpy(rng.standard_normal(n))})
+    g = distributed_group_by(t, ["cat", "region"],
+                             [("v", "sum"), ("v", "count")], mesh=mesh)
+    cats = t.column("cat").combine().to_pylist()
+    regs = t.column("region").combine().to_pylist()
+    vs = np.asarray(t.column("v").combine().to_numpy())
+    got = {(c, r): (s, k) for c, r, s, k in zip(
+        g.column("cat").to_pylist(), g.column("region").to_pylist(),
+        g.column("v_sum").to_pylist(), g.column("v_count").to_pylist())}
+    for key in set(zip(cats, regs)):
+        m = np.array([(c, r) == key for c, r in zip(cats, regs)])
+        np.testing.assert_allclose(got[key][0], vs[m].sum(), rtol=1e-9)
+        assert got[key][1] == int(m.sum())
+
+    lt = agt.table({"k": agt.from_numpy(rng.integers(0, 40, 800)),
+                    "lv": agt.from_numpy(np.arange(800))})
+    rt = agt.table({"k": agt.from_numpy(rng.integers(0, 40, 500)),
+                    "rv": agt.from_numpy(np.arange(500))})
+    j = distributed_hash_join(lt, rt, "k", mesh=mesh)
+    cl = collections.Counter(lt.column("k").combine().to_pylist())
+    cr = collections.Counter(rt.column("k").combine().to_pylist())
+    assert j.num_rows == sum(cl[k] * cr[k] for k in cl)
+    assert set(j.schema.names) == {"k", "lv", "rv"}
