@@ -4,9 +4,11 @@ TPU-native counterpart of the reference's vector_selection kernels
 (arrow/compute/internal/kernels/vector_selection.go — primitiveFilterImpl
 bit-run batching, getTakeIndices at :102, take-with-bounds-check). The
 XLA-static-shape answer to dynamic output sizes (SURVEY.md §7 hard parts)
-is count-then-materialize: a prefix-sum scatter produces a dense index
-vector in a capacity-bounded output plus a device-scalar count; trimming
-to the true length happens only at a host boundary.
+is count-then-materialize: ONE stable sort on the selection flag
+compacts selected rows to the front (XLA TPU scatter is serial —
+benchmarks/roofline_probe4.py), yielding the dense index vector plus a
+device-scalar count; trimming to the true length happens only at a host
+boundary.
 
 Null-selection semantics match the reference's FilterOptions
 (DropNulls / EmitNulls, vector_selection.go:34) and TakeOptions bounds
@@ -51,8 +53,8 @@ def filter_indices(mask: jax.Array, mask_validity: Optional[jax.Array], n,
     src = jnp.where(is_null_slot, -1, src)
     # compaction via ONE stable sort on the selection flag: selected rows
     # (flag 0) float to the front in original order — the dense index
-    # vector directly. XLA scatter on TPU is serial; lax.sort is the
-    # vectorized bitonic network, ~6x faster at 16M rows.
+    # vector directly. XLA scatter on TPU is serial (113ms/16M) vs the
+    # sort network's 50ms (probe4).
     flag = (~sel).astype(INT_IDX)
     _, out = jax.lax.sort((flag, src), num_keys=1, is_stable=True)
     return out, count

@@ -61,7 +61,15 @@ def main():
             start = (shi != prev_hi) | (slo != prev_lo) | (iota == 0)
             n_unique = jnp.sum(start.astype(jnp.int32))
             vs = jnp.take(hv, sidx)                      # key-order values
-            cs = jnp.cumsum(vs)
+            # chunked 2-D cumsum: jnp.cumsum on 4M i64 trips an XLA
+            # scoped-VMEM failure (64-bit reduce-window); row-wise cumsum
+            # + row-prefix add compiles and is mathematically identical
+            C = 2048
+            v2 = vs.reshape(C, nh // C)
+            row_cs = jnp.cumsum(v2, axis=1)
+            row_tot = row_cs[:, -1]
+            row_pref = jnp.cumsum(row_tot) - row_tot
+            cs = (row_cs + row_pref[:, None]).reshape(-1)
             start_pos = jax.lax.cummax(jnp.where(start, iota, 0))
             base = jnp.where(start_pos > 0,
                              jnp.take(cs, jnp.maximum(start_pos - 1, 0)), 0)
