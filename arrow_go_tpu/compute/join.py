@@ -3,8 +3,9 @@
 North-star config #5 machinery (BASELINE.json): the local join kernel under
 the distributed hash join. Device algorithm: encode both sides' keys into
 ONE shared code space (sort-based encode over the concatenated key column),
-sort the right side's codes, then probe with searchsorted — every step is
-static-shape XLA (sort/gather/scan); output cardinality is fetched once at
+then run the SORT-MERGE core (parallel/join.py: one combined sort of
+[build; probe], prefix-sum match counts, scatter-fill pair expansion) —
+every step is static-shape XLA; output cardinality is fetched once at
 the host boundary to size the result bucket (count-then-materialize).
 
 Supported: inner, left outer, right outer, full outer, left semi,
@@ -12,7 +13,6 @@ left anti; multi-column keys; null keys never match (SQL semantics).
 """
 from __future__ import annotations
 
-import functools
 from typing import List, Sequence
 
 import numpy as np
@@ -119,112 +119,45 @@ def hash_join(left, right, keys=None, *, left_keys=None, right_keys=None,
             (verdict | ~(lcodes >= 0)) & row_mask(PL, ldb.length)
         return _select_left(left, mask & row_mask(PL, ldb.length),
                             ldb.length)
-    if join_type in ("inner", "left outer"):
-        from ..device.block import pad_length
-        *_, total_dev, _ov = local_join_inner(
-            lcodes, lvalid, rcodes, rvalid, 1, how=join_type)
-        total = int(total_dev)
-        # left outer also emits NULL-KEY left rows (they match nothing
-        # but stay in the output with a null right side)
-        null_left = row_mask(PL, ldb.length) & ~(lcodes >= 0)
-        n_null = int(jnp.sum(null_left.astype(jnp.int32))) \
-            if join_type == "left outer" else 0
-        out_n = total + n_null
-        cap = pad_length(max(out_n, 1))
-        li, ri, _, _ = local_join_inner(
-            lcodes, lvalid, rcodes, rvalid, cap, how=join_type)
-        if n_null:
-            null_rows = jnp.nonzero(null_left, size=PL, fill_value=-1
-                                    )[0].astype(jnp.int32)
-            li = jax.lax.dynamic_update_slice(li, null_rows[:n_null],
-                                              (total,))
-        return _emit_join_output(left, right, ldb, rdb, li, ri, out_n,
-                                 left_keys, right_keys, join_type,
-                                 left_suffix, right_suffix)
-
-    # build side: sort right codes with original indices
-    BIG = jnp.int64(1) << 62
-    rsort_key = jnp.where(rvalid, rcodes, BIG)
-    r_iota = jnp.arange(PR, dtype=jnp.int32)
-    rk_sorted, ridx_sorted = jax.lax.sort((rsort_key, r_iota), num_keys=1,
-                                          is_stable=True)
-
-    # probe: match range per left row
-    lq = jnp.where(lvalid, lcodes, BIG - 1)
-    lo = jnp.searchsorted(rk_sorted, lq, side="left", method="sort")
-    hi = jnp.searchsorted(rk_sorted, lq, side="right", method="sort")
-    counts = jnp.where(lvalid, hi - lo, 0)
-
-    if join_type == "left semi":
-        mask = (counts > 0) & row_mask(PL, ldb.length)
-        return _select_left(left, mask, ldb.length)
-    if join_type == "left anti":
-        mask = (counts == 0) & row_mask(PL, ldb.length)
-        return _select_left(left, mask, ldb.length)
     if join_type in ("right semi", "right anti"):
-        r_matched = _right_matched(rk_sorted, ridx_sorted, lq, lvalid, PR)
-        mask = r_matched if join_type == "right semi" else ~r_matched
-        mask = mask & row_mask(PR, rdb.length)
-        return _select_left(right, mask, rdb.length)
+        how_swapped = ("left semi" if join_type == "right semi"
+                       else "left anti")
+        verdict = local_join_semi(rcodes, rvalid, lcodes, lvalid,
+                                  how_swapped)
+        mask = verdict if join_type == "right semi" else \
+            (verdict | ~(rcodes >= 0)) & row_mask(PR, rdb.length)
+        return _select_left(right, mask & row_mask(PR, rdb.length),
+                            rdb.length)
 
+    # inner / left outer / right outer / full outer
+    from ..device.block import pad_length
+    *_, total_dev, _ov = local_join_inner(
+        lcodes, lvalid, rcodes, rvalid, 1, how=join_type)
+    total = int(total_dev)
+    # outer joins also emit NULL-KEY rows of their outer side (they match
+    # nothing but stay in the output with a null opposite side)
     outer_left = join_type in ("left outer", "full outer")
     outer_right = join_type in ("right outer", "full outer")
-
-    if outer_left:
-        emit = jnp.maximum(counts, 1)
-        emit = jnp.where(row_mask(PL, ldb.length), emit, 0)
-    else:
-        emit = jnp.where(row_mask(PL, ldb.length), counts, 0)
-
-    offsets = jnp.cumsum(emit)
-    total = int(offsets[-1]) if PL else 0
-
-    n_extra = 0
-    r_matched = None
-    if outer_right:
-        r_matched = _right_matched(rk_sorted, ridx_sorted, lq, lvalid, PR)
-        r_unmatched = ~r_matched & row_mask(PR, rdb.length)
-        n_extra = int(jnp.sum(r_unmatched.astype(jnp.int32)))
-
-    # materialize pair indices ON DEVICE (count-then-materialize: out_n is
-    # the single host sync sizing the output bucket; the expansion itself
-    # is the same traced searchsorted program as parallel/join.py's
-    # local_join_inner — no np.repeat, no host pair buffers)
-    out_n = total + n_extra
-    from ..device.block import pad_length
+    null_left = row_mask(PL, ldb.length) & ~(lcodes >= 0)
+    null_right = row_mask(PR, rdb.length) & ~(rcodes >= 0)
+    n_null_l = int(jnp.sum(null_left.astype(jnp.int32))) if outer_left else 0
+    n_null_r = int(jnp.sum(null_right.astype(jnp.int32))) if outer_right else 0
+    out_n = total + n_null_l + n_null_r
     cap = pad_length(max(out_n, 1))
-    li, ri = _expand_pairs(lo, counts, emit, offsets, ridx_sorted,
-                           total, cap, PL, max(PR, 1))
-    if n_extra:
-        extra_rows = jnp.nonzero(~r_matched & row_mask(PR, rdb.length),
-                                 size=PR, fill_value=-1)[0].astype(jnp.int32)
-        ri = jax.lax.dynamic_update_slice(ri, extra_rows[:n_extra],
-                                          (total,))
-
+    li, ri, _, _ = local_join_inner(
+        lcodes, lvalid, rcodes, rvalid, cap, how=join_type)
+    if n_null_l:
+        rows = jnp.nonzero(null_left, size=PL, fill_value=-1
+                           )[0].astype(jnp.int32)
+        li = jax.lax.dynamic_update_slice(li, rows[:n_null_l], (total,))
+    if n_null_r:
+        rows = jnp.nonzero(null_right, size=PR, fill_value=-1
+                           )[0].astype(jnp.int32)
+        ri = jax.lax.dynamic_update_slice(ri, rows[:n_null_r],
+                                          (total + n_null_l,))
     return _emit_join_output(left, right, ldb, rdb, li, ri, out_n,
                              left_keys, right_keys, join_type,
                              left_suffix, right_suffix)
-
-
-@functools.partial(jax.jit, static_argnames=("cap", "PL", "PR"))
-def _expand_pairs(lo, counts, emit, offsets, ridx_sorted, total,
-                  cap: int, PL: int, PR: int):
-    """Traced pair expansion: output slot j -> (left row, right row).
-    Slots >= total (and unmatched-left slots' right side) are -1."""
-    j = jnp.arange(cap, dtype=jnp.int32)
-    row = jnp.searchsorted(offsets, j, side="right",
-                           method="sort").astype(jnp.int32)
-    row_c = jnp.clip(row, 0, PL - 1)
-    start = jnp.where(row_c > 0,
-                      jnp.take(offsets, jnp.maximum(row_c - 1, 0)), 0)
-    within = j - start.astype(jnp.int32)
-    src = jnp.clip(jnp.take(lo, row_c) + within, 0, PR - 1)
-    has_match = jnp.take(counts, row_c) > 0
-    in_range = j < total
-    li = jnp.where(in_range, row_c, -1)
-    ri = jnp.where(in_range & has_match,
-                   jnp.take(ridx_sorted, src), -1)
-    return li, ri
 
 
 def _emit_join_output(left, right, ldb, rdb, li, ri, out_n,
@@ -281,23 +214,6 @@ def _emit_join_output(left, right, ldb, rdb, li, ri, out_n,
         else:
             host_cols.append(c)
     return RecordBatch.from_arrays(host_cols, names)
-
-
-def _right_matched(rk_sorted, ridx_sorted, lq, lvalid, PR):
-    """Bool per original right row: appears in any probe match range."""
-    # mark matched positions in sorted domain via diff-scatter
-    sentinel = jnp.where(lvalid, lq, jnp.int64(1) << 62)
-    lo = jnp.searchsorted(rk_sorted, sentinel, side="left", method="sort")
-    hi = jnp.searchsorted(rk_sorted, sentinel, side="right", method="sort")
-    delta = jnp.zeros(PR + 1, jnp.int32)
-    delta = delta.at[jnp.where(lvalid, lo, PR + 0 * lo)].add(
-        jnp.where(lvalid, 1, 0), mode="drop")
-    delta = delta.at[jnp.where(lvalid, hi, PR + 0 * hi)].add(
-        jnp.where(lvalid, -1, 0), mode="drop")
-    cover = jnp.cumsum(delta[:PR]) > 0
-    matched_sorted = cover
-    out = jnp.zeros(PR, jnp.bool_).at[ridx_sorted].set(matched_sorted)
-    return out
 
 
 def _select_left(batch: RecordBatch, mask, n) -> RecordBatch:

@@ -241,7 +241,10 @@ def make_distributed_join(mesh: Mesh, cap_shuffle: int, cap_out: int,
                           cap_hot_out: int = 0):
     """Jitted distributed join over multi-column keys with payloads.
 
-    how: 'inner' | 'left outer' | 'left semi' | 'left anti'.
+    how: 'inner' | 'left outer' | 'right outer' | 'full outer' |
+    'left semi' | 'left anti'. (hot_k skew handling supports
+    inner/left outer only — a broadcast build row appears on every
+    shard, so per-shard unmatched-right detection would duplicate it.)
     hot_k > 0 enables skew handling: per-shard top-hot_k PROBE-side
     (left) keys with local count > hot_thresh join via build-side
     broadcast (capacity cap_hot rows per shard broadcast; cap_hot_out
@@ -258,6 +261,9 @@ def make_distributed_join(mesh: Mesh, cap_shuffle: int, cap_out: int,
     D = mesh.devices.size
     nl = n_keys + n_lpay
     semi = how in ("left semi", "left anti")
+    if hot_k and how in ("right outer", "full outer"):
+        raise ValueError("hot_k skew handling supports inner/left outer "
+                         "joins only")
 
     def gather_cols(cols, idx, fill=0):
         out = []

@@ -35,7 +35,7 @@ def local_join_inner(lkeys, lvalid, rkeys, rvalid, cap_out: int,
     maps output slot -> sorted position with a scatter-max + cummax fill
     instead of a binary search.
 
-    how: 'inner' | 'left outer'.
+    how: 'inner' | 'left outer' | 'right outer' | 'full outer'.
     Returns (li[cap_out], ri[cap_out], n_out, overflow): local row indices
     of matched pairs; slots >= n_out are padding (-1).
     """
@@ -68,10 +68,25 @@ def local_join_inner(lkeys, lvalid, rkeys, rvalid, cap_out: int,
     R_before = jnp.take(R_incl, grp_start_c) - \
         jnp.take(is_right, grp_start_c).astype(jnp.int32)
     counts_pos = jnp.where(is_left, R_incl - R_before, 0)
-    if how == "left outer":
+    if how in ("left outer", "full outer"):
         emit_pos = jnp.where(is_left, jnp.maximum(counts_pos, 1), 0)
     else:
         emit_pos = counts_pos
+    if how in ("right outer", "full outer"):
+        # rights whose group has NO left emit one (li=-1, ri=self) row.
+        # lefts follow rights within a group, so a right row needs the
+        # group's TOTAL left count: lefts between group start and the
+        # next group start (suffix-min gives the next start position).
+        L_incl = jnp.cumsum(is_left.astype(jnp.int32))
+        arr = jnp.where(start, pos, N)
+        suffix_min = jax.lax.cummin(arr, reverse=True)
+        next_start = jnp.concatenate(
+            [suffix_min[1:], jnp.full(1, N, suffix_min.dtype)])
+        L_at = jnp.concatenate([jnp.zeros(1, jnp.int32), L_incl])
+        lefts_in_group = jnp.take(L_at, jnp.clip(next_start, 0, N)) - \
+            jnp.take(L_at, jnp.clip(grp_start_c, 0, N))
+        unmatched_right = is_right & (lefts_in_group == 0)
+        emit_pos = emit_pos + unmatched_right.astype(jnp.int32)
     offsets = jnp.cumsum(emit_pos)
     total = offsets[-1] if N else jnp.asarray(0, jnp.int32)
     overflow = total > cap_out
@@ -101,14 +116,24 @@ def local_join_inner(lkeys, lvalid, rkeys, rvalid, cap_out: int,
     within = j - fill_start
     r_rank = fill_rbase + within
     in_range = j < total
-    if how == "left outer":
+    if how in ("left outer", "full outer"):
         fill_match = jax.lax.cummax(
             jnp.full(cap_out, -1, jnp.int32).at[tgt].max(
                 jnp.where(counts_pos > 0, pos, -1), mode="drop"))
         has_match = fill_match == rowpos
     else:
         has_match = in_range
-    li = jnp.where(in_range, jnp.take(sorig, rowpos), -1)
+    owner_orig = jnp.take(sorig, rowpos)
+    if how in ("right outer", "full outer"):
+        # an emitting RIGHT position is an unmatched right: li=-1, ri=self
+        owner_is_left = jnp.take(sside, rowpos) == 1
+        li = jnp.where(in_range & owner_is_left, owner_orig, -1)
+        ri = jnp.where(
+            in_range & owner_is_left & has_match,
+            jnp.take(right_orig, jnp.clip(r_rank, 0, max(PR - 1, 0))),
+            jnp.where(in_range & ~owner_is_left, owner_orig, -1))
+        return li, ri, total, overflow
+    li = jnp.where(in_range, owner_orig, -1)
     ri = jnp.where(in_range & has_match,
                    jnp.take(right_orig, jnp.clip(r_rank, 0, max(PR - 1, 0))),
                    -1)

@@ -321,3 +321,37 @@ def test_table_level_distributed_api(mesh, rng):
     cr = collections.Counter(rt.column("k").combine().to_pylist())
     assert j.num_rows == sum(cl[k] * cr[k] for k in cl)
     assert set(j.schema.names) == {"k", "lv", "rv"}
+
+
+def test_join_right_full_outer_distributed(mesh, rng):
+    NL, NR = 512, 384
+    lk = rng.integers(0, 80, NL).astype(np.int64)     # some unmatched both ways
+    rk = rng.integers(40, 120, NR).astype(np.int64)
+    lv = np.arange(NL, dtype=np.int64)
+    rv = np.arange(NR, dtype=np.int64)
+    for how in ("right outer", "full outer"):
+        fn = dist.make_distributed_join(mesh, cap_shuffle=NL, cap_out=NL * 8,
+                                        n_keys=1, n_lpay=1, n_rpay=1, how=how)
+        ok, olp, orp, rmatch, n_out, ov = fn(*_put(
+            mesh, lk, lv, np.ones(NL, np.bool_),
+            rk, rv, np.ones(NR, np.bool_)))
+        assert not bool(ov)
+        D = 8
+        Lc = np.asarray(olp[0]).shape[0] // D
+        no = np.asarray(n_out)
+        pairs = []
+        l_, r_ = np.asarray(olp[0]), np.asarray(orp[0])
+        li_ok = np.asarray(rmatch)
+        for d in range(D):
+            for j in range(int(no[d])):
+                i = d * Lc + j
+                pairs.append((int(l_[i]), int(r_[i]), bool(li_ok[i])))
+        inner = [(int(lv[i]), int(rv[j])) for i in range(NL)
+                 for j in range(NR) if lk[i] == rk[j]]
+        rmatched = {j for i in range(NL) for j in range(NR) if lk[i] == rk[j]}
+        n_unmatched_r = NR - len(rmatched)
+        n_unmatched_l = NL - len({i for i in range(NL)
+                                  for j in range(NR) if lk[i] == rk[j]})
+        want_n = len(inner) + n_unmatched_r + (
+            n_unmatched_l if how == "full outer" else 0)
+        assert len(pairs) == want_n, (how, len(pairs), want_n)

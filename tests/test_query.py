@@ -269,3 +269,23 @@ def test_hash_join_null_keys_all_types():
         wa = sorted(map(tuple, zip(*[want.column(c).to_pylist()
                                      for c in cols])), key=str)
         assert ga == wa, (how, ga, wa)
+
+
+def test_hash_join_right_full_outer_null_keys_vs_pyarrow():
+    import pyarrow as pa
+    lt = agt.table({"k": agt.array([1, None, 2, 3], dt.int64),
+                    "v": agt.array([10, 20, 30, 40], dt.int64)})
+    rt = agt.table({"k": agt.array([2, None, 3, 9], dt.int64),
+                    "w": agt.array([5, 6, 7, 8], dt.int64)})
+    plt = pa.table({"k": [1, None, 2, 3], "v": [10, 20, 30, 40]})
+    prt = pa.table({"k": [2, None, 3, 9], "w": [5, 6, 7, 8]})
+    for how in ("right outer", "full outer", "right semi", "right anti"):
+        got = pc.hash_join(lt, rt, "k", join_type=how)
+        want = plt.join(prt, "k", join_type=how)
+        cols = [c for c in ("v", "w") if c in want.column_names
+                and c in got.schema.names]
+        ga = sorted(map(tuple, zip(*[got.column(c).to_pylist()
+                                     for c in cols])), key=str)
+        wa = sorted(map(tuple, zip(*[want.column(c).to_pylist()
+                                     for c in cols])), key=str)
+        assert ga == wa, (how, ga, wa)
