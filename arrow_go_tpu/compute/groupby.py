@@ -4,11 +4,10 @@ Reference: the HashAggregate function kind (compute/functions.go:82) —
 arrow-go declares the kind but group-by execution lives in its users;
 BASELINE.json makes hash aggregate a north-star config. The device
 implementation is the sort-based grouping core (ops/hashing.encode_codes)
-plus scatter-reductions per aggregation, all fused into ONE jitted XLA
-program per (shape, agg-spec) signature: key encode, first-occurrence
-remap, and every aggregation column run in a single executable, and the
-results come back in a single device_get (round-3: the per-agg host
-round-trips and host argsort remap the round-2 judge flagged are gone).
+plus SEGMENT aggregation in the key-sorted domain (ops/groupagg.py:
+scans + compaction sorts — scatter-free, because an i64 scatter-add of
+4M rows costs ~460 ms on v5e), all fused into ONE jitted XLA program per
+(shape, agg-spec) signature with a single device_get per call.
 
 Null keys form their own group (groups appear in first-occurrence order).
 """
@@ -31,9 +30,9 @@ _AGGS = ("sum", "count", "count_all", "min", "max", "mean", "product",
          "any", "all", "first", "last")
 
 
-def _combined_codes_traced(key_vals, key_valids, key_types, length):
-    """Dense group codes over (possibly multiple) key columns.
-    Null key -> its own code. Returns (codes[P], n_groups, first_row[P])."""
+def _combined_key_traced(key_vals, key_valids, key_types, length):
+    """Multi-column key -> one combined int64 (null key = its own
+    code, so every row is 'valid' for the final grouping)."""
     combined = None
     for vals, validity, t in zip(key_vals, key_valids, key_types):
         res = hashing.encode_codes(vals, t, validity, length, order="key")
@@ -44,43 +43,126 @@ def _combined_codes_traced(key_vals, key_valids, key_types, length):
             combined = codes.astype(jnp.int64)
         else:
             combined = combined * card.astype(jnp.int64) + codes.astype(jnp.int64)
-    # codes in key order; the program remaps to first-occurrence
-    # order itself via first_index (cheaper encode, probe4)
-    res = hashing.encode_codes(combined, dt.int64, None, length, order="key")
-    return res.codes, res.n_unique, res.first_index
+    return combined
 
 
 @functools.partial(jax.jit, static_argnames=("key_types", "agg_names"))
 def _group_program(key_vals, key_valids, agg_vals, agg_valids, length,
                    *, key_types, agg_names):
     """The fused group-by executable: ONE program for key encode +
-    first-occurrence ordering + every aggregation."""
-    codes, n_groups, first = _combined_codes_traced(
-        key_vals, key_valids, key_types, length)
-    P = codes.shape[0]
-    # first-occurrence order remap ON DEVICE: groups sorted by the row
-    # index of their first occurrence
-    gidx = jnp.arange(P, dtype=jnp.int64)
-    # row indices fit u32: sort on the TPU-native 32-bit lane
-    first_x = jnp.where(gidx < n_groups.astype(jnp.int64),
-                        first.astype(jnp.int64), jnp.int64(P))
-    order = jnp.argsort(first_x.astype(jnp.uint32))   # valid groups first
-    remap = jnp.zeros(P, jnp.int64).at[order].set(gidx)
-    codes_ord = jnp.where(codes >= 0,
-                          jnp.take(remap, jnp.clip(codes, 0, None),
-                                   mode="clip"), -1)
-    rep_rows = jnp.take(first_x, order)               # sorted first rows
+    first-occurrence ordering + every aggregation — built on SEGMENT
+    aggregation in the key-sorted domain (ops/groupagg.py): an i64
+    scatter-add at 4M rows costs ~460 ms on v5e while the scans and
+    compaction sorts here total ~100 ms (roofline_probe6.py)."""
+    from ..ops import groupagg
+    from ..ops.sort import _orderable_bits
+    combined = _combined_key_traced(key_vals, key_valids, key_types,
+                                    length)
+    enc = hashing.encode_sorted(combined, dt.int64, None, length)
+    P = combined.shape[0]
+    n_groups = enc.n_unique
+
+    # first/last occurrence per run (key order)
+    (first_by_run,) = groupagg.compact_runs(enc.start, (enc.sidx,))
+    gidx = jnp.arange(P, dtype=jnp.int32)
+    in_run = gidx < n_groups
+    first_x = jnp.where(in_run, first_by_run, P)
+    # first-occurrence order remap: groups sorted by first-row index
+    order = jnp.argsort(first_x.astype(jnp.uint32))
+    rep_rows = jnp.take(first_x, order)
+
+    def reorder(by_run):
+        return jnp.take(by_run, jnp.clip(order, 0, P - 1))
 
     row_ok = row_mask(P, length)
+    iota64 = jnp.arange(P, dtype=jnp.int64)
+
+    # shared key lanes for the min/max family (original row order)
+    kbits = _orderable_bits(combined, dt.int64).astype(jnp.uint64)
+    key_flag = jnp.zeros(P, jnp.int32)
+    key_hi = (kbits >> jnp.uint64(32)).astype(jnp.uint32)
+    key_lo = kbits.astype(jnp.uint32)
+
     results = []
     for vals, valids, agg in zip(agg_vals, agg_valids, agg_names):
         if valids is None:
             vmask = row_ok
         else:
             vmask = bitmap.expand_words(valids, P) & row_ok
-        r, v = _grouped_agg_traced(vals, vmask, codes_ord, agg)
-        results.append((r, v))
+        r, v = _segment_agg(groupagg, enc, key_flag, key_hi, key_lo,
+                            vals, vmask, iota64, agg)
+        results.append((reorder(r), None if v is None else reorder(v)))
     return n_groups, rep_rows, tuple(results)
+
+
+def _segment_agg(groupagg, enc, key_flag, key_hi, key_lo, v, vmask,
+                 iota64, agg: str):
+    """Per-run aggregation (key order). Returns (by_run[P], valid[P]|None)."""
+    from ..ops.sort import _orderable_bits as orderable
+    P = v.shape[0]
+
+    if agg in ("sum", "count", "count_all", "mean", "any", "all"):
+        if agg == "count_all":
+            s, c = groupagg.segment_sum_count(
+                enc, jnp.zeros(P, jnp.int64), None)
+            return c, None
+        if agg == "any":
+            s, c = groupagg.segment_sum_count(
+                enc, v.astype(jnp.int64), vmask & v.astype(jnp.bool_))
+            return c > 0, None
+        if agg == "all":
+            s, c = groupagg.segment_sum_count(
+                enc, v.astype(jnp.int64), vmask & ~v.astype(jnp.bool_))
+            return c == 0, None
+        acc_dt = (jnp.int64 if v.dtype.kind in "bi"
+                  else jnp.uint64 if v.dtype.kind == "u" else v.dtype)
+        s, c = groupagg.segment_sum_count(enc, v.astype(acc_dt), vmask)
+        if agg == "count":
+            return c, None
+        if agg == "mean":
+            return (s.astype(jnp.float64)
+                    / jnp.maximum(c, 1).astype(jnp.float64), c > 0)
+        return s, c > 0
+
+    if agg in ("min", "max"):
+        was_bool = v.dtype == jnp.bool_
+        vv = v.astype(jnp.int32) if was_bool else v
+        from .. import dtypes as dt_
+        vt = dt_.bool_ if was_bool else None
+        vkey = orderable(v if not was_bool else vv,
+                         vt).astype(jnp.uint64)
+        out = groupagg.segment_min_max(key_flag, key_hi, key_lo, vv, vkey,
+                                       vmask, agg)
+        _, c = groupagg.segment_sum_count(enc, jnp.zeros(P, jnp.int64),
+                                          vmask)
+        if was_bool:
+            out = out.astype(jnp.bool_)
+        return out, c > 0
+
+    if agg in ("first", "last"):
+        ikey = iota64.astype(jnp.uint64)
+        sel = groupagg.segment_min_max(
+            key_flag, key_hi, key_lo, iota64.astype(jnp.int32),
+            ikey, vmask, "min" if agg == "first" else "max")
+        vals_out = jnp.take(v, jnp.clip(sel, 0, P - 1))
+        _, c = groupagg.segment_sum_count(enc, jnp.zeros(P, jnp.int64),
+                                          vmask)
+        return vals_out, c > 0
+
+    if agg == "product":
+        # rare agg: scatter path via per-row run ids scattered back
+        codes = jnp.full(P, -1, jnp.int32).at[enc.sidx].set(
+            jnp.where(enc.svalid, enc.run_id, -1))
+        slot = jnp.where(vmask & (codes >= 0), codes, P)
+        acc_dt = jnp.int64 if v.dtype.kind in "bi" else v.dtype
+        s = jnp.ones(P + 1, acc_dt).at[slot].multiply(
+            jnp.where(vmask, v.astype(acc_dt), jnp.ones((), acc_dt)),
+            mode="drop")
+        cnt = jnp.zeros(P + 1, jnp.int32).at[slot].add(
+            jnp.where(vmask, 1, 0), mode="drop")
+        return s[:P], cnt[:P] > 0
+
+    raise ArrowNotImplemented(agg)
 
 
 def group_by(data, keys, aggregations: Sequence[Tuple[str, str]],
@@ -154,82 +236,3 @@ def _out_type(t: dt.DataType, agg: str) -> dt.DataType:
             return dt.uint64
         return t
     return t
-
-
-def _count_per_group(codes, valid, P):
-    acc = jnp.zeros(P + 1, jnp.int64)
-    slot = jnp.where(valid & (codes >= 0), codes, P)
-    return acc.at[slot].add(1, mode="drop")[:P]
-
-
-def _grouped_agg_traced(v, valid, codes, agg: str):
-    """Fully traced per-group aggregation.
-    Returns (per-group results [P], validity bool [P] or None)."""
-    P = v.shape[0]
-    slot = jnp.where(valid & (codes >= 0), codes, P)
-
-    if agg == "count_all":
-        acc = jnp.zeros(P + 1, jnp.int64).at[
-            jnp.where(codes >= 0, codes, P)].add(1, mode="drop")
-        return acc[:P], None
-    if agg == "count":
-        return _count_per_group(codes, valid, P), None
-
-    if agg == "mean":
-        s = jnp.zeros(P + 1, jnp.float64).at[slot].add(
-            jnp.where(valid, v.astype(jnp.float64), 0.0), mode="drop")
-        c = _count_per_group(codes, valid, P)
-        return s[:P] / jnp.maximum(c, 1), c > 0
-    if agg == "sum":
-        acc_dt = (jnp.int64 if v.dtype.kind in "bi"
-                  else jnp.uint64 if v.dtype.kind == "u" else v.dtype)
-        s = jnp.zeros(P + 1, acc_dt).at[slot].add(
-            jnp.where(valid, v.astype(acc_dt), jnp.zeros((), acc_dt)),
-            mode="drop")
-        c = _count_per_group(codes, valid, P)
-        return s[:P], c > 0
-    if agg == "product":
-        acc_dt = jnp.int64 if v.dtype.kind in "bi" else v.dtype
-        s = jnp.ones(P + 1, acc_dt).at[slot].multiply(
-            jnp.where(valid, v.astype(acc_dt), jnp.ones((), acc_dt)),
-            mode="drop")
-        c = _count_per_group(codes, valid, P)
-        return s[:P], c > 0
-    if agg in ("min", "max"):
-        was_bool = v.dtype == jnp.bool_
-        if v.dtype.kind == "f":
-            ident = jnp.array(jnp.inf if agg == "min" else -jnp.inf, v.dtype)
-        elif was_bool:
-            v = v.astype(jnp.int32)
-            ident = jnp.array(1 if agg == "min" else 0, jnp.int32)
-        else:
-            info = jnp.iinfo(v.dtype)
-            ident = jnp.array(info.max if agg == "min" else info.min, v.dtype)
-        init = jnp.full(P + 1, ident, v.dtype)
-        red = init.at[slot].min if agg == "min" else init.at[slot].max
-        s = red(jnp.where(valid, v, ident), mode="drop")
-        c = _count_per_group(codes, valid, P)
-        out = s[:P]
-        if was_bool:
-            out = out.astype(jnp.bool_)
-        return out, c > 0
-    if agg in ("any", "all"):
-        b = v.astype(jnp.bool_)
-        if agg == "any":
-            s = jnp.zeros(P + 1, jnp.bool_).at[slot].max(
-                jnp.where(valid, b, False), mode="drop")
-        else:
-            s = jnp.ones(P + 1, jnp.bool_).at[slot].min(
-                jnp.where(valid, b, True), mode="drop")
-        return s[:P], None
-    if agg in ("first", "last"):
-        iota = jnp.arange(P, dtype=jnp.int64)
-        pick = (jnp.full(P + 1, P, jnp.int64).at[slot].min(
-            jnp.where(valid, iota, P), mode="drop") if agg == "first"
-            else jnp.full(P + 1, -1, jnp.int64).at[slot].max(
-                jnp.where(valid, iota, -1), mode="drop"))
-        sel = pick[:P]
-        ok = (sel < P) & (sel >= 0)
-        vals = jnp.take(v, jnp.clip(sel, 0, P - 1))
-        return vals, ok
-    raise ArrowNotImplemented(agg)

@@ -1,0 +1,109 @@
+"""Segment aggregation over a sorted key domain — the scatter-free
+group-by core.
+
+Cost model (benchmarks/roofline_probe6.py, v5e, 4M rows): an i64
+scatter-add costs ~460 ms while sorts are ~15-25 ms and cumulative scans
+are ~5 ms. So per-group reductions run in the KEY-SORTED domain:
+
+  sum/count/mean — chunked cumulative sum; per-run total = prefix at the
+                   run's last position; one compaction sort moves the
+                   run-boundary values to the front (result indexed by
+                   run id, i.e. key order)
+  min/max        — one extra sort keyed by (key, orderable(value)): the
+                   run's first position holds the min (last holds the
+                   max); same compaction
+  first/last     — the stable (key, original index) sort already puts
+                   the first/last occurrence at the run boundary
+
+The int64 cumsum reformulates as a 2-D row-wise cumsum + row-prefix add
+(a plain 4M i64 jnp.cumsum fails to compile on v5e — scoped-VMEM
+reduce-window limit; see BENCH_NOTES.md).
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+from ..jaxenv import jax, jnp
+from .hashing import SortedEncode
+
+CHUNK = 2048
+
+
+def chunked_cumsum(v: jax.Array) -> jax.Array:
+    """Exact cumulative sum that compiles for 64-bit dtypes on TPU."""
+    P = v.shape[0]
+    if P % CHUNK or P < CHUNK * 2:
+        return jnp.cumsum(v)
+    v2 = v.reshape(CHUNK, P // CHUNK)
+    row_cs = jnp.cumsum(v2, axis=1)
+    row_tot = row_cs[:, -1]
+    row_pref = jnp.cumsum(row_tot) - row_tot
+    return (row_cs + row_pref[:, None]).reshape(-1)
+
+
+def _is_last(start: jax.Array) -> jax.Array:
+    return jnp.concatenate([start[1:], jnp.ones(1, start.dtype)])
+
+
+def compact_runs(flag_keep: jax.Array, payloads) -> tuple:
+    """Move rows where flag_keep to the front (stable): ONE sort whose
+    key is ~keep; entries [0, n_keep) of each payload are the per-run
+    results in key order."""
+    operands = ((~flag_keep).astype(jnp.int32),) + tuple(payloads)
+    res = jax.lax.sort(operands, num_keys=1, is_stable=True)
+    return res[1:]
+
+
+def segment_sum_count(enc: SortedEncode, values: jax.Array,
+                      valid_rows: Optional[jax.Array]):
+    """(sums_by_run[P], counts_by_run[P]): per-run sum and valid count,
+    indexed by run id (slots >= n_unique are padding)."""
+    P = values.shape[0]
+    vs = jnp.take(values, enc.sidx)
+    ok = enc.svalid
+    if valid_rows is not None:
+        ok = ok & jnp.take(valid_rows, enc.sidx)
+    x = jnp.where(ok, vs, jnp.zeros((), vs.dtype))
+    cs = chunked_cumsum(x)
+    cnt = chunked_cumsum(ok.astype(jnp.int64))
+    last = _is_last(enc.start)
+    # per-run total = prefix at last - prefix at (start - 1); compute via
+    # prefix differences on the compacted boundary values
+    sums_at_last, cnts_at_last = compact_runs(last, (cs, cnt))
+    prev_sum = jnp.concatenate([jnp.zeros(1, cs.dtype), sums_at_last[:-1]])
+    prev_cnt = jnp.concatenate([jnp.zeros(1, cnt.dtype), cnts_at_last[:-1]])
+    return sums_at_last - prev_sum, cnts_at_last - prev_cnt
+
+
+def segment_min_max(key_flag: jax.Array, key_hi: jax.Array,
+                    key_lo: jax.Array, values: jax.Array,
+                    value_key: jax.Array,
+                    valid_rows: Optional[jax.Array], op: str):
+    """Per-run min ('min') or max ('max') via ONE (key, orderable(value))
+    sort: the run's first position holds the extremum.
+
+    key_flag/key_hi/key_lo: the encode sort's key operands in ORIGINAL
+    row order (flag 1 = invalid KEY row). valid_rows masks value nulls —
+    those rows keep their key run (so run ids stay aligned with the
+    main encode) but their value lane saturates, sorting them last
+    within the run; a group with zero valid values returns garbage
+    masked by the caller's count > 0 validity.
+    Returns values_by_run[P] (key order; slots >= n_unique padding)."""
+    P = values.shape[0]
+    vhi = (value_key >> jnp.uint64(32)).astype(jnp.uint32)
+    vlo = value_key.astype(jnp.uint32)
+    if op == "max":
+        vhi, vlo = ~vhi, ~vlo
+    if valid_rows is not None:
+        sat = jnp.uint32(0xFFFFFFFF)
+        vhi = jnp.where(valid_rows, vhi, sat)
+        vlo = jnp.where(valid_rows, vlo, sat)
+    sflag, shi, slo, _, _, sval = jax.lax.sort(
+        (key_flag, key_hi, key_lo, vhi, vlo, values), num_keys=5,
+        is_stable=True)
+    pos = jnp.arange(P, dtype=jnp.int32)
+    prev_hi = jnp.concatenate([shi[:1], shi[:-1]])
+    prev_lo = jnp.concatenate([slo[:1], slo[:-1]])
+    start = ((shi != prev_hi) | (slo != prev_lo) | (pos == 0)) & (sflag == 0)
+    (out,) = compact_runs(start, (sval,))
+    return out

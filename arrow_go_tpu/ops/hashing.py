@@ -35,6 +35,43 @@ class EncodeResult(NamedTuple):
     null_first_row: jax.Array  # device scalar: first null row (P if none)
 
 
+class SortedEncode(NamedTuple):
+    """Sorted-domain view of a key column (the encode sort's outputs):
+    the substrate for segment aggregation (ops/groupagg.py), where
+    per-group reductions ride cumulative scans + compaction sorts
+    instead of i64 scatters (an i64 scatter-add of 4M rows costs ~460 ms
+    on v5e — benchmarks/roofline_probe6.py)."""
+    sidx: jax.Array        # [P] original row at sorted position
+    start: jax.Array       # [P] bool: run (distinct valid key) starts here
+    svalid: jax.Array      # [P] bool: sorted position holds a valid row
+    run_id: jax.Array      # [P] int32: run index at sorted position
+    n_unique: jax.Array    # device scalar
+
+
+def encode_sorted(values: jax.Array, t: dt.DataType,
+                  validity: Optional[jax.Array], n) -> SortedEncode:
+    """One radix-key sort -> sorted-domain run structure."""
+    P = values.shape[0]
+    valid = row_mask(P, n)
+    if validity is not None:
+        valid = valid & bitmap.expand_words(validity, P)
+    key = _orderable_bits(values, t).astype(jnp.uint64)
+    flag = (~valid).astype(jnp.int32)
+    khi = (key >> jnp.uint64(32)).astype(jnp.uint32)
+    klo = key.astype(jnp.uint32)
+    iota = jnp.arange(P, dtype=jnp.int32)
+    _, shi, slo, sidx, svalid = jax.lax.sort(
+        (flag, khi, klo, iota, valid.astype(jnp.int32)), num_keys=3,
+        is_stable=True)
+    prev_hi = jnp.concatenate([shi[:1], shi[:-1]])
+    prev_lo = jnp.concatenate([slo[:1], slo[:-1]])
+    start = (shi != prev_hi) | (slo != prev_lo) | (iota == 0)
+    start = start & (svalid == 1)
+    run_id = jnp.cumsum(start.astype(jnp.int32)) - 1
+    n_unique = jnp.sum(start.astype(jnp.int32))
+    return SortedEncode(sidx, start, svalid == 1, run_id, n_unique)
+
+
 def encode_codes(values: jax.Array, t: dt.DataType,
                  validity: Optional[jax.Array], n,
                  order: str = "first_occurrence") -> EncodeResult:

@@ -111,11 +111,12 @@ def build_program(n: int, nh: int):
                 k, acc = carry
                 k = lax.dynamic_update_slice(
                     k, k[0:1] + bias.astype(k.dtype), (0,))
-                res = hashing.encode_codes(k, dt.int64, None, nh, order="key")
-                s = jnp.zeros(nh + 1, jnp.int64).at[
-                    jnp.where(res.codes >= 0, res.codes, nh)].add(
-                    hv, mode="drop")
-                return k, acc + (res.n_unique + s[0] + s[nh // 2]
+                # segment aggregation (scatter-free — ops/groupagg.py;
+                # an i64 scatter-add here costs ~460ms, probe6)
+                from arrow_go_tpu.ops import groupagg
+                enc = hashing.encode_sorted(k, dt.int64, None, nh)
+                s, c = groupagg.segment_sum_count(enc, hv, None)
+                return k, acc + (enc.n_unique + s[0] + c[0] + s[nh // 2]
                                  ).astype(jnp.float64)
             _, acc = cfg_loop(Ls, ci, agg_body, (keys, jnp.float64(0)))
             checks.append(acc)
