@@ -83,27 +83,57 @@ def _local_codes(keys: Tuple[jax.Array, ...], valid: jax.Array):
 _MERGE = {"sum": "sum", "count": "sum", "min": "min", "max": "max"}
 
 
-def _scatter_agg(codes, valid, v, agg: str, L: int):
-    """Per-group partials at slot=code (padding slot L)."""
-    slot = jnp.where(valid & (codes >= 0), codes, L)
-    if agg == "count":
-        return jnp.zeros(L + 1, jnp.int64).at[slot].add(1, mode="drop")[:L]
-    if agg == "sum":
-        acc_dt = (jnp.int64 if v.dtype.kind in "bi"
-                  else jnp.uint64 if v.dtype.kind == "u" else v.dtype)
-        return jnp.zeros(L + 1, acc_dt).at[slot].add(
-            jnp.where(valid, v.astype(acc_dt), jnp.zeros((), acc_dt)),
-            mode="drop")[:L]
-    if agg in ("min", "max"):
-        if v.dtype.kind == "f":
-            ident = jnp.array(jnp.inf if agg == "min" else -jnp.inf, v.dtype)
+def _combined_local_key(keys: Tuple[jax.Array, ...], valid: jax.Array):
+    """Multi-column key -> one combined int64 per row (-1 = null/invalid)."""
+    L = keys[0].shape[0]
+    words = bitmap.pack_mask(valid)
+    combined = None
+    for k in keys:
+        res = hashing.encode_codes(k, _dt_of(k), words, L, order="key")
+        card = res.n_unique.astype(jnp.int64) + 1
+        part = jnp.where(res.codes >= 0, res.codes.astype(jnp.int64), -1)
+        if combined is None:
+            combined = part
         else:
-            info = jnp.iinfo(v.dtype)
-            ident = jnp.array(info.max if agg == "min" else info.min, v.dtype)
-        init = jnp.full(L + 1, ident, v.dtype)
-        red = init.at[slot].min if agg == "min" else init.at[slot].max
-        return red(jnp.where(valid, v, ident), mode="drop")[:L]
-    raise ValueError(agg)
+            combined = jnp.where((combined >= 0) & (part >= 0),
+                                 combined * card + part, -1)
+    return combined
+
+
+def _segment_group(keys: Tuple[jax.Array, ...], valid: jax.Array,
+                   specs):
+    """Per-shard group-by via SEGMENT aggregation (ops/groupagg — the
+    i64 scatter-add alternative costs ~460ms/4M rows on v5e, probe6).
+    Returns (gkeys by run, gvalid, partial arrays by run, n_unique)."""
+    from ..ops import groupagg
+    from ..ops.sort import _orderable_bits
+    L = keys[0].shape[0]
+    combined = _combined_local_key(keys, valid)
+    rows_ok = valid & (combined >= 0)
+    enc = hashing.encode_sorted(combined, dt.int64,
+                                bitmap.pack_mask(rows_ok), L)
+    (first_by_run,) = groupagg.compact_runs(enc.start, (enc.sidx,))
+    gkeys = tuple(jnp.take(k, jnp.clip(first_by_run, 0, L - 1))
+                  for k in keys)
+    gvalid = jnp.arange(L, dtype=jnp.int32) < enc.n_unique
+    kbits = _orderable_bits(combined, dt.int64).astype(jnp.uint64)
+    key_flag = (~rows_ok).astype(jnp.int32)
+    key_hi = (kbits >> jnp.uint64(32)).astype(jnp.uint32)
+    key_lo = kbits.astype(jnp.uint32)
+    parts = []
+    for v, agg in specs:
+        if agg in ("sum", "count"):
+            acc_dt = (jnp.int64 if v.dtype.kind in "bi"
+                      else jnp.uint64 if v.dtype.kind == "u" else v.dtype)
+            s, c = groupagg.segment_sum_count(enc, v.astype(acc_dt), None)
+            parts.append(c if agg == "count" else s)
+        elif agg in ("min", "max"):
+            vkey = _orderable_bits(v, _dt_of(v)).astype(jnp.uint64)
+            parts.append(groupagg.segment_min_max(
+                key_flag, key_hi, key_lo, v, vkey, None, agg))
+        else:
+            raise ValueError(agg)
+    return gkeys, gvalid, tuple(parts), enc.n_unique
 
 
 def _expand_aggs(agg_specs):
@@ -142,14 +172,12 @@ def make_distributed_group_by(mesh: Mesh, cap: int, n_keys: int,
         L = keys[0].shape[0]
 
         # 1. local pre-aggregation (combiner): one partial row per local
-        # group — hot keys collapse before any row moves
-        res = _local_codes(keys, valid)
-        codes = res.codes
-        first = jnp.clip(res.first_index, 0, L - 1)
-        gvalid = jnp.arange(L, dtype=jnp.int32) < res.n_unique
-        gkeys = tuple(jnp.take(k, first) for k in keys)
-        parts = tuple(_scatter_agg(codes, valid, vals[vi], pa, L)
-                      for vi, pa in partial_specs)
+        # group — hot keys collapse before any row moves. Count partials
+        # count VALID rows: mask values through `valid` by feeding the
+        # segment core only valid rows (invalid rows fall out of the
+        # encode's runs).
+        specs1 = tuple((vals[vi], pa) for vi, pa in partial_specs)
+        gkeys, gvalid, parts, _ = _segment_group(keys, valid, specs1)
 
         # 2. shuffle PARTIALS by key hash (volume = local groups, not rows)
         dest = shuf.partition_of(_hash_multi(gkeys), D)
@@ -160,14 +188,11 @@ def make_distributed_group_by(mesh: Mesh, cap: int, n_keys: int,
         rvalid = shuf.row_validity_mask(rkeys[0], counts, cap)
 
         # 3. final merge: re-encode received keys, merge-reduce partials
-        res2 = _local_codes(rkeys, rvalid)
-        codes2 = res2.codes
-        L2 = rkeys[0].shape[0]
-        first2 = jnp.clip(res2.first_index, 0, L2 - 1)
-        out_keys = tuple(jnp.take(k, first2) for k in rkeys)
-        merged = []
-        for (vi, pa), rp in zip(partial_specs, rparts):
-            merged.append(_scatter_agg(codes2, rvalid, rp, _MERGE[pa], L2))
+        specs2 = tuple((rp, _MERGE[pa])
+                       for (vi, pa), rp in zip(partial_specs, rparts))
+        out_keys, _gv2, merged, n_unique2 = _segment_group(
+            rkeys, rvalid, specs2)
+        merged = list(merged)
         # finish: mean = sum/count
         outs = []
         i = 0
@@ -179,7 +204,7 @@ def make_distributed_group_by(mesh: Mesh, cap: int, n_keys: int,
             else:
                 outs.append(merged[i])
             i += consumed
-        return (out_keys, tuple(outs), res2.n_unique.reshape(1),
+        return (out_keys, tuple(outs), n_unique2.reshape(1),
                 jax.lax.pmax(overflow.astype(jnp.int32),
                              SHARD_AXIS).astype(jnp.bool_))
 
