@@ -125,26 +125,22 @@ def encode_codes(values: jax.Array, t: dt.DataType,
         return EncodeResult(codes, n_unique, has_null, first_index,
                             null_first_row)
 
-    # representative (first occurrence) = min original index per group.
-    # since sort is stable on (key, iota), the first row of each run holds
-    # the minimal original index: propagate the run-start position forward
-    # with a native cummax, then gather (cheap to compile vs a custom scan)
-    start_pos = jnp.where(start, iota, -1)
-    last_start = jax.lax.cummax(start_pos)
-    rep = jnp.take(sidx, jnp.clip(last_start, 0, P - 1))
-
-    # first-occurrence rank of each group: reps in increasing original order.
-    # ranks = rank of rep among set of reps: sort reps of group-starts.
-    reps_only = jnp.where(start, sidx, P)                   # P = +inf filler
-    sorted_reps = jax.lax.sort(reps_only)
-    code_sorted_domain = jnp.searchsorted(sorted_reps, rep, method="sort").astype(jnp.int32)
-
+    # first-occurrence ranks without a searchsorted (probe4: binary
+    # search is the most expensive primitive on TPU): compact each run's
+    # first original index to the front (stable (key, iota) sort already
+    # put the minimal index at the run start), argsort those to get the
+    # first-occurrence order, invert the permutation for run -> rank.
+    run_id = jnp.cumsum(start.astype(jnp.int32)) - 1
+    first_sorted = jax.lax.sort(
+        ((~start).astype(jnp.int32), sidx), num_keys=1, is_stable=True)[1]
+    first_x = jnp.where(iota < n_unique, first_sorted, P)
+    order = jnp.argsort(first_x.astype(jnp.uint32))  # rank -> run
+    rank_of_run = jnp.zeros(P, jnp.int32).at[order].set(iota)
+    code_sorted_domain = jnp.take(rank_of_run,
+                                  jnp.clip(run_id, 0, P - 1))
     codes = jnp.full(P, -1, jnp.int32)
     codes = codes.at[sidx].set(jnp.where(svalid == 1, code_sorted_domain, -1))
-
-    first_index = jnp.full(P, P, jnp.int32)
-    first_index = first_index.at[jnp.where(start, code_sorted_domain, P)
-                                 ].min(jnp.where(start, sidx, P), mode="drop")
+    first_index = jnp.take(first_x, order)           # [rank] = first row
 
     return EncodeResult(codes, n_unique, has_null, first_index, null_first_row)
 

@@ -22,7 +22,7 @@ rewrite uses the bench.py design at suite scale:
 
 Configs (BASELINE.json north stars):
   sum_f64_masked, filter_take_i64, group_by_low_card, group_by_high_card,
-  sort_i64, hash_join_local  — all on-device; plus host-side parquet scan
+  sort_i64, hash_join_local, unique_dict_encode — all on-device; plus host-side parquet scan
   (serial vs threaded) and, under --scaling, the distributed group-by
   scaling efficiency on a CPU mesh (1 vs 8 virtual devices).
 
@@ -65,10 +65,10 @@ def build_program(n: int, nh: int):
     @jax.jit
     def program(bias, Ls, mask0):
         """bias: f64 runtime zero (defeats constant folding);
-        Ls: int32[6] per-config trip counts; mask0: bool[n] — the
+        Ls: int32[7] per-config trip counts; mask0: bool[n] — the
         engine's CACHED validity expansion (DeviceColumn.validity_mask
         memoizes it; passing it as a real input stops XLA rematerializing
-        the expansion inside the loop). Returns f64[6] checksums."""
+        the expansion inside the loop). Returns f64[7] checksums."""
         iota = jnp.arange(n, dtype=jnp.int32)
         iota_h = jnp.arange(nh, dtype=jnp.int32)
         checks = []
@@ -121,6 +121,20 @@ def build_program(n: int, nh: int):
             _, acc = cfg_loop(Ls, ci, agg_body, (keys, jnp.float64(0)))
             checks.append(acc)
 
+        # 6: unique / dictionary_encode core (BASELINE config #3 row:
+        # hashing_test.go) — the first-occurrence encode
+        ukeys = (hashing.hash32(iota_h + jnp.int32(11))
+                 % jnp.uint32(1 << 16)).astype(jnp.int64)
+
+        def uniq_body(_, carry):
+            k, acc = carry
+            k = lax.dynamic_update_slice(
+                k, k[0:1] + bias.astype(k.dtype), (0,))
+            res = hashing.encode_codes(k, dt.int64, None, nh)
+            return k, acc + (res.n_unique + res.codes[0]
+                             + res.first_index[0]).astype(jnp.float64)
+        _, acc6 = cfg_loop(Ls, 6, uniq_body, (ukeys, jnp.float64(0)))
+
         # 4: sort on 64-bit keys (north star #4) ------------------------
         skeys = ((hashing.hash32(iota_h).astype(jnp.int64) << 20)
                  ^ iota_h.astype(jnp.int64))
@@ -153,6 +167,7 @@ def build_program(n: int, nh: int):
                              ).astype(jnp.float64)
         _, acc5 = cfg_loop(Ls, 5, join_body, (lk, jnp.float64(0)))
         checks.append(acc5)
+        checks.append(acc6)
 
         return jnp.stack(checks)
 
@@ -163,6 +178,7 @@ def build_program(n: int, nh: int):
         ("group_by_high_card", nh, nh * 16),
         ("sort_i64", nh, nh * 8),
         ("hash_join_local", nh + nh // 4, nh * 8 + nh // 4 * 8),
+        ("unique_dict_encode", nh, nh * 8),
     ]
     return program, sum_oracle, configs
 
