@@ -37,7 +37,9 @@ import time
 
 import numpy as np
 
-L2 = 17            # raised trip count; per-op = (T_hi - T_base) / (L2 - 1)
+L2 = 17            # default raised trip count
+L2_FAST = 257      # sub-ms configs need long chains: the differenced
+                   # delta must dwarf ~1ms tunnel dispatch jitter
 REPEATS = 5
 
 
@@ -172,13 +174,14 @@ def build_program(n: int, nh: int):
         return jnp.stack(checks)
 
     configs = [
-        ("sum_f64_masked", n, n * 8),
-        ("filter_take_i64", n, n * 8 * 2),
-        ("group_by_low_card", nh, nh * 16),
-        ("group_by_high_card", nh, nh * 16),
-        ("sort_i64", nh, nh * 8),
-        ("hash_join_local", nh + nh // 4, nh * 8 + nh // 4 * 8),
-        ("unique_dict_encode", nh, nh * 8),
+        # (name, rows, bytes, chain length)
+        ("sum_f64_masked", n, n * 8, L2_FAST),
+        ("filter_take_i64", n, n * 8 * 2, L2),
+        ("group_by_low_card", nh, nh * 16, L2),
+        ("group_by_high_card", nh, nh * 16, L2),
+        ("sort_i64", nh, nh * 8, L2),
+        ("hash_join_local", nh + nh // 4, nh * 8 + nh // 4 * 8, L2),
+        ("unique_dict_encode", nh, nh * 8, L2),
     ]
     return program, sum_oracle, configs
 
@@ -225,23 +228,23 @@ def main():
             out = np.asarray(program(bias, Ls, mask0))
             return time.perf_counter() - t0, out
 
-        for i, (name, rows, bytes_) in enumerate(configs):
+        for i, (name, rows, bytes_, l2) in enumerate(configs):
             # zero trips for every OTHER config: the timed pair runs only
             # config i, so heavy configs' variance cannot leak into light
             # configs' differences
             base_i = zeros.at[i].set(1)
-            hi_i = zeros.at[i].set(L2)
+            hi_i = zeros.at[i].set(l2)
             run(base_i); run(hi_i)                     # warm both
             deltas = []
             for _ in range(REPEATS):
                 t_b, cb = run(base_i)
                 t_h, ch = run(hi_i)
                 # linear chain scaling check: exact for these integer sums
-                if not np.isclose(ch[i], L2 * cb[i], rtol=0, atol=0.5):
+                if not np.isclose(ch[i], l2 * cb[i], rtol=0, atol=0.5):
                     raise SystemExit(
                         f"chain check failed for {name}: {ch[i]} vs "
-                        f"{L2}*{cb[i]}")
-                deltas.append((t_h - t_b) / (L2 - 1))
+                        f"{l2}*{cb[i]}")
+                deltas.append((t_h - t_b) / (l2 - 1))
             report(name, max(float(np.median(deltas)), 1e-9), rows, bytes_)
 
     # host-side parquet scan (reference encoding_benchmarks_test.go) ----
