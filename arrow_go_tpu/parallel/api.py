@@ -194,3 +194,42 @@ def distributed_hash_join(left, right, keys, mesh: Optional[Mesh] = None,
     ok, olp, orp, _rm, n_out, _ov = out
     cols, names = collect(ok, olp, orp, n_out)
     return RecordBatch.from_arrays(cols, names)
+
+
+def distributed_sort(data, keys, mesh: Optional[Mesh] = None,
+                     cap: Optional[int] = None,
+                     descending=()) -> RecordBatch:
+    """Multi-key sort across the mesh: range partition on the primary
+    key + per-shard multi-key sort; reading shards in order is the
+    global order. Null-key rows are dropped (the exchange contract;
+    sort them explicitly on host if needed). Returns the sorted rows
+    as one host RecordBatch."""
+    rb = _as_batch(data)
+    if isinstance(keys, str):
+        keys = [keys]
+    mesh = mesh or make_mesh()
+    D = mesh.devices.size
+    pay = [f.name for f in rb.schema.fields if f.name not in keys]
+    karrs, valid, kcols, n = _shard_columns(rb, keys, mesh)
+    parrs, _, pcols, _ = _shard_columns(rb, pay, mesh)
+    if cap is None:
+        cap = karrs[0].shape[0]          # worst case: all rows one shard
+    fn = dist.make_distributed_sort_multi(
+        mesh, cap, n_keys=len(keys), n_payload=len(pay),
+        descending=tuple(descending))
+    keys_out, pay_out, counts, overflow = fn(*karrs, valid, *parrs)
+    if bool(overflow):
+        raise ArrowInvalid("distributed sort capacity overflow; raise cap")
+    cn = np.asarray(jax.device_get(counts))
+    L = np.asarray(keys_out[0]).shape[0] // D
+    keep = np.concatenate([np.arange(d * L, d * L + int(cn[d]))
+                           for d in range(D)]) if cn.sum() else \
+        np.zeros(0, np.int64)
+    cols, names = [], []
+    for nm, kc, ka in zip(keys, kcols, keys_out):
+        cols.append(_decode_key(np.asarray(jax.device_get(ka))[keep], kc))
+        names.append(nm)
+    for nm, pc_, pa in zip(pay, pcols, pay_out):
+        cols.append(_decode_key(np.asarray(jax.device_get(pa))[keep], pc_))
+        names.append(nm)
+    return RecordBatch.from_arrays(cols, names)

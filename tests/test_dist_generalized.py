@@ -355,3 +355,20 @@ def test_join_right_full_outer_distributed(mesh, rng):
         want_n = len(inner) + n_unmatched_r + (
             n_unmatched_l if how == "full outer" else 0)
         assert len(pairs) == want_n, (how, len(pairs), want_n)
+
+
+def test_table_level_distributed_sort(mesh, rng):
+    from arrow_go_tpu.parallel import distributed_sort
+    import arrow_go_tpu as agt
+    n = 1500
+    t = agt.table({"k": agt.from_numpy(rng.integers(0, 30, n)),
+                   "s": agt.from_numpy(rng.standard_normal(n)),
+                   "p": agt.from_numpy(np.arange(n))})
+    out = distributed_sort(t, ["k", "s"], mesh=mesh)
+    rows = list(zip(out.column("k").to_pylist(),
+                    out.column("s").to_pylist(),
+                    out.column("p").to_pylist()))
+    want = sorted(zip(t.column("k").combine().to_pylist(),
+                      t.column("s").combine().to_pylist(),
+                      t.column("p").combine().to_pylist()))
+    assert rows == want
