@@ -225,3 +225,104 @@ def dict_decode_device(indices: jax.Array, dictionary: jax.Array
                        ) -> jax.Array:
     """RLE_DICTIONARY: gather decoded dictionary values by code."""
     return dictionary[indices.astype(jnp.int32)]
+
+
+# ---------------------------------------------------------------------------
+# DELTA_BINARY_PACKED (parquet delta encoding): host parses the
+# block/miniblock control stream; the device does a VARIABLE-WIDTH
+# bit-unpack (per-miniblock widths ride a segment gather — only the
+# shift/mask are data-dependent, which XLA handles natively) and a
+# chunked prefix sum reconstructs the values.
+# ---------------------------------------------------------------------------
+
+def parse_delta_segments(data: bytes, n=None):
+    """Host control parse. Returns (mb_starts, mb_bit0, mb_width,
+    mb_min_delta, packed_words, first_value, total, bytes_consumed) or
+    None when a miniblock width exceeds 32 (host fallback; >32-bit
+    deltas need a 3-word window)."""
+    from ..parquet.encodings import _VarReader
+    r = _VarReader(data)
+    block_size = r.uvarint()
+    miniblocks = r.uvarint()
+    total = r.uvarint()
+    first = r.zigzag()
+    vpm = block_size // miniblocks
+    starts, bit0s, widths, mins = [], [], [], []
+    packed = bytearray()
+    got = 1                                   # first value is literal
+    while got < total:
+        min_delta = r.zigzag()
+        wbytes = data[r.pos:r.pos + miniblocks]
+        r.pos += miniblocks
+        for m in range(miniblocks):
+            if got >= total:
+                break
+            w = wbytes[m]
+            if w > 32:
+                return None
+            nbytes = (vpm * w + 7) // 8
+            take = min(vpm, total - got)
+            starts.append(got - 1)            # delta index domain
+            bit0s.append(len(packed) * 8)
+            widths.append(w)
+            mins.append(min_delta)
+            packed.extend(data[r.pos:r.pos + nbytes])
+            r.pos += nbytes
+            got += take
+    if not starts:
+        starts, bit0s, widths, mins = [0], [0], [0], [0]
+    return (np.asarray(starts, np.int32), np.asarray(bit0s, np.int64),
+            np.asarray(widths, np.uint32), np.asarray(mins, np.int64),
+            words_from_bytes(bytes(packed)), first, total, r.pos)
+
+
+def delta_decode_device(mb_starts, mb_bit0, mb_width, mb_min, words,
+                        first, n: int) -> jax.Array:
+    """Decode n int64 values from the segment-table form on device."""
+    if n <= 1:
+        return jnp.full(max(n, 1), first, jnp.int64)[:n]
+    nd = n - 1
+    i = jnp.arange(nd, dtype=jnp.int32)
+    seg = jnp.searchsorted(mb_starts, i, side="right") - 1
+    w = mb_width[seg]
+    bit0 = (mb_bit0[seg]
+            + (i - mb_starts[seg]).astype(jnp.int64) * w.astype(jnp.int64)
+            ).astype(jnp.int32)
+    wi = bit0 // 32
+    off = (bit0 & 31).astype(jnp.uint32)
+    lo = jax.lax.shift_right_logical(words[wi], off)
+    hi_shift = jnp.where(off > 0, 32 - off, 1).astype(jnp.uint32)
+    hi = jnp.where(off > 0, jax.lax.shift_left(words[wi + 1], hi_shift), 0)
+    mask = jnp.where(w >= 32, jnp.uint32(0xFFFFFFFF),
+                     (jnp.uint32(1) << w) - jnp.uint32(1))
+    raw = (lo | hi) & mask
+    deltas = raw.astype(jnp.int64) + mb_min[seg]
+    # chunked prefix sum (a plain 64-bit cumsum >4M fails to compile on
+    # v5e — see ops/groupagg.chunked_cumsum)
+    from .groupagg import chunked_cumsum
+    prefix = chunked_cumsum(deltas)
+    out = jnp.concatenate([jnp.zeros(1, jnp.int64),
+                           prefix]) + jnp.int64(first)
+    return out[:n]
+
+
+_delta_jit = None
+
+
+def delta_decode_jit(parsed, n: int):
+    """Bucket-padded jit wrapper: one executable per (segment-bucket,
+    word-bucket, n)."""
+    global _delta_jit
+    if _delta_jit is None:
+        _delta_jit = jax.jit(delta_decode_device, static_argnums=(6,))
+    st, b0, wd, mn, words, first, total, _used = parsed
+    S = _bucket(len(st))
+    stp = np.full(S, np.iinfo(np.int32).max, np.int32); stp[:len(st)] = st
+    b0p = np.zeros(S, np.int64); b0p[:len(b0)] = b0
+    wdp = np.zeros(S, np.uint32); wdp[:len(wd)] = wd
+    mnp = np.zeros(S, np.int64); mnp[:len(mn)] = mn
+    W = _bucket(len(words))
+    wp = np.zeros(W, np.uint32); wp[:len(words)] = words
+    return _delta_jit(jnp.asarray(stp), jnp.asarray(b0p), jnp.asarray(wdp),
+                      jnp.asarray(mnp), jnp.asarray(wp),
+                      jnp.int64(first), n)

@@ -145,6 +145,17 @@ def _decode_data_page(hdr, body, desc, codec, dict_dev, np_dtype,
         st, ir, pay, words = dd.parse_rle_segments(vals_raw[1:], nv, width)
         codes = dd.rle_hybrid_decode_jit(st, ir, pay, words, width, nv)
         dense = dd.dict_decode_device(codes, dict_dev)
+    elif encoding == fmt.Encoding.DELTA_BINARY_PACKED and phys in (
+            fmt.Type.INT32, fmt.Type.INT64):
+        parsed = dd.parse_delta_segments(bytes(vals_raw))
+        if parsed is None:
+            raise ArrowNotImplemented(
+                "device DELTA decode with >32-bit miniblock widths")
+        n_present = min(parsed[6], nv)
+        dense = dd.delta_decode_jit(parsed, n_present)
+        if phys == fmt.Type.INT32:
+            dense = dense.astype(jnp.int32)
+        dense = jnp.pad(dense, (0, nv - n_present))
     elif encoding == fmt.Encoding.BYTE_STREAM_SPLIT:
         k = np.dtype(np_dtype).itemsize
         n_present = min(len(vals_raw) // k, nv)
