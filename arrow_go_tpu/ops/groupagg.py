@@ -26,18 +26,22 @@ from typing import Optional
 from ..jaxenv import jax, jnp
 from .hashing import SortedEncode
 
-CHUNK = 2048
+INNER = 2048        # per-row scan length: v5e's 64-bit reduce-window
+                    # blows scoped VMEM beyond a few thousand elements
 
 
 def chunked_cumsum(v: jax.Array) -> jax.Array:
-    """Exact cumulative sum that compiles for 64-bit dtypes on TPU."""
+    """Exact cumulative sum that compiles for 64-bit dtypes on TPU at any
+    size: bound the scanned window to INNER elements, recurse on the
+    row totals."""
     P = v.shape[0]
-    if P % CHUNK or P < CHUNK * 2:
+    if P % INNER or P < INNER * 2:
         return jnp.cumsum(v)
-    v2 = v.reshape(CHUNK, P // CHUNK)
+    rows = P // INNER
+    v2 = v.reshape(rows, INNER)
     row_cs = jnp.cumsum(v2, axis=1)
     row_tot = row_cs[:, -1]
-    row_pref = jnp.cumsum(row_tot) - row_tot
+    row_pref = chunked_cumsum(row_tot) - row_tot
     return (row_cs + row_pref[:, None]).reshape(-1)
 
 

@@ -53,7 +53,11 @@ def build_program(n: int, nh: int):
     from arrow_go_tpu.parallel.join import local_join_inner
 
     lax = jax.lax
-    cap_join = 4 * nh
+    # join expansion buffers scale with 4x the probe rows; above 8M rows
+    # the 134M-slot expansion plus every other config's resident data
+    # overflows the 16GB HBM (measured: TPU worker crash at nh=33M)
+    nj = min(nh, 1 << 23)
+    cap_join = 4 * nj
 
     # ---- analytic oracle for the masked sum (host, exact) --------------
     i = np.arange(n, dtype=np.int64)
@@ -153,11 +157,12 @@ def build_program(n: int, nh: int):
         checks.append(acc4)
 
         # 5: local hash join (north star #5 single-chip kernel) ---------
-        lk = (hashing.hash32(iota_h) % jnp.uint32(nh // 8)).astype(jnp.int64)
-        rk = (hashing.hash32(iota_h + jnp.int32(7))
-              % jnp.uint32(nh // 8)).astype(jnp.int64)[: nh // 4]
-        ones_l = jnp.ones(nh, jnp.bool_)
-        ones_r = jnp.ones(nh // 4, jnp.bool_)
+        iota_j = jnp.arange(nj, dtype=jnp.int32)
+        lk = (hashing.hash32(iota_j) % jnp.uint32(nj // 8)).astype(jnp.int64)
+        rk = (hashing.hash32(iota_j + jnp.int32(7))
+              % jnp.uint32(nj // 8)).astype(jnp.int64)[: nj // 4]
+        ones_l = jnp.ones(nj, jnp.bool_)
+        ones_r = jnp.ones(nj // 4, jnp.bool_)
 
         def join_body(_, carry):
             l, acc = carry
@@ -180,7 +185,7 @@ def build_program(n: int, nh: int):
         ("group_by_low_card", nh, nh * 16, L2),
         ("group_by_high_card", nh, nh * 16, L2),
         ("sort_i64", nh, nh * 8, L2),
-        ("hash_join_local", nh + nh // 4, nh * 8 + nh // 4 * 8, L2),
+        ("hash_join_local", nj + nj // 4, nj * 8 + nj // 4 * 8, L2),
         ("unique_dict_encode", nh, nh * 8, L2),
     ]
     return program, sum_oracle, configs
@@ -189,16 +194,19 @@ def build_program(n: int, nh: int):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--small", action="store_true")
+    ap.add_argument("--large", action="store_true",
+                    help="134M/33M-row configs (the 100M-scale point)")
     ap.add_argument("--scaling", action="store_true",
                     help="also measure distributed scaling on a CPU mesh")
     ap.add_argument("--skip-device", action="store_true")
+    ap.add_argument("--skip-host", action="store_true")
     ns = ap.parse_args()
 
     import jax
     import jax.numpy as jnp
 
-    n = 1 << (20 if ns.small else 24)
-    nh = 1 << (18 if ns.small else 22)
+    n = 1 << (20 if ns.small else 27 if ns.large else 24)
+    nh = 1 << (18 if ns.small else 25 if ns.large else 22)
     results = []
 
     def report(name, dt_s, rows, bytes_):
@@ -248,6 +256,10 @@ def main():
             report(name, max(float(np.median(deltas)), 1e-9), rows, bytes_)
 
     # host-side parquet scan (reference encoding_benchmarks_test.go) ----
+    if ns.skip_host:
+        print(json.dumps({"suite": "done", "n": n, "n_heavy": nh,
+                          "backend": jax.default_backend()}), flush=True)
+        return results
     import io as _io
     import arrow_go_tpu as agt
     from arrow_go_tpu import parquet as pq
