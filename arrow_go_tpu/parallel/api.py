@@ -38,27 +38,34 @@ def _as_batch(data) -> RecordBatch:
 
 def _shard_columns(rb: RecordBatch, names: Sequence[str], mesh: Mesh):
     """Columns -> row-sharded device arrays padded to a D multiple.
-    Returns (arrays, valid mask, DeviceColumns for decode, n_rows)."""
+    Returns (arrays, valid mask, DeviceColumns for decode, n_rows).
+    Resharding happens device-to-device (`jax.device_put` with the mesh
+    sharding) — values never round-trip through the host."""
     D = mesh.devices.size
     sh = row_sharding(mesh)
     db = batch_to_device(rb)
     n = rb.num_rows
     P = -(-max(n, 1) // (128 * D)) * (128 * D)
     arrays, cols = [], []
-    valid = np.ones(P, np.bool_)
-    valid[n:] = False
+    valid = None
     for nm in names:
         c = db.column(nm)
         if not isinstance(c, DeviceColumn) or c.values.ndim != 1:
             raise ArrowNotImplemented(
                 f"distributed ops need flat device columns ({nm})")
-        v = np.zeros(P, np.asarray(c.values).dtype)
-        v[:n] = np.asarray(jax.device_get(c.values))[:n]
-        arrays.append(jax.device_put(jnp.asarray(v), sh))
-        if c.validity is not None:
-            valid[:n] &= np.asarray(jax.device_get(c.validity_mask()))[:n]
+        v = c.values
+        if P > c.padded:
+            v = jnp.pad(v, (0, P - c.padded))
+        else:
+            v = v[:P]
+        arrays.append(jax.device_put(v, sh))
+        m = c.validity_mask()
+        m = jnp.pad(m, (0, P - m.shape[0])) if P > m.shape[0] else m[:P]
+        valid = m if valid is None else (valid & m)
         cols.append(c)
-    return arrays, jax.device_put(jnp.asarray(valid), sh), cols, n
+    if valid is None:
+        valid = jnp.arange(P) < n
+    return arrays, jax.device_put(valid, sh), cols, n
 
 
 def _decode_key(vals: np.ndarray, col: DeviceColumn) -> Array:
