@@ -36,7 +36,9 @@ import numpy as np
 
 BASELINE_MBPS = 95_375.41  # reference Float64 Sum AVX2, README.md:105
 
-L1, L2 = 8, 40             # chain lengths; per-op = (T2-T1)/(L2-L1)
+L1, L2 = 8, 264            # chain lengths; per-op = (T2-T1)/(L2-L1).
+                           # long chains: the differenced delta must dwarf
+                           # ~1ms tunnel dispatch jitter (BENCH_NOTES.md)
 
 
 def main() -> None:
