@@ -33,10 +33,17 @@ INNER = 2048        # per-row scan length: v5e's 64-bit reduce-window
 def chunked_cumsum(v: jax.Array) -> jax.Array:
     """Exact cumulative sum that compiles for 64-bit dtypes on TPU at any
     size: bound the scanned window to INNER elements, recurse on the
-    row totals."""
+    row totals. Lengths that are not a multiple of INNER pad with
+    sum-neutral zeros first (so e.g. an arbitrary-length
+    DELTA_BINARY_PACKED delta vector never falls back to the plain
+    jnp.cumsum that fails to compile for >4M int64 on v5e)."""
     P = v.shape[0]
-    if P % INNER or P < INNER * 2:
+    if P < INNER * 2:
         return jnp.cumsum(v)
+    if P % INNER:
+        pad = INNER - (P % INNER)
+        return chunked_cumsum(
+            jnp.concatenate([v, jnp.zeros(pad, v.dtype)]))[:P]
     rows = P // INNER
     v2 = v.reshape(rows, INNER)
     row_cs = jnp.cumsum(v2, axis=1)

@@ -38,15 +38,16 @@ def _as_batch(data) -> RecordBatch:
 
 def _shard_columns(rb: RecordBatch, names: Sequence[str], mesh: Mesh):
     """Columns -> row-sharded device arrays padded to a D multiple.
-    Returns (arrays, valid mask, DeviceColumns for decode, n_rows).
-    Resharding happens device-to-device (`jax.device_put` with the mesh
-    sharding) — values never round-trip through the host."""
+    Returns (arrays, per-column masks, combined valid mask,
+    DeviceColumns for decode, n_rows). Resharding happens
+    device-to-device (`jax.device_put` with the mesh sharding) — values
+    never round-trip through the host."""
     D = mesh.devices.size
     sh = row_sharding(mesh)
     db = batch_to_device(rb)
     n = rb.num_rows
     P = -(-max(n, 1) // (128 * D)) * (128 * D)
-    arrays, cols = [], []
+    arrays, masks, cols = [], [], []
     valid = None
     for nm in names:
         c = db.column(nm)
@@ -61,19 +62,25 @@ def _shard_columns(rb: RecordBatch, names: Sequence[str], mesh: Mesh):
         arrays.append(jax.device_put(v, sh))
         m = c.validity_mask()
         m = jnp.pad(m, (0, P - m.shape[0])) if P > m.shape[0] else m[:P]
+        masks.append(jax.device_put(m, sh))
         valid = m if valid is None else (valid & m)
         cols.append(c)
     if valid is None:
         valid = jnp.arange(P) < n
-    return arrays, jax.device_put(valid, sh), cols, n
+    return arrays, masks, jax.device_put(valid, sh), cols, n
 
 
-def _decode_key(vals: np.ndarray, col: DeviceColumn) -> Array:
+def _decode_key(vals: np.ndarray, col: DeviceColumn,
+                mask: Optional[np.ndarray] = None) -> Array:
+    """Decode exchanged values back to a host Array; mask (True = valid)
+    restores nulls that rode the exchange as a separate bool column."""
     if col.type.id == dt.TypeId.DICTIONARY:
         codes = np.clip(vals.astype(np.int64), 0,
                         max(len(col.dictionary) - 1, 0))
+        if mask is not None:
+            codes = np.where(mask, codes, -1)
         return take_host(col.dictionary, codes)
-    return from_numpy(vals.astype(col.type.np_dtype), None, col.type)
+    return from_numpy(vals.astype(col.type.np_dtype), mask, col.type)
 
 
 def distributed_group_by(data, keys, aggregations: Sequence[Tuple[str, str]],
@@ -91,16 +98,17 @@ def distributed_group_by(data, keys, aggregations: Sequence[Tuple[str, str]],
         if cname not in val_names:
             val_names.append(cname)
         agg_specs.append((val_names.index(cname), agg))
-    key_arrays, valid, key_cols, n = _shard_columns(rb, keys, mesh)
-    val_arrays, _, val_cols, _ = _shard_columns(rb, val_names, mesh)
+    key_arrays, _, valid, key_cols, n = _shard_columns(rb, keys, mesh)
+    val_arrays, val_masks, _, val_cols, _ = _shard_columns(
+        rb, val_names, mesh)
 
     D = mesh.devices.size
     if cap is None:
         cap = max(128, key_arrays[0].shape[0] // D)
     fn = dist.make_distributed_group_by(mesh, cap, len(keys),
                                         tuple(agg_specs), len(val_names))
-    keys_out, aggs_out, ngroups, overflow = fn(*key_arrays, *val_arrays,
-                                               valid)
+    keys_out, aggs_out, valids_out, ngroups, overflow = fn(
+        *key_arrays, *val_arrays, valid, *val_masks)
     if bool(overflow):
         raise ArrowInvalid("distributed group_by capacity overflow; "
                            "raise cap")
@@ -116,9 +124,10 @@ def distributed_group_by(data, keys, aggregations: Sequence[Tuple[str, str]],
         vals = np.asarray(jax.device_get(ka))[keep]
         out_cols.append(_decode_key(vals, kc))
         names.append(nm)
-    for (cname, agg), ao in zip(aggregations, aggs_out):
+    for (cname, agg), ao, vo in zip(aggregations, aggs_out, valids_out):
         vals = np.asarray(jax.device_get(ao))[keep]
-        out_cols.append(from_numpy(vals))
+        mask = np.asarray(jax.device_get(vo))[keep]
+        out_cols.append(from_numpy(vals, None if mask.all() else mask))
         names.append(f"{cname}_{agg}")
     return RecordBatch.from_arrays(out_cols, names)
 
@@ -139,10 +148,14 @@ def distributed_hash_join(left, right, keys, mesh: Optional[Mesh] = None,
     lpay = [f.name for f in lrb.schema.fields if f.name not in keys]
     rpay = [f.name for f in rrb.schema.fields if f.name not in keys]
 
-    lk, lvalid, lk_cols, _ = _shard_columns(lrb, keys, mesh)
-    lp, _, lp_cols, _ = _shard_columns(lrb, lpay, mesh)
-    rk, rvalid, rk_cols, _ = _shard_columns(rrb, keys, mesh)
-    rp, _, rp_cols, _ = _shard_columns(rrb, rpay, mesh)
+    lk, _, lvalid, lk_cols, _ = _shard_columns(lrb, keys, mesh)
+    lp, lp_masks, _, lp_cols, _ = _shard_columns(lrb, lpay, mesh)
+    rk, _, rvalid, rk_cols, _ = _shard_columns(rrb, keys, mesh)
+    rp, rp_masks, _, rp_cols, _ = _shard_columns(rrb, rpay, mesh)
+    # nullable payloads: each payload's validity rides the exchange as an
+    # extra bool payload column and is rebuilt into output nulls below
+    lp = lp + lp_masks
+    rp = rp + rp_masks
     # string keys must share ONE code space across both sides
     for nm, lc, rc in zip(keys, lk_cols, rk_cols):
         if (lc.type.id == dt.TypeId.DICTIONARY) != \
@@ -164,7 +177,7 @@ def distributed_hash_join(left, right, keys, mesh: Optional[Mesh] = None,
         cap_out = 8 * lk[0].shape[0]
     fn = dist.make_distributed_join(
         mesh, cap_shuffle, cap_out, n_keys=len(keys),
-        n_lpay=len(lpay), n_rpay=len(rpay), hot_k=hot_k,
+        n_lpay=len(lp), n_rpay=len(rp), hot_k=hot_k,
         hot_thresh=hot_thresh,
         cap_hot=max(cap_shuffle // 4, 64) if hot_k else 0,
         cap_hot_out=cap_out if hot_k else 0)
@@ -178,15 +191,22 @@ def distributed_hash_join(left, right, keys, mesh: Optional[Mesh] = None,
         keep = np.concatenate([np.arange(d * L, d * L + int(cn[d]))
                                for d in range(D)]) if cn.sum() else \
             np.zeros(0, np.int64)
+        nlp, nrp = len(lpay), len(rpay)
         cols, names = [], []
         for nm, kc, ka in zip(keys, lk_cols, keys_o):
             cols.append(_decode_key(np.asarray(jax.device_get(ka))[keep], kc))
             names.append(nm)
-        for nm, pc_, pa in zip(lpay, lp_cols, lp_o):
-            cols.append(_decode_key(np.asarray(jax.device_get(pa))[keep], pc_))
+        for i, (nm, pc_) in enumerate(zip(lpay, lp_cols)):
+            vals = np.asarray(jax.device_get(lp_o[i]))[keep]
+            mask = np.asarray(jax.device_get(lp_o[nlp + i]))[keep]
+            cols.append(_decode_key(vals, pc_,
+                                    None if mask.all() else mask))
             names.append(nm + left_suffix)
-        for nm, pc_, pa in zip(rpay, rp_cols, rp_o):
-            cols.append(_decode_key(np.asarray(jax.device_get(pa))[keep], pc_))
+        for i, (nm, pc_) in enumerate(zip(rpay, rp_cols)):
+            vals = np.asarray(jax.device_get(rp_o[i]))[keep]
+            mask = np.asarray(jax.device_get(rp_o[nrp + i]))[keep]
+            cols.append(_decode_key(vals, pc_,
+                                    None if mask.all() else mask))
             names.append(nm + (right_suffix if nm + left_suffix in names
                                else ""))
         return cols, names
@@ -217,12 +237,14 @@ def distributed_sort(data, keys, mesh: Optional[Mesh] = None,
     mesh = mesh or make_mesh()
     D = mesh.devices.size
     pay = [f.name for f in rb.schema.fields if f.name not in keys]
-    karrs, valid, kcols, n = _shard_columns(rb, keys, mesh)
-    parrs, _, pcols, _ = _shard_columns(rb, pay, mesh)
+    karrs, _, valid, kcols, n = _shard_columns(rb, keys, mesh)
+    parrs, pmasks, _, pcols, _ = _shard_columns(rb, pay, mesh)
+    # nullable payloads: validity rides as extra bool payload columns
+    parrs = parrs + pmasks
     if cap is None:
         cap = karrs[0].shape[0]          # worst case: all rows one shard
     fn = dist.make_distributed_sort_multi(
-        mesh, cap, n_keys=len(keys), n_payload=len(pay),
+        mesh, cap, n_keys=len(keys), n_payload=len(parrs),
         descending=tuple(descending))
     keys_out, pay_out, counts, overflow = fn(*karrs, valid, *parrs)
     if bool(overflow):
@@ -236,7 +258,10 @@ def distributed_sort(data, keys, mesh: Optional[Mesh] = None,
     for nm, kc, ka in zip(keys, kcols, keys_out):
         cols.append(_decode_key(np.asarray(jax.device_get(ka))[keep], kc))
         names.append(nm)
-    for nm, pc_, pa in zip(pay, pcols, pay_out):
-        cols.append(_decode_key(np.asarray(jax.device_get(pa))[keep], pc_))
+    npay = len(pay)
+    for i, (nm, pc_) in enumerate(zip(pay, pcols)):
+        vals = np.asarray(jax.device_get(pay_out[i]))[keep]
+        mask = np.asarray(jax.device_get(pay_out[npay + i]))[keep]
+        cols.append(_decode_key(vals, pc_, None if mask.all() else mask))
         names.append(nm)
     return RecordBatch.from_arrays(cols, names)

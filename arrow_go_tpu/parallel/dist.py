@@ -104,6 +104,9 @@ def _segment_group(keys: Tuple[jax.Array, ...], valid: jax.Array,
                    specs):
     """Per-shard group-by via SEGMENT aggregation (ops/groupagg — the
     i64 scatter-add alternative costs ~460ms/4M rows on v5e, probe6).
+    specs: ((values, agg, value_valid_mask_or_None), ...) — the value
+    mask excludes null VALUES from the aggregation while the row keeps
+    its key run (so run ids stay aligned across specs).
     Returns (gkeys by run, gvalid, partial arrays by run, n_unique)."""
     from ..ops import groupagg
     from ..ops.sort import _orderable_bits
@@ -121,34 +124,43 @@ def _segment_group(keys: Tuple[jax.Array, ...], valid: jax.Array,
     key_hi = (kbits >> jnp.uint64(32)).astype(jnp.uint32)
     key_lo = kbits.astype(jnp.uint32)
     parts = []
-    for v, agg in specs:
+    for v, agg, vmask in specs:
         if agg in ("sum", "count"):
             acc_dt = (jnp.int64 if v.dtype.kind in "bi"
                       else jnp.uint64 if v.dtype.kind == "u" else v.dtype)
-            s, c = groupagg.segment_sum_count(enc, v.astype(acc_dt), None)
+            s, c = groupagg.segment_sum_count(enc, v.astype(acc_dt), vmask)
             parts.append(c if agg == "count" else s)
         elif agg in ("min", "max"):
             vkey = _orderable_bits(v, _dt_of(v)).astype(jnp.uint64)
             parts.append(groupagg.segment_min_max(
-                key_flag, key_hi, key_lo, v, vkey, None, agg))
+                key_flag, key_hi, key_lo, v, vkey, vmask, agg))
         else:
             raise ValueError(agg)
     return gkeys, gvalid, tuple(parts), enc.n_unique
 
 
 def _expand_aggs(agg_specs):
-    """mean -> (sum, count) partial pair; returns (partial specs,
-    finisher list). Each finisher maps merged partial columns -> final."""
+    """Every agg expands to partials that carry enough state to merge
+    AND to decide output validity (a group whose values are all null
+    emits null, matching compute.group_by): sum/min/max/mean ship a
+    valid-value COUNT partial alongside. Returns (partial specs,
+    finisher list); finisher = (name, n_partials_consumed)."""
     partials = []        # (val_idx, partial_agg)
-    finishers = []       # (name, fn(merged list, start) -> (arr, consumed))
+    finishers = []       # (final_agg, consumed)
     for vi, agg in agg_specs:
-        if agg == "mean":
+        if agg in ("mean", "sum"):
             partials.append((vi, "sum"))
             partials.append((vi, "count"))
-            finishers.append(("mean", 2))
-        else:
+            finishers.append((agg, 2))
+        elif agg in ("min", "max"):
             partials.append((vi, agg))
+            partials.append((vi, "count"))
+            finishers.append((agg, 2))
+        elif agg == "count":
+            partials.append((vi, "count"))
             finishers.append((agg, 1))
+        else:
+            raise ValueError(agg)
     return tuple(partials), tuple(finishers)
 
 
@@ -158,8 +170,11 @@ def make_distributed_group_by(mesh: Mesh, cap: int, n_keys: int,
     """Jitted distributed GROUP BY over multi-column keys.
 
     agg_specs: ((val_index, 'sum'|'count'|'min'|'max'|'mean'), ...).
-    Inputs (row-sharded): *keys, *vals, valid.
+    Inputs (row-sharded): *keys, *vals, valid, *val_valids — one bool
+    mask per value column (null VALUES are excluded from sum/min/max/
+    mean and not counted by count, matching compute.group_by).
     Outputs (row-sharded): key columns (group reps), final agg columns,
+    per-agg validity masks (False = all-null group -> null result),
     n_groups[1] per shard, overflow flag.
     """
     D = mesh.devices.size
@@ -169,14 +184,14 @@ def make_distributed_group_by(mesh: Mesh, cap: int, n_keys: int,
         keys = args[:n_keys]
         vals = args[n_keys:n_keys + n_vals]
         valid = args[n_keys + n_vals]
+        vvalids = args[n_keys + n_vals + 1: n_keys + 2 * n_vals + 1]
         L = keys[0].shape[0]
 
         # 1. local pre-aggregation (combiner): one partial row per local
-        # group — hot keys collapse before any row moves. Count partials
-        # count VALID rows: mask values through `valid` by feeding the
-        # segment core only valid rows (invalid rows fall out of the
-        # encode's runs).
-        specs1 = tuple((vals[vi], pa) for vi, pa in partial_specs)
+        # group — hot keys collapse before any row moves. Value masks
+        # exclude null values; count partials count valid values only.
+        specs1 = tuple((vals[vi], pa, vvalids[vi] & valid)
+                       for vi, pa in partial_specs)
         gkeys, gvalid, parts, _ = _segment_group(keys, valid, specs1)
 
         # 2. shuffle PARTIALS by key hash (volume = local groups, not rows)
@@ -187,31 +202,43 @@ def make_distributed_group_by(mesh: Mesh, cap: int, n_keys: int,
         rparts = received[n_keys:]
         rvalid = shuf.row_validity_mask(rkeys[0], counts, cap)
 
-        # 3. final merge: re-encode received keys, merge-reduce partials
-        specs2 = tuple((rp, _MERGE[pa])
-                       for (vi, pa), rp in zip(partial_specs, rparts))
+        # 3. final merge: re-encode received keys, merge-reduce partials.
+        # A min/max partial from a group with zero valid values is
+        # garbage — its sibling count partial (always at i+1) masks it.
+        specs2 = []
+        for i, ((vi, pa), rp) in enumerate(zip(partial_specs, rparts)):
+            vmask2 = None
+            if pa in ("min", "max"):
+                vmask2 = (rparts[i + 1] > 0) & rvalid
+            specs2.append((rp, _MERGE[pa], vmask2))
         out_keys, _gv2, merged, n_unique2 = _segment_group(
-            rkeys, rvalid, specs2)
+            rkeys, rvalid, tuple(specs2))
         merged = list(merged)
-        # finish: mean = sum/count
-        outs = []
+        outs, valids = [], []
         i = 0
         for agg, consumed in finishers:
             if agg == "mean":
                 s, c = merged[i], merged[i + 1]
                 outs.append(s.astype(jnp.float64)
                             / jnp.maximum(c, 1).astype(jnp.float64))
-            else:
+                valids.append(c > 0)
+            elif agg in ("sum", "min", "max"):
                 outs.append(merged[i])
+                valids.append(merged[i + 1] > 0)
+            else:                       # count: always valid
+                outs.append(merged[i])
+                valids.append(jnp.ones(merged[i].shape[0], jnp.bool_))
             i += consumed
-        return (out_keys, tuple(outs), n_unique2.reshape(1),
+        return (out_keys, tuple(outs), tuple(valids),
+                n_unique2.reshape(1),
                 jax.lax.pmax(overflow.astype(jnp.int32),
                              SHARD_AXIS).astype(jnp.bool_))
 
     spec = P(SHARD_AXIS)
     fn = shard_map(step, mesh=mesh,
-                   in_specs=(spec,) * (n_keys + n_vals + 1),
+                   in_specs=(spec,) * (n_keys + 2 * n_vals + 1),
                    out_specs=((spec,) * n_keys,
+                              (spec,) * len(finishers),
                               (spec,) * len(finishers), spec, P()))
     return jax.jit(fn)
 
@@ -270,6 +297,10 @@ def make_distributed_join(mesh: Mesh, cap_shuffle: int, cap_out: int,
     'left semi' | 'left anti'. (hot_k skew handling supports
     inner/left outer only — a broadcast build row appears on every
     shard, so per-shard unmatched-right detection would duplicate it.)
+    Semi/anti take ONE extra trailing input `lnull` (bool, row-sharded):
+    True marks REAL left rows whose key is null (excluded from lvalid).
+    'left anti' ORs them into the verdict — SQL semantics, matching
+    compute.hash_join; pass zeros when keys have no nulls.
     hot_k > 0 enables skew handling: per-shard top-hot_k PROBE-side
     (left) keys with local count > hot_thresh join via build-side
     broadcast (capacity cap_hot rows per shard broadcast; cap_hot_out
@@ -306,6 +337,7 @@ def make_distributed_join(mesh: Mesh, cap_shuffle: int, cap_out: int,
         rkeys = args[nl + 1: nl + 1 + n_keys]
         rpays = args[nl + 1 + n_keys: nl + 1 + n_keys + n_rpay]
         rvalid = args[nl + 1 + n_keys + n_rpay]
+        lnull = args[nl + 2 + n_keys + n_rpay] if semi else None
 
         lv, rv = lvalid, rvalid
         if hot_k:
@@ -360,6 +392,10 @@ def make_distributed_join(mesh: Mesh, cap_shuffle: int, cap_out: int,
                 # comes from the broadcast build side
                 hverd = _hot_semi(lkeys, lhot, rkeys, rpays, rhot, how)
                 verdict = jnp.where(lhot, hverd, verdict)
+            if how == "left anti":
+                # null-key left rows match nothing -> they belong in the
+                # anti output (SQL semantics, = compute.hash_join)
+                verdict = verdict | lnull
             ov = jax.lax.pmax((lov | rov).astype(jnp.int32), SHARD_AXIS)
             return verdict, ov.astype(jnp.bool_)
 
@@ -443,7 +479,7 @@ def make_distributed_join(mesh: Mesh, cap_shuffle: int, cap_out: int,
                             1, how_)
 
     spec = P(SHARD_AXIS)
-    n_in = (n_keys + n_lpay + 1) + (n_keys + n_rpay + 1)
+    n_in = (n_keys + n_lpay + 1) + (n_keys + n_rpay + 1) + (1 if semi else 0)
     if semi:
         out_specs = (spec, P())
     elif hot_k:
@@ -485,9 +521,17 @@ def make_distributed_sort_multi(mesh: Mesh, cap: int, n_keys: int,
         L = kprim.shape[0]
 
         sk = jnp.sort(kprim)
+        # sample only the VALID prefix (invalid/padding rows sorted to
+        # the tail as sentinel-max): a mostly-padding shard must not skew
+        # splitters toward the sentinel and concentrate real rows on the
+        # last shard
+        nval = jnp.sum(valid.astype(jnp.int32))
         pos = (jnp.arange(n_samples, dtype=jnp.int32)
-               * jnp.int32(max(L // n_samples, 1))) % jnp.int32(L)
-        sample = jnp.take(sk, pos)
+               * jnp.maximum(nval, 1)) // jnp.int32(n_samples)
+        sample = jnp.take(sk, jnp.clip(pos, 0, L - 1))
+        # an all-padding shard contributes only sentinels (harmless: they
+        # sort to the top quantiles and drop out of the splitter cut)
+        sample = jnp.where(nval > 0, sample, sent)
         all_samples = jax.lax.all_gather(sample, SHARD_AXIS).reshape(-1)
         flat = jnp.sort(all_samples)
         S = flat.shape[0]

@@ -333,12 +333,12 @@ def _scaling_bench(report):
         valid = jax.device_put(jnp.ones(N, jnp.bool_), sh)
         fn = dist.make_distributed_group_by(
             mesh, cap=4096, n_keys=1, agg_specs=((0, "sum"),), n_vals=1)
-        out = fn(keys, vals, valid)
+        out = fn(keys, vals, valid, valid)
         jax.block_until_ready(out)
         ts = []
         for _ in range(5):
             t0 = time.perf_counter()
-            jax.block_until_ready(fn(keys, vals, valid))
+            jax.block_until_ready(fn(keys, vals, valid, valid))
             ts.append(time.perf_counter() - t0)
         times[D] = float(np.median(ts))
         report(f"dist_group_by_D{D}", times[D], N, N * 16)

@@ -97,9 +97,10 @@ def skew_and_strings():
     gfn = dist.make_distributed_group_by(
         mesh, cap=128, n_keys=1,
         agg_specs=((0, "sum"), (0, "mean"), (0, "max")), n_vals=1)
-    keys_out, aggs, ngroups, ov = gfn(
+    keys_out, aggs, _valids, ngroups, ov = gfn(
         jax.device_put(jnp.asarray(zkeys), sh),
         jax.device_put(jnp.asarray(vals), sh),
+        jax.device_put(jnp.ones(N, jnp.bool_), sh),
         jax.device_put(jnp.ones(N, jnp.bool_), sh))
     assert not bool(ov)
     print(f"skewed group-by: {int(np.asarray(ngroups).sum())} groups, "
@@ -129,8 +130,9 @@ def skew_and_strings():
     mout = mfn(jax.device_put(jnp.asarray(s1), sh),
                jax.device_put(jnp.asarray(s2), sh),
                jax.device_put(jnp.asarray(vals), sh),
+               jax.device_put(jnp.ones(N, jnp.bool_), sh),
                jax.device_put(jnp.ones(N, jnp.bool_), sh))
-    print(f"string 2-key group-by: {int(np.asarray(mout[2]).sum())} groups")
+    print(f"string 2-key group-by: {int(np.asarray(mout[3]).sum())} groups")
 
 
 if __name__ == "__main__":

@@ -41,7 +41,8 @@ def test_group_by_multikey_preagg(mesh, rng):
         agg_specs=((0, "sum"), (1, "min"), (0, "mean"), (1, "count")),
         n_vals=2)
     a1, a2, av, aw, avl = _put(mesh, k1, k2, v, w, valid)
-    keys_out, aggs_out, ngroups, ov = fn(a1, a2, av, aw, avl)
+    keys_out, aggs_out, _valids, ngroups, ov = fn(a1, a2, av, aw, avl,
+                                                  avl, avl)
     assert not bool(ov)
     # collect across shards
     D = 8
@@ -78,7 +79,7 @@ def test_group_by_preagg_skew_no_overflow(mesh, rng):
     fn = dist.make_distributed_group_by(
         mesh, cap, n_keys=1, agg_specs=((0, "sum"),), n_vals=1)
     ak, av, avl = _put(mesh, keys, v, np.ones(N, np.bool_))
-    keys_out, (sums,), ngroups, ov = fn(ak, av, avl)
+    keys_out, (sums,), _valids, ngroups, ov = fn(ak, av, avl, avl)
     assert not bool(ov)
     got = {}
     D, L = 8, np.asarray(keys_out[0]).shape[0] // 8
@@ -182,7 +183,8 @@ def test_join_left_outer_and_semi_anti(mesh, rng):
         fn2 = dist.make_distributed_join(mesh, cap_shuffle=NL, cap_out=1,
                                          n_keys=1, n_lpay=1, n_rpay=1,
                                          how=how)
-        verdict, ov2 = fn2(*_put(mesh, lk, lv, lvalid, rk, rv, rvalid))
+        verdict, ov2 = fn2(*_put(mesh, lk, lv, lvalid, rk, rv, rvalid,
+                                 np.zeros(NL, np.bool_)))
         assert not bool(ov2)
         vv = np.asarray(verdict)[:NL]
         has = np.isin(lk, rk)
@@ -372,3 +374,61 @@ def test_table_level_distributed_sort(mesh, rng):
                       t.column("s").combine().to_pylist(),
                       t.column("p").combine().to_pylist()))
     assert rows == want
+
+
+def test_group_by_null_values_distributed(mesh):
+    """Advisor round-3 HIGH: value-column nulls must be excluded from
+    aggregation (v=[10,None,5,7] on keys [a,a,b,b] -> count [1,2],
+    min [10,5]) and an all-null group emits a NULL result."""
+    import arrow_go_tpu as agt
+    from arrow_go_tpu.parallel import distributed_group_by
+    t = agt.table({
+        "k": agt.array(["a", "a", "b", "b", "c"]),
+        "v": agt.array([10, None, 5, 7, None])})
+    g = distributed_group_by(t, "k", [("v", "count"), ("v", "min"),
+                                      ("v", "sum"), ("v", "mean")],
+                             mesh=mesh)
+    got = {k: (c, mn, s, me) for k, c, mn, s, me in zip(
+        g.column("k").to_pylist(), g.column("v_count").to_pylist(),
+        g.column("v_min").to_pylist(), g.column("v_sum").to_pylist(),
+        g.column("v_mean").to_pylist())}
+    assert got["a"] == (1, 10, 10, 10.0)
+    assert got["b"] == (2, 5, 12, 6.0)
+    assert got["c"] == (0, None, None, None)     # all-null group -> null
+
+
+def test_join_and_sort_null_payloads_distributed(mesh):
+    """Advisor round-3 MEDIUM: payload nulls must survive the exchange
+    (p=[None,20,30] joins back to [None,20,30], not [0,20,30])."""
+    import arrow_go_tpu as agt
+    from arrow_go_tpu.parallel import distributed_hash_join, distributed_sort
+    lt = agt.table({"k": agt.array([1, 2, 3]),
+                    "p": agt.array([None, 20, 30])})
+    rt = agt.table({"k": agt.array([3, 2, 1]),
+                    "q": agt.array([9, None, 7])})
+    j = distributed_hash_join(lt, rt, "k", mesh=mesh)
+    rows = sorted(zip(j.column("k").to_pylist(), j.column("p").to_pylist(),
+                      j.column("q").to_pylist()))
+    assert rows == [(1, None, 7), (2, 20, None), (3, 30, 9)]
+    st = distributed_sort(lt, "k", mesh=mesh)
+    assert st.column("p").to_pylist() == [None, 20, 30]
+
+
+def test_join_left_anti_null_keys_distributed(mesh, rng):
+    """Advisor round-3 LOW: left-anti verdict must include null-key left
+    rows (SQL semantics, = compute.hash_join) via the lnull input."""
+    NL, NR = 64, 32
+    lk = rng.integers(0, 20, NL).astype(np.int64)
+    rk = rng.integers(0, 10, NR).astype(np.int64)
+    lnull = rng.random(NL) < 0.25
+    lvalid = ~lnull
+    fn = dist.make_distributed_join(mesh, cap_shuffle=NL, cap_out=1,
+                                    n_keys=1, n_lpay=1, n_rpay=1,
+                                    how="left anti")
+    verdict, ov = fn(*_put(mesh, lk, np.arange(NL, dtype=np.int64), lvalid,
+                           rk, np.arange(NR, dtype=np.int64),
+                           np.ones(NR, np.bool_), lnull))
+    assert not bool(ov)
+    got = np.asarray(verdict)[:NL]
+    want = (~np.isin(lk, rk) & lvalid) | lnull
+    np.testing.assert_array_equal(got, want)
