@@ -20,6 +20,8 @@ from __future__ import annotations
 
 from typing import NamedTuple, Optional
 
+import numpy as np
+
 from ..jaxenv import jax, jnp
 from .. import dtypes as dt
 from ..device.block import DeviceColumn, row_mask
@@ -159,8 +161,11 @@ def value_counts_from_codes(res: EncodeResult, P: int, n) -> jax.Array:
 # scalar hashing for partitioning (reference hash_funcs.go prime-multiply)
 # ---------------------------------------------------------------------------
 
-_M1 = jnp.uint32(0x85EBCA6B)
-_M2 = jnp.uint32(0xC2B2AE35)
+# numpy (not jnp) scalars: module-level jnp constants initialize the
+# XLA backend at import time, which breaks jax.distributed.initialize
+# in multi-process workers (it must run before any backend exists)
+_M1 = np.uint32(0x85EBCA6B)
+_M2 = np.uint32(0xC2B2AE35)
 
 
 def hash32(values: jax.Array) -> jax.Array:

@@ -11,6 +11,8 @@ from __future__ import annotations
 
 from typing import Tuple
 
+import numpy as np
+
 from ..jaxenv import jax, jnp
 from ..ops import hashing
 
@@ -20,7 +22,10 @@ from jax.sharding import Mesh, PartitionSpec as P
 from .mesh import SHARD_AXIS
 from . import shuffle as shuf
 
-BIG = jnp.int64(1) << 62
+# numpy (not jnp) scalar: a module-level jnp constant would
+# initialize the XLA backend at import time, breaking
+# jax.distributed.initialize in multi-process workers
+BIG = np.int64(1) << 62
 
 
 def local_join_inner(lkeys, lvalid, rkeys, rvalid, cap_out: int,

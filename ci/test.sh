@@ -26,3 +26,6 @@ if [[ "${AGT_TPU_SMOKE:-}" == "1" ]]; then
   echo "== mode 5: TPU smoke (one executable, compiled kernels vs oracles) =="
   python ci/tpu_smoke.py
 fi
+
+echo "== mode 6: multi-process distributed (2 OS processes, jax.distributed) =="
+python ci/multiproc_run.py --procs 2 --rows 8192
