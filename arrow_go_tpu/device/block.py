@@ -333,8 +333,25 @@ def _factorize_binary(arr: Array):
         off = raw_off.astype(np.int64)
         starts, lens = off[:-1].copy(), off[1:] - off[:-1]
     elif isinstance(arr, BinaryViewArray):
-        lens = arr.value_lengths()
-        starts = data = None
+        # flatten the view layout once (vectorized, incl. long rows
+        # from the variadic buffers) — the flat segments are contiguous
+        # so the NATIVE memo table applies, then the offsets path
+        from ..utils import rowhash
+        data, starts, lens = rowhash.flatten_view_bytes(arr)
+        from .. import native
+        offs_n = np.concatenate(
+            [starts, starts[-1:] + lens[-1:]]) if n else \
+            np.zeros(1, np.int64)
+        res = native.factorize_offsets(data, offs_n, valid=mask)
+        if res is not None:
+            codes, uniq_first = res
+            ulens_u = lens[uniq_first]
+            if mask is not None:
+                ulens_u = np.where(mask[uniq_first], ulens_u, 0)
+            offs = np.zeros(len(uniq_first) + 1, np.int64)
+            np.cumsum(ulens_u, out=offs[1:])
+            data_cat = _concat_segments(data, starts[uniq_first], ulens_u)
+            return codes, _make_binary_like(t, offs, data_cat)
     else:
         raise NotImplementedError(f"factorize for {t}")
     if mask is not None:
@@ -342,43 +359,38 @@ def _factorize_binary(arr: Array):
     maxlen = int(lens.max()) if n else 0
 
     if n * max(maxlen, 1) > _FACTORIZE_BYTES_BUDGET:
-        # degenerate very-long-string columns: per-row fallback
-        vals = np.empty(n, dtype=object)
-        m = mask if mask is not None else np.ones(n, np.bool_)
-        for i in range(n):
-            vals[i] = arr.value_bytes(i) if m[i] else b""
-        uniq_obj, codes = np.unique(vals, return_inverse=True)
-        from ..array.builders import make_builder
-        bb = make_builder(t)
-        for u in uniq_obj.tolist():
-            bb.append(u)
-        return codes.astype(np.int32), bb.finish()
+        # long-string columns whose (n x maxlen) matrix would blow
+        # memory: segment-hash factorize over the FLAT byte stream
+        # (utils/rowhash.py — O(total_bytes), no per-row Python)
+        from ..utils import rowhash
+        res2 = rowhash.factorize_segments(data, starts, lens)
+        if res2 is None:        # verified 128-bit hash collision: exact
+            vals = np.empty(n, dtype=object)     # per-row fallback
+            m = mask if mask is not None else np.ones(n, np.bool_)
+            for i in range(n):
+                vals[i] = arr.value_bytes(i) if m[i] else b""
+            uniq_obj, codes = np.unique(vals, return_inverse=True)
+            from ..array.builders import make_builder
+            bb = make_builder(t)
+            for u in uniq_obj.tolist():
+                bb.append(u)
+            return codes.astype(np.int32), bb.finish()
+        codes, rep_rows = res2
+        ulens = lens[rep_rows]
+        offs = np.zeros(len(rep_rows) + 1,
+                        dtype=getattr(t, "offset_dtype", np.int32))
+        np.cumsum(ulens, out=offs[1:])
+        data_cat = _concat_segments(data, starts[rep_rows], ulens)
+        return codes, _make_binary_like(t, offs, data_cat)
 
     col = np.arange(max(maxlen, 1), dtype=np.int64)[:maxlen]
-    if starts is not None:
-        if mask is not None:
-            starts = np.where(mask, starts, 0)
-        idx = starts[:, None] + col[None, :]
-        np.clip(idx, 0, max(len(data) - 1, 0), out=idx)
-        in_row = col[None, :] < lens[:, None]
-        mat = np.where(in_row, data[idx] if len(data) else np.uint8(0),
-                       np.uint8(0)).astype(np.uint8, copy=False)
-    else:
-        # view layout: inline rows vectorized, long rows per-row (rare)
-        d = arr.data
-        raw = np.asarray(d.buffers[1].data[d.offset * 16:
-                                           (d.offset + n) * 16])
-        views = raw.reshape(n, 16)
-        mat = np.zeros((n, maxlen), dtype=np.uint8)
-        if maxlen:
-            w = min(maxlen, 12)
-            inline = lens <= 12
-            in_row = col[None, :w] < lens[:, None]
-            mat[:, :w] = np.where(inline[:, None] & in_row,
-                                  views[:, 4:4 + w], mat[:, :w])
-            for i in np.flatnonzero(~inline):
-                b = arr.value_bytes(i)
-                mat[i, :len(b)] = np.frombuffer(b, np.uint8)
+    if mask is not None:
+        starts = np.where(mask, starts, 0)
+    idx = starts[:, None] + col[None, :]
+    np.clip(idx, 0, max(len(data) - 1, 0), out=idx)
+    in_row = col[None, :] < lens[:, None]
+    mat = np.where(in_row, data[idx] if len(data) else np.uint8(0),
+                   np.uint8(0)).astype(np.uint8, copy=False)
     lens32 = np.ascontiguousarray(lens.astype(np.int32)).view(
         np.uint8).reshape(n, 4)
     full = np.ascontiguousarray(np.concatenate([lens32, mat], axis=1))
@@ -388,21 +400,53 @@ def _factorize_binary(arr: Array):
     u = np.ascontiguousarray(uniq).view(np.uint8).reshape(len(uniq),
                                                           maxlen + 4)
     ulens = np.ascontiguousarray(u[:, :4]).view(np.int32).reshape(-1)
-    if t.id in (dt.TypeId.BINARY_VIEW, dt.TypeId.STRING_VIEW):
-        from ..array.builders import make_builder
-        bb = make_builder(t)
-        ub = u[:, 4:]
-        for i in range(len(uniq)):
-            bb.append(ub[i, :ulens[i]].tobytes())
-        return codes.astype(np.int32), bb.finish()
     sel = np.arange(max(maxlen, 1), dtype=np.int64)[:maxlen][None, :] < \
         ulens[:, None]
     data_cat = np.ascontiguousarray(u[:, 4:][sel])
-    offs = np.zeros(len(uniq) + 1, dtype=t.offset_dtype)
+    offs = np.zeros(len(uniq) + 1,
+                    dtype=getattr(t, "offset_dtype", np.int32))
     np.cumsum(ulens, out=offs[1:])
-    dict_host = make_array(ArrayData(
-        t, len(uniq), [None, Buffer.wrap(offs), Buffer(data_cat)]))
-    return codes.astype(np.int32), dict_host
+    return codes.astype(np.int32), _make_binary_like(t, offs, data_cat)
+
+
+def _concat_segments(data: np.ndarray, seg_starts: np.ndarray,
+                     seg_lens: np.ndarray) -> np.ndarray:
+    """Concatenate byte segments of `data` into one contiguous buffer
+    (row-chunked: the int64 per-byte index temporaries are 8-16x the
+    payload)."""
+    from ..utils.rowhash import _row_chunks
+    total = int(seg_lens.sum())
+    out = np.empty(total, np.uint8)
+    ends = np.cumsum(seg_lens)
+    base = ends - seg_lens
+    for a, b in _row_chunks(seg_lens, 1 << 26):
+        clens = seg_lens[a:b]
+        tot = int(clens.sum())
+        if not tot:
+            continue
+        cbase = np.cumsum(clens) - clens
+        rep = np.repeat(np.arange(b - a, dtype=np.int64), clens)
+        off = np.arange(tot, dtype=np.int64) - cbase[rep]
+        out[int(base[a]):int(base[a]) + tot] = \
+            data[seg_starts[a:b][rep] + off]
+    return out
+
+
+def _make_binary_like(t, offs: np.ndarray, data_cat: np.ndarray) -> Array:
+    """Concatenated unique values -> host Array of type t (offsets
+    layout directly; view layout via vectorized struct construction —
+    the per-unique builder loop this replaces was O(dict) Python)."""
+    from ..array.arrays import ArrayData, make_array
+    from ..memory.buffer import Buffer
+    k = len(offs) - 1
+    if t.id in (dt.TypeId.BINARY_VIEW, dt.TypeId.STRING_VIEW):
+        from ..utils import rowhash
+        views, long_data = rowhash.build_view_buffers(data_cat, offs)
+        return make_array(ArrayData(
+            t, k, [None, Buffer(views), Buffer(long_data)]))
+    return make_array(ArrayData(
+        t, k, [None, Buffer.wrap(offs), Buffer(np.ascontiguousarray(
+            data_cat))]))
 
 
 def to_device(arr: Array, pad: Optional[int] = None) -> DeviceColumn:

@@ -52,6 +52,30 @@ def chunked_cumsum(v: jax.Array) -> jax.Array:
     return (row_cs + row_pref[:, None]).reshape(-1)
 
 
+def chunked_cummax(v: jax.Array) -> jax.Array:
+    """Cumulative max that compiles for 64-bit dtypes on TPU at any size
+    (same 2-D window-bounding as chunked_cumsum; max is associative so
+    the row-prefix combine is elementwise max). Values must be
+    >= 0 for unsigned dtypes (the pad/identity is 0/dtype-min)."""
+    P = v.shape[0]
+    if P < INNER * 2:
+        return jax.lax.cummax(v)
+    ident = (jnp.zeros((), v.dtype) if v.dtype.kind == "u"
+             else jnp.array(jnp.iinfo(v.dtype).min, v.dtype)
+             if v.dtype.kind == "i" else jnp.array(-jnp.inf, v.dtype))
+    if P % INNER:
+        pad = INNER - (P % INNER)
+        return chunked_cummax(
+            jnp.concatenate([v, jnp.full(pad, ident, v.dtype)]))[:P]
+    rows = P // INNER
+    v2 = v.reshape(rows, INNER)
+    row_cm = jax.lax.cummax(v2, axis=1)
+    row_tot = row_cm[:, -1]
+    row_pref = chunked_cummax(row_tot)
+    prev = jnp.concatenate([jnp.full(1, ident, v.dtype), row_pref[:-1]])
+    return jnp.maximum(row_cm, prev[:, None]).reshape(-1)
+
+
 def _is_last(start: jax.Array) -> jax.Array:
     return jnp.concatenate([start[1:], jnp.ones(1, start.dtype)])
 

@@ -127,22 +127,34 @@ def encode_codes(values: jax.Array, t: dt.DataType,
         return EncodeResult(codes, n_unique, has_null, first_index,
                             null_first_row)
 
-    # first-occurrence ranks without a searchsorted (probe4: binary
-    # search is the most expensive primitive on TPU): compact each run's
-    # first original index to the front (stable (key, iota) sort already
-    # put the minimal index at the run start), argsort those to get the
-    # first-occurrence order, invert the permutation for run -> rank.
-    run_id = jnp.cumsum(start.astype(jnp.int32)) - 1
-    first_sorted = jax.lax.sort(
-        ((~start).astype(jnp.int32), sidx), num_keys=1, is_stable=True)[1]
-    first_x = jnp.where(iota < n_unique, first_sorted, P)
-    order = jnp.argsort(first_x.astype(jnp.uint32))  # rank -> run
-    rank_of_run = jnp.zeros(P, jnp.int32).at[order].set(iota)
-    code_sorted_domain = jnp.take(rank_of_run,
-                                  jnp.clip(run_id, 0, P - 1))
-    codes = jnp.full(P, -1, jnp.int32)
-    codes = codes.at[sidx].set(jnp.where(svalid == 1, code_sorted_domain, -1))
-    first_index = jnp.take(first_x, order)           # [rank] = first row
+    # first-occurrence ranks without searchsorted, argsort OR gathers
+    # (probe4/7: binary search and random gathers are the expensive
+    # primitives — a 4M gather costs ~36 ms while sorts are ~15 ms and
+    # chunked scans ~10 ms):
+    #   1. forward-fill each run's FIRST original index (the stable
+    #      (key, iota) sort puts the minimum at the run start) through
+    #      the run via a two-lane (position, value) pack + chunked u64
+    #      cummax — the position lane is monotone so the fill is exact
+    #   2. ONE more sort keyed by that first index: runs land in
+    #      first-occurrence order, so the run counter IS the code
+    from .groupagg import chunked_cummax
+    pack = jnp.where(start,
+                     (iota.astype(jnp.uint64) << jnp.uint64(32))
+                     | sidx.astype(jnp.uint32).astype(jnp.uint64),
+                     jnp.uint64(0))
+    f_fill = (chunked_cummax(pack)
+              & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32)
+    flag2_in = (svalid == 0).astype(jnp.int32)
+    flag2, f2, sidx2 = jax.lax.sort((flag2_in, f_fill, sidx), num_keys=2,
+                                    is_stable=True)
+    valid2 = flag2 == 0
+    prev_f = jnp.concatenate([~f2[:1], f2[:-1]])     # differs at pos 0
+    start2 = (f2 != prev_f) & valid2
+    code2 = jnp.cumsum(start2.astype(jnp.int32)) - 1
+    codes = jnp.zeros(P, jnp.int32).at[sidx2].set(
+        jnp.where(valid2, code2, -1))
+    first_index = jnp.full(P, P, jnp.int32).at[
+        jnp.where(start2, code2, P)].set(f2.astype(jnp.int32), mode="drop")
 
     return EncodeResult(codes, n_unique, has_null, first_index, null_first_row)
 

@@ -404,11 +404,15 @@ def make_distributed_join(mesh: Mesh, cap_shuffle: int, cap_out: int,
             ov = jax.lax.pmax((lov | rov).astype(jnp.int32), SHARD_AXIS)
             return verdict, ov.astype(jnp.bool_)
 
-        li, ri, n_out, jov = _local_pairs(lcodes, lrows, rcodes, rrows,
-                                          cap_out, how)
+        li, ri, rperm, n_out, jov = _local_pairs(lcodes, lrows, rcodes,
+                                                 rrows, cap_out, how)
         out_keys = gather_cols(slk, li)
         out_lp = gather_cols(slp, li)
-        out_rp = gather_cols(srp, ri)
+        # ri is a key-sorted right RANK (gather-free join core): permute
+        # payloads once by rperm, then gather by rank
+        srp_ranked = tuple(
+            jnp.take(c, jnp.clip(rperm, 0, c.shape[0] - 1)) for c in srp)
+        out_rp = gather_cols(srp_ranked, ri)
         rmatch = jnp.where(li >= 0, ri >= 0, False)
         overflow = lov | rov | jov
 
@@ -421,12 +425,14 @@ def make_distributed_join(mesh: Mesh, cap_shuffle: int, cap_out: int,
             bvh = jnp.concatenate([lhot, hrows])
             resh = _local_codes(bothh, bvh)
             Lh = lkeys[0].shape[0]
-            hli, hri, hn, hovf = _local_pairs(
+            hli, hri, hrperm, hn, hovf = _local_pairs(
                 resh.codes[:Lh], lhot, resh.codes[Lh:], hrows,
                 cap_hot_out, "inner" if how == "inner" else "left outer")
             hout_keys = gather_cols(lkeys, hli)
             hout_lp = gather_cols(lpays, hli)
-            hout_rp = gather_cols(hp, hri)
+            hp_ranked = tuple(
+                jnp.take(c, jnp.clip(hrperm, 0, c.shape[0] - 1)) for c in hp)
+            hout_rp = gather_cols(hp_ranked, hri)
             hrmatch = jnp.where(hli >= 0, hri >= 0, False)
             overflow = overflow | hovf | hov2[1]
             ov = jax.lax.pmax(overflow.astype(jnp.int32), SHARD_AXIS)

@@ -30,20 +30,35 @@ BIG = np.int64(1) << 62
 
 def local_join_inner(lkeys, lvalid, rkeys, rvalid, cap_out: int,
                      how: str = "inner"):
-    """Traced join on one shard — SORT-MERGE over both sides at once.
+    """Traced join on one shard — SORT-MERGE over both sides at once,
+    with a GATHER-FREE pair expansion.
 
-    TPU rationale (benchmarks/roofline_probe4.py): `searchsorted` costs
-    ~430 ms per 16M queries on v5e while `lax.sort` is ~50 ms and cumsum/
-    cummax are ~5 ms, so the probe phase is ONE combined sort of
-    [right; left] with a side flag (rights sort before lefts within a
-    key), match counts fall out of prefix sums, and the pair expansion
-    maps output slot -> sorted position with a scatter-max + cummax fill
-    instead of a binary search.
+    TPU cost model (benchmarks/roofline_probe{4,7}.py, v5e, 4M probe /
+    1M build / 16M pairs): `lax.sort` of the combined sides costs
+    ~29 ms, cumsum/cummax ~2-6 ms, scatter-set/max ~0.1 ms — but ONE
+    random 16M-index gather costs ~144 ms (monotone indices are no
+    cheaper). The round-3 expansion spent ~430 ms of its 609 ms in four
+    such gathers. This version has ZERO gathers:
+
+    - `R_before` (rights before each group) forward-fills from run-start
+      marks with a cummax — the marks are monotone across groups.
+    - each emitting row scatter-SETs ONE slot with its (output base,
+      owner fields) packed into u64 lanes; a chunked u64 cummax
+      forward-fills the runs (pack is monotone because output bases
+      are), and the owner's row id unpacks from the fill directly.
+    - `ri` is returned as the owner's RIGHT RANK in key-sorted order
+      (rank base + slot offset — pure arithmetic); `rperm` maps rank ->
+      original right row. Consumers gather payloads through
+      `take(col, rperm)[ri]` (or `take(rperm, ri)` for row ids) — the
+      same per-column gathers they always paid, none inside the kernel.
 
     how: 'inner' | 'left outer' | 'right outer' | 'full outer'.
-    Returns (li[cap_out], ri[cap_out], n_out, overflow): local row indices
-    of matched pairs; slots >= n_out are padding (-1).
+    Returns (li[cap_out], ri[cap_out], rperm[PR], n_out, overflow):
+    li = original left row ids; ri = right-side KEY-SORTED ranks
+    (-1 = no match / padding); rperm[rank] = original right row.
+    Sides are limited to 2^30 rows per call (rank/id pack in 30 bits).
     """
+    from ..ops.groupagg import chunked_cummax
     PL, PR = lkeys.shape[0], rkeys.shape[0]
     N = PL + PR
     keys_all = jnp.concatenate([rkeys, lkeys])
@@ -68,28 +83,34 @@ def local_join_inner(lkeys, lvalid, rkeys, rvalid, cap_out: int,
     is_right = (sside == 0) & (sflag == 0)
     is_left = (sside == 1) & (sflag == 0)
     R_incl = jnp.cumsum(is_right.astype(jnp.int32))
-    grp_start = jax.lax.cummax(jnp.where(start, pos, -1))
-    grp_start_c = jnp.clip(grp_start, 0, N - 1)
-    R_before = jnp.take(R_incl, grp_start_c) - \
-        jnp.take(is_right, grp_start_c).astype(jnp.int32)
+    # rights before each group: marks at starts are monotone across
+    # groups, so a cummax forward-fill replaces the per-position gather
+    R_before = jnp.maximum(jax.lax.cummax(
+        jnp.where(start, R_incl - is_right.astype(jnp.int32), -1)), 0)
     counts_pos = jnp.where(is_left, R_incl - R_before, 0)
     if how in ("left outer", "full outer"):
         emit_pos = jnp.where(is_left, jnp.maximum(counts_pos, 1), 0)
     else:
         emit_pos = counts_pos
     if how in ("right outer", "full outer"):
-        # rights whose group has NO left emit one (li=-1, ri=self) row.
-        # lefts follow rights within a group, so a right row needs the
-        # group's TOTAL left count: lefts between group start and the
-        # next group start (suffix-min gives the next start position).
+        # rights whose group has NO left emit one (li=-1, ri=self-rank)
+        # row. lefts-in-group = L at group end - L before group start,
+        # both scan-filled (no gathers): L_before forward-fills from
+        # start marks; L_end backward-fills from end-of-run marks with a
+        # reverse cummin (mark values increase rightward, so the min of
+        # marks at-or-right of a position is its own group's end).
         L_incl = jnp.cumsum(is_left.astype(jnp.int32))
-        arr = jnp.where(start, pos, N)
-        suffix_min = jax.lax.cummin(arr, reverse=True)
-        next_start = jnp.concatenate(
-            [suffix_min[1:], jnp.full(1, N, suffix_min.dtype)])
-        L_at = jnp.concatenate([jnp.zeros(1, jnp.int32), L_incl])
-        lefts_in_group = jnp.take(L_at, jnp.clip(next_start, 0, N)) - \
-            jnp.take(L_at, jnp.clip(grp_start_c, 0, N))
+        L_before = jnp.maximum(jax.lax.cummax(
+            jnp.where(start, L_incl - is_left.astype(jnp.int32), -1)), 0)
+        valid_row = sflag == 0
+        nxt_start = jnp.concatenate([start[1:], jnp.ones(1, start.dtype)])
+        nxt_invalid = jnp.concatenate(
+            [(sflag[1:] != 0), jnp.ones(1, jnp.bool_)])
+        is_last = valid_row & (nxt_start | nxt_invalid)
+        imax = jnp.iinfo(jnp.int32).max
+        grp_L_end = jax.lax.cummin(
+            jnp.where(is_last, L_incl, imax), reverse=True)
+        lefts_in_group = grp_L_end - L_before
         unmatched_right = is_right & (lefts_in_group == 0)
         emit_pos = emit_pos + unmatched_right.astype(jnp.int32)
     offsets = jnp.cumsum(emit_pos)
@@ -98,51 +119,47 @@ def local_join_inner(lkeys, lvalid, rkeys, rvalid, cap_out: int,
 
     # right rank -> original right row id
     rank = R_incl - 1
-    right_orig = jnp.zeros(max(PR, 1), jnp.int32).at[
+    rperm = jnp.zeros(max(PR, 1), jnp.int32).at[
         jnp.where(is_right, rank, PR)].set(sorig, mode="drop")
 
-    # slot j -> pair: each emitting position scatters at its first output
-    # slot; cummax forward-fills the runs. MONOTONE quantities (sorted
-    # position, run start slot, right-rank base) fill directly — cummax
-    # of a monotone sequence's marks yields the owning run's value — so
-    # only li and ri need a gather each (probe4: per-slot random gathers
-    # are the expensive primitive).
+    # expansion: each emitting position scatter-SETs its first output
+    # slot (slots are distinct); forward-fill runs via cummax. The owner
+    # fields ride a u64 pack whose high bits are the (monotone) output
+    # base, so ONE chunked u64 cummax fills owner id + flags with no
+    # gather. i32 lanes fill the (monotone) base/rank-base directly.
     starts_j = offsets - emit_pos
-    tgt = jnp.where(emit_pos > 0, jnp.clip(starts_j, 0, cap_out - 1),
-                    cap_out)
-    rowpos = jax.lax.cummax(
-        jnp.zeros(cap_out, jnp.int32).at[tgt].max(pos, mode="drop"))
+    emitting = emit_pos > 0
+    tgt = jnp.where(emitting, jnp.clip(starts_j, 0, cap_out - 1), cap_out)
     fill_start = jax.lax.cummax(
         jnp.zeros(cap_out, jnp.int32).at[tgt].max(starts_j, mode="drop"))
     fill_rbase = jax.lax.cummax(
         jnp.zeros(cap_out, jnp.int32).at[tgt].max(
-            jnp.where(emit_pos > 0, R_before, 0), mode="drop"))
+            jnp.where(emitting, R_before, 0), mode="drop"))
+    # pack (u64): [base:32][owner_left:1][matched:1][orig_or_rank:30] —
+    # scattered as TWO u32 lanes (64-bit scatters are the slow primitive
+    # on v5e: probe6 measured an i64 scatter at ~460 ms/4M updates while
+    # u32 scatters are ~0.1 ms) and combined AFTER the scatter, where
+    # the u64 work is elementwise
+    field = jnp.where(is_left, sorig, rank).astype(jnp.uint32)
+    lane_hi = starts_j.astype(jnp.uint32)
+    lane_lo = ((is_left.astype(jnp.uint32) << jnp.uint32(31))
+               | ((counts_pos > 0).astype(jnp.uint32) << jnp.uint32(30))
+               | field)
+    s_hi = jnp.zeros(cap_out, jnp.uint32).at[tgt].set(lane_hi, mode="drop")
+    s_lo = jnp.zeros(cap_out, jnp.uint32).at[tgt].set(lane_lo, mode="drop")
+    fillp = chunked_cummax((s_hi.astype(jnp.uint64) << jnp.uint64(32))
+                           | s_lo.astype(jnp.uint64))
+    f_left = ((fillp >> jnp.uint64(31)) & jnp.uint64(1)) != 0
+    f_match = ((fillp >> jnp.uint64(30)) & jnp.uint64(1)) != 0
+    f_field = (fillp & jnp.uint64((1 << 30) - 1)).astype(jnp.int32)
     j = jnp.arange(cap_out, dtype=jnp.int32)
     within = j - fill_start
     r_rank = fill_rbase + within
     in_range = j < total
-    if how in ("left outer", "full outer"):
-        fill_match = jax.lax.cummax(
-            jnp.full(cap_out, -1, jnp.int32).at[tgt].max(
-                jnp.where(counts_pos > 0, pos, -1), mode="drop"))
-        has_match = fill_match == rowpos
-    else:
-        has_match = in_range
-    owner_orig = jnp.take(sorig, rowpos)
-    if how in ("right outer", "full outer"):
-        # an emitting RIGHT position is an unmatched right: li=-1, ri=self
-        owner_is_left = jnp.take(sside, rowpos) == 1
-        li = jnp.where(in_range & owner_is_left, owner_orig, -1)
-        ri = jnp.where(
-            in_range & owner_is_left & has_match,
-            jnp.take(right_orig, jnp.clip(r_rank, 0, max(PR - 1, 0))),
-            jnp.where(in_range & ~owner_is_left, owner_orig, -1))
-        return li, ri, total, overflow
-    li = jnp.where(in_range, owner_orig, -1)
-    ri = jnp.where(in_range & has_match,
-                   jnp.take(right_orig, jnp.clip(r_rank, 0, max(PR - 1, 0))),
-                   -1)
-    return li, ri, total, overflow
+    li = jnp.where(in_range & f_left, f_field, -1)
+    ri = jnp.where(in_range & f_left & f_match, r_rank,
+                   jnp.where(in_range & ~f_left, f_field, -1))
+    return li, ri, rperm, total, overflow
 
 
 def local_join_semi(lkeys, lvalid, rkeys, rvalid, how: str):
@@ -171,10 +188,9 @@ def local_join_semi(lkeys, lvalid, rkeys, rvalid, how: str):
     is_right = (sside == 0) & (sflag == 0)
     is_left = (sside == 1) & (sflag == 0)
     R_incl = jnp.cumsum(is_right.astype(jnp.int32))
-    grp_start = jax.lax.cummax(jnp.where(start, pos, -1))
-    grp_start_c = jnp.clip(grp_start, 0, N - 1)
-    R_before = jnp.take(R_incl, grp_start_c) - \
-        jnp.take(is_right, grp_start_c).astype(jnp.int32)
+    # gather-free R_before: forward-fill monotone run-start marks
+    R_before = jnp.maximum(jax.lax.cummax(
+        jnp.where(start, R_incl - is_right.astype(jnp.int32), -1)), 0)
     matched = is_left & ((R_incl - R_before) > 0)
     out = jnp.zeros(PL, jnp.bool_).at[
         jnp.where(is_left, sorig, PL)].set(matched, mode="drop")
@@ -201,14 +217,18 @@ def make_distributed_join(mesh: Mesh, cap_shuffle: int, cap_out: int):
         (srk, srv), rcounts, rov = body(rdest, rvalid, rkeys, rvals)
         lval_rows = shuf.row_validity_mask(slk, lcounts, cap_shuffle)
         rval_rows = shuf.row_validity_mask(srk, rcounts, cap_shuffle)
-        li, ri, n_out, jov = local_join_inner(slk, lval_rows, srk, rval_rows,
-                                              cap_out)
+        li, ri, rperm, n_out, jov = local_join_inner(
+            slk, lval_rows, srk, rval_rows, cap_out)
         ok = jnp.take(slk, jnp.clip(li, 0, slk.shape[0] - 1))
         out_k = jnp.where(li >= 0, ok, -1)
         out_l = jnp.where(li >= 0,
                           jnp.take(slv, jnp.clip(li, 0, slv.shape[0] - 1)), 0)
+        # ri is a key-sorted right RANK: pre-permute the payload once
+        # (build-sized gather), then the per-pair gather rides ranks
+        srv_ranked = jnp.take(srv, jnp.clip(rperm, 0, srv.shape[0] - 1))
         out_r = jnp.where(ri >= 0,
-                          jnp.take(srv, jnp.clip(ri, 0, srv.shape[0] - 1)), 0)
+                          jnp.take(srv_ranked,
+                                   jnp.clip(ri, 0, srv.shape[0] - 1)), 0)
         overflow = jax.lax.pmax(
             (lov | rov | jov).astype(jnp.int32), SHARD_AXIS).astype(jnp.bool_)
         return out_k, out_l, out_r, n_out.reshape(1), overflow

@@ -168,8 +168,8 @@ def build_program(n: int, nh: int):
             l, acc = carry
             l = lax.dynamic_update_slice(
                 l, l[0:1] + bias.astype(l.dtype), (0,))
-            li, ri, total, ov = local_join_inner(l, ones_l, rk, ones_r,
-                                                 cap_join)
+            li, ri, rperm, total, ov = local_join_inner(l, ones_l, rk,
+                                                        ones_r, cap_join)
             return l, acc + (total + li[0] + ri[cap_join // 2]
                              ).astype(jnp.float64)
         _, acc5 = cfg_loop(Ls, 5, join_body, (lk, jnp.float64(0)))

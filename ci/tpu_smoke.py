@@ -100,7 +100,7 @@ def main() -> int:
                % jnp.uint64(997)).astype(jnp.int64)[: n // 4]
         ones_l = jnp.ones(n, jnp.bool_)
         ones_r = jnp.ones(n // 4, jnp.bool_)
-        li, ri, total, ov = local_join_inner(lkd, ones_l, rkd, ones_r, 1)
+        li, ri, rperm, total, ov = local_join_inner(lkd, ones_l, rkd, ones_r, 1)
         outs["join_pairs"] = total
         # decimal limb arithmetic: carry propagation + compare
         a = jnp.broadcast_to(

