@@ -13,7 +13,7 @@ left anti; multi-column keys; null keys never match (SQL semantics).
 """
 from __future__ import annotations
 
-from typing import List, Sequence
+from typing import List, Optional, Sequence
 
 import numpy as np
 
@@ -129,15 +129,44 @@ def _shared_dict_codes(lc, rc):
     return remap(lc), remap(rc)
 
 
+#: probe rows per chunk when the probe side streams through the join
+#: core (memory-bounded execution: expansion buffers scale with the
+#: CHUNK, not the table, so a 134M-row probe cannot blow HBM — the
+#: reference's ChunkSize-bounded span property, compute/executor.go:757)
+PROBE_CHUNK_DEFAULT = 1 << 23
+
+#: join types where probe-side chunking is an exact decomposition
+#: (each left row's output depends only on itself and the build side)
+_CHUNKABLE = ("inner", "left outer", "left semi", "left anti")
+
+
 def hash_join(left, right, keys=None, *, left_keys=None, right_keys=None,
               join_type: str = "inner",
-              left_suffix: str = "", right_suffix: str = "_right"
-              ) -> RecordBatch:
-    """Join two record batches / tables."""
+              left_suffix: str = "", right_suffix: str = "_right",
+              probe_chunk: Optional[int] = None) -> RecordBatch:
+    """Join two record batches / tables.
+
+    When the probe (left) side exceeds `probe_chunk` rows (default 8M)
+    and the join type decomposes over probe rows, the probe streams
+    through the build side chunk by chunk: device memory is bounded by
+    the chunk's expansion buffers instead of the full pair count."""
     if join_type not in _HOWS:
         raise ArrowNotImplemented(f"join type {join_type!r}")
     left = _as_batch(left)
     right = _as_batch(right)
+    chunk = probe_chunk or PROBE_CHUNK_DEFAULT
+    if left.num_rows > chunk and join_type in _CHUNKABLE:
+        from ..array.concat import concat_arrays
+        parts = []
+        for lo in range(0, left.num_rows, chunk):
+            parts.append(hash_join(
+                left.slice(lo, min(chunk, left.num_rows - lo)), right,
+                keys, left_keys=left_keys, right_keys=right_keys,
+                join_type=join_type, left_suffix=left_suffix,
+                right_suffix=right_suffix, probe_chunk=chunk))
+        cols = [concat_arrays([p.columns[i] for p in parts])
+                for i in range(parts[0].num_columns)]
+        return RecordBatch.from_arrays(cols, list(parts[0].schema.names))
     if keys is not None:
         if isinstance(keys, str):
             keys = [keys]

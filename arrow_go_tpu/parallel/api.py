@@ -212,11 +212,13 @@ def distributed_hash_join(left, right, keys, mesh: Optional[Mesh] = None,
         return cols, names
 
     if hot_k:
-        (ok, olp, orp, _rm, n_out, hk, hlp, hrp, _hrm, hn, _ov) = out
+        (ok, olp, orp, _rm, n_out, hk, hlp, hrp, _hrm, hn,
+         bk, blp, brp, _brm, bn, _ov) = out
         c1, names = collect(ok, olp, orp, n_out)
         c2, _ = collect(hk, hlp, hrp, hn)
+        c3, _ = collect(bk, blp, brp, bn)
         from ..array.concat import concat_arrays
-        cols = [concat_arrays([a, b]) for a, b in zip(c1, c2)]
+        cols = [concat_arrays([a, b, c]) for a, b, c in zip(c1, c2, c3)]
         return RecordBatch.from_arrays(cols, names)
     ok, olp, orp, _rm, n_out, _ov = out
     cols, names = collect(ok, olp, orp, n_out)

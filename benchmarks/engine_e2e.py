@@ -1,0 +1,154 @@
+"""End-to-end ENGINE benchmark: one composed query pipeline, not per-op
+wins (VERDICT r3 #5; reference analog: pqarrow.ReadTable -> compute ->
+output composition, parquet/internal/encoding/encoding_benchmarks_test.go
++ arrow/compute/vector_selection_test.go).
+
+TPC-H-Q3-shaped query over generated lineitem/orders-like data:
+
+    SELECT o_odate, SUM(l_price * (1 - l_disc)) AS revenue, COUNT(*)
+    FROM lineitem JOIN orders ON l_okey = o_okey
+    WHERE l_sdate > cutoff
+    GROUP BY o_odate
+    ORDER BY revenue DESC
+
+Stages: parquet scan (both tables, from bytes) -> filter -> hash join
+-> group-by -> sort -> host RecordBatch. The SAME query runs on
+pyarrow/Acero over the SAME parquet bytes for a side-by-side wall
+clock. Results print as JSON lines; committed into BENCH_SUITE_r{N}.
+
+Usage: python benchmarks/engine_e2e.py [--rows N] [--repeats K]
+"""
+from __future__ import annotations
+
+import argparse
+import io
+import json
+import time
+
+import numpy as np
+
+
+def make_data(n_li: int, n_ord: int):
+    rng = np.random.default_rng(7)
+    li = {
+        "l_okey": rng.integers(0, n_ord, n_li).astype(np.int64),
+        "l_price": np.round(rng.uniform(1.0, 1000.0, n_li), 2),
+        "l_disc": np.round(rng.uniform(0.0, 0.1, n_li), 2),
+        "l_sdate": rng.integers(8000, 12000, n_li).astype(np.int32),
+    }
+    orders = {
+        "o_okey": np.arange(n_ord, dtype=np.int64),
+        "o_odate": rng.integers(700, 740, n_ord).astype(np.int32),
+    }
+    return li, orders
+
+
+def write_parquet_ours(tbl_dict, rows_per_group):
+    import arrow_go_tpu as agt
+    from arrow_go_tpu import parquet as pq
+    t = agt.table({k: agt.from_numpy(v) for k, v in tbl_dict.items()})
+    buf = io.BytesIO()
+    pq.write_table(t, buf, compression="snappy",
+                   row_group_size=rows_per_group)
+    return buf.getvalue()
+
+
+def run_ours(li_blob, ord_blob, cutoff):
+    import arrow_go_tpu.compute as pc
+    from arrow_go_tpu import parquet as pq
+    t0 = time.perf_counter()
+    li = pq.read_table(li_blob)
+    orders = pq.read_table(ord_blob)
+    t_scan = time.perf_counter() - t0
+    # filter: l_sdate > cutoff (compiled expression -> device filter)
+    expr = pc.call("greater", [pc.field("l_sdate"), pc.literal(cutoff)])
+    li_b = li.combine_chunks() if hasattr(li, "combine_chunks") else li
+    mask = pc.execute_scalar_expression(expr, li_b)
+    li_f = pc.filter(li_b, mask)
+    # join on orderkey
+    joined = pc.hash_join(li_f, orders, left_keys=["l_okey"],
+                          right_keys=["o_okey"])
+    # revenue = price * (1 - disc) via expression over the joined batch
+    rev_expr = pc.call("multiply", [
+        pc.field("l_price"),
+        pc.call("subtract", [pc.literal(1.0), pc.field("l_disc")])])
+    rev = pc.execute_scalar_expression(rev_expr, joined)
+    import arrow_go_tpu as agt
+    jb = agt.record_batch(
+        {"o_odate": joined.column("o_odate"), "rev": rev})
+    g = pc.group_by(jb, "o_odate", [("rev", "sum"), ("rev", "count")])
+    # sort by revenue desc
+    idx = pc.sort_indices(g.column("rev_sum"), descending=True)
+    out = agt.record_batch({nm: pc.take(g.column(nm), idx)
+                            for nm in g.schema.names})
+    return time.perf_counter() - t0, t_scan, out
+
+
+def run_pyarrow(li_blob, ord_blob, cutoff):
+    import pyarrow as pa
+    import pyarrow.compute as pac
+    import pyarrow.parquet as papq
+    t0 = time.perf_counter()
+    li = papq.read_table(io.BytesIO(li_blob))
+    orders = papq.read_table(io.BytesIO(ord_blob))
+    t_scan = time.perf_counter() - t0
+    li_f = li.filter(pac.greater(li.column("l_sdate"), cutoff))
+    joined = li_f.join(orders, keys="l_okey", right_keys="o_okey")
+    rev = pac.multiply(joined.column("l_price"),
+                       pac.subtract(pa.scalar(1.0),
+                                    joined.column("l_disc")))
+    jb = pa.table({"o_odate": joined.column("o_odate"), "rev": rev})
+    g = jb.group_by("o_odate").aggregate([("rev", "sum"),
+                                          ("rev", "count")])
+    out = g.sort_by([("rev_sum", "descending")])
+    return time.perf_counter() - t0, t_scan, out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rows", type=int, default=1 << 22)
+    ap.add_argument("--repeats", type=int, default=3)
+    args = ap.parse_args()
+    n_li, n_ord = args.rows, args.rows // 4
+    cutoff = 10000
+
+    li, orders = make_data(n_li, n_ord)
+    li_blob = write_parquet_ours(li, max(n_li // 8, 1024))
+    ord_blob = write_parquet_ours(orders, max(n_ord // 4, 1024))
+    in_bytes = len(li_blob) + len(ord_blob)
+
+    # ours (first call compiles; time steady state)
+    _, _, out0 = run_ours(li_blob, ord_blob, cutoff)
+    ts, scans = [], []
+    for _ in range(args.repeats):
+        dt_, t_scan, out = run_ours(li_blob, ord_blob, cutoff)
+        ts.append(dt_)
+        scans.append(t_scan)
+    t_ours = float(np.median(ts))
+
+    pts = []
+    for _ in range(args.repeats):
+        pdt, pscan, pout = run_pyarrow(li_blob, ord_blob, cutoff)
+        pts.append(pdt)
+    t_pa = float(np.median(pts))
+
+    # cross-check totals
+    ours_sum = sum(out.column("rev_sum").to_pylist())
+    pa_sum = sum(pout.column("rev_sum").to_pylist())
+    assert abs(ours_sum - pa_sum) / max(abs(pa_sum), 1) < 1e-9, \
+        (ours_sum, pa_sum)
+    assert out.num_rows == pout.num_rows
+
+    rec = {"bench": "engine_e2e_q3", "rows": n_li,
+           "input_mb": round(in_bytes / 1e6, 1),
+           "ours_ms": round(t_ours * 1e3, 1),
+           "ours_scan_ms": round(float(np.median(scans)) * 1e3, 1),
+           "pyarrow_ms": round(t_pa * 1e3, 1),
+           "vs_pyarrow": round(t_pa / t_ours, 3),
+           "groups": out.num_rows, "verified": True}
+    print(json.dumps(rec), flush=True)
+    return rec
+
+
+if __name__ == "__main__":
+    main()

@@ -53,11 +53,14 @@ def build_program(n: int, nh: int):
     from arrow_go_tpu.parallel.join import local_join_inner
 
     lax = jax.lax
-    # join expansion buffers scale with 4x the probe rows; above 8M rows
-    # the 134M-slot expansion plus every other config's resident data
-    # overflows the 16GB HBM (measured: TPU worker crash at nh=33M)
-    nj = min(nh, 1 << 23)
-    cap_join = 4 * nj
+    # memory-bounded join: the probe side streams through the sort-merge
+    # core in fixed 4M-row chunks (the reference's ChunkSize-bounded
+    # span property, executor.go:757), so expansion buffers stay at
+    # 16M slots at ANY probe size — the round-3 8M cap (HBM crash at
+    # 33M) is gone
+    nj = nh
+    CHUNK_J = min(nj, 1 << 22)
+    cap_join = 4 * CHUNK_J
 
     # ---- analytic oracle for the masked sum (host, exact) --------------
     i = np.arange(n, dtype=np.int64)
@@ -164,14 +167,25 @@ def build_program(n: int, nh: int):
         ones_l = jnp.ones(nj, jnp.bool_)
         ones_r = jnp.ones(nj // 4, jnp.bool_)
 
+        ones_c = jnp.ones(CHUNK_J, jnp.bool_)
+
         def join_body(_, carry):
             l, acc = carry
             l = lax.dynamic_update_slice(
                 l, l[0:1] + bias.astype(l.dtype), (0,))
-            li, ri, rperm, total, ov = local_join_inner(l, ones_l, rk,
-                                                        ones_r, cap_join)
-            return l, acc + (total + li[0] + ri[cap_join // 2]
-                             ).astype(jnp.float64)
+
+            def chunk_body(c, acc2):
+                lk_c = lax.dynamic_slice(l, (c * CHUNK_J,), (CHUNK_J,))
+                li, ri, rperm, total, ov = local_join_inner(
+                    lk_c, ones_c, rk, ones_r, cap_join)
+                return acc2 + (total + li[0] + ri[cap_join // 2]
+                               ).astype(jnp.float64)
+            if nj == CHUNK_J:
+                acc_c = chunk_body(0, jnp.float64(0))
+            else:
+                acc_c = lax.fori_loop(0, nj // CHUNK_J, chunk_body,
+                                      jnp.float64(0))
+            return l, acc + acc_c
         _, acc5 = cfg_loop(Ls, 5, join_body, (lk, jnp.float64(0)))
         checks.append(acc5)
         checks.append(acc6)

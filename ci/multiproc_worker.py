@@ -115,7 +115,8 @@ def main():
     zout = zfn(*zargs)
     assert not bool(zout[-1]), "hot-key join overflow"
     zpairs = int(multiproc.collect(zout[4]).sum()
-                 + multiproc.collect(zout[9]).sum())
+                 + multiproc.collect(zout[9]).sum()
+                 + multiproc.collect(zout[14]).sum())
     czl = collections.Counter(zlk.tolist())
     czr = collections.Counter(zrk.tolist())
     want_z = sum(c * czr.get(k, 0) for k, c in czl.items())

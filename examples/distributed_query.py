@@ -119,7 +119,8 @@ def skew_and_strings():
               jax.device_put(jnp.asarray(vals), sh),
               jax.device_put(jnp.ones(N, jnp.bool_), sh))
     assert not bool(out[-1])
-    pairs = int(np.asarray(out[4]).sum() + np.asarray(out[9]).sum())
+    pairs = int(np.asarray(out[4]).sum() + np.asarray(out[9]).sum()
+                + np.asarray(out[14]).sum())
     print(f"hot-key broadcast join: {pairs} pairs, overflow-free")
 
     # multi-column string keys ride as shared dictionary codes

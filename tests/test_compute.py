@@ -503,3 +503,26 @@ def test_nan_zero_canonicalization_parity():
     got = s.to_pylist()
     assert got[:3] == [-1.0, 3.0, float("inf")]
     assert np.isnan(got[3]) and got[4] is None
+
+
+def test_hash_join_probe_chunked_matches_unchunked(rng):
+    """Probe-side chunked execution is an exact decomposition for
+    inner/left-outer/semi/anti (memory-bounded join, reference
+    ChunkSize property executor.go:757)."""
+    import arrow_go_tpu as agt
+    from arrow_go_tpu.compute import hash_join
+    lk = rng.integers(0, 50, 3000)
+    rk = rng.integers(25, 75, 700)
+    lt = agt.table({"k": agt.from_numpy(lk),
+                    "lv": agt.from_numpy(np.arange(3000))})
+    rt = agt.table({"k": agt.from_numpy(rk),
+                    "rv": agt.from_numpy(np.arange(700))})
+    for how in ("inner", "left outer", "left semi", "left anti"):
+        full = hash_join(lt, rt, "k", join_type=how)
+        chunked = hash_join(lt, rt, "k", join_type=how, probe_chunk=512)
+        a = sorted(map(tuple, zip(*[full.column(c).to_pylist()
+                                    for c in full.schema.names])), key=str)
+        b = sorted(map(tuple, zip(*[chunked.column(c).to_pylist()
+                                    for c in chunked.schema.names])),
+                   key=str)
+        assert a == b, how

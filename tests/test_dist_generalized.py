@@ -215,14 +215,16 @@ def test_join_zipf_hot_key_broadcast(mesh, rng):
         n_keys=1, n_lpay=1, n_rpay=1, hot_k=4, hot_thresh=64,
         cap_hot=64, cap_hot_out=NL * 2)
     (ok, olp, orp, rmatch, n_out,
-     hk, hlp, hrp, hrmatch, hn, ov) = fn(*_put(
+     hk, hlp, hrp, hrmatch, hn,
+     bk, blp, brp, brmatch, bn, ov) = fn(*_put(
          mesh, lk, lv, np.ones(NL, np.bool_),
          rk, rv, np.ones(NR, np.bool_)))
     assert not bool(ov)
     D = 8
     pairs = []
     for keys_o, lp_o, rp_o, rm_o, counts in (
-            (ok, olp, orp, rmatch, n_out), (hk, hlp, hrp, hrmatch, hn)):
+            (ok, olp, orp, rmatch, n_out), (hk, hlp, hrp, hrmatch, hn),
+            (bk, blp, brp, brmatch, bn)):
         Lc = np.asarray(keys_o[0]).shape[0] // D
         k = np.asarray(keys_o[0]); l_ = np.asarray(lp_o[0])
         r_ = np.asarray(rp_o[0]); no = np.asarray(counts)
@@ -432,3 +434,84 @@ def test_join_left_anti_null_keys_distributed(mesh, rng):
     got = np.asarray(verdict)[:NL]
     want = (~np.isin(lk, rk) & lvalid) | lnull
     np.testing.assert_array_equal(got, want)
+
+
+def test_join_build_side_zipf_salted(mesh, rng):
+    """BUILD-side (right) Zipf skew: without salting the hot key's build
+    rows all hash to one shard and overflow cap_shuffle; with hot_k the
+    build rows salt round-robin across shards and the probe rows
+    broadcast — overflow-free with exact pair parity."""
+    NL, NR = 512, 4096
+    hot = 11
+    lk = rng.integers(0, 64, NL).astype(np.int64)
+    rk = np.where(rng.random(NR) < 0.8, hot,
+                  rng.integers(0, 64, NR)).astype(np.int64)
+    lv = np.arange(NL, dtype=np.int64)
+    rv = np.arange(NR, dtype=np.int64)
+    cap_shuffle = 256            # hot build key has ~3300 rows > cap
+    naive = dist.make_distributed_join(mesh, cap_shuffle=cap_shuffle,
+                                       cap_out=NL * 64)
+    *_, ov_naive = naive(*_put(mesh, lk, lv, np.ones(NL, np.bool_),
+                               rk, rv, np.ones(NR, np.bool_)))
+    assert bool(ov_naive), "naive path should overflow on build-side skew"
+    fn = dist.make_distributed_join(
+        mesh, cap_shuffle=cap_shuffle, cap_out=NL * 64,
+        n_keys=1, n_lpay=1, n_rpay=1, hot_k=4, hot_thresh=64,
+        cap_hot=128, cap_hot_out=NL * 64)
+    out = fn(*_put(mesh, lk, lv, np.ones(NL, np.bool_),
+                   rk, rv, np.ones(NR, np.bool_)))
+    assert not bool(out[-1]), "salted path must not overflow"
+    D = 8
+    pairs = []
+    for gi in (0, 5, 10):
+        keys_o, lp_o, rp_o, counts = (out[gi], out[gi + 1], out[gi + 2],
+                                      out[gi + 4])
+        Lc = np.asarray(keys_o[0]).shape[0] // D
+        k = np.asarray(keys_o[0]); l_ = np.asarray(lp_o[0])
+        r_ = np.asarray(rp_o[0]); no = np.asarray(counts)
+        for d in range(D):
+            for j in range(int(no[d])):
+                i = d * Lc + j
+                pairs.append((int(k[i]), int(l_[i]), int(r_[i])))
+    want = _join_oracle(lk.tolist(), rk.tolist(), lv.tolist(), rv.tolist())
+    assert sorted(pairs) == [(k, a, b) for (k, a, b) in want]
+
+
+def test_join_right_outer_with_hot_k(mesh, rng):
+    """hot_k no longer excludes right/full outer: unmatched broadcast
+    build rows emit exactly once via the pmax matched-flag union."""
+    NL, NR = 2048, 256
+    hot = 3
+    lk = np.where(rng.random(NL) < 0.8, hot,
+                  rng.integers(0, 64, NL)).astype(np.int64)
+    rk = rng.integers(0, 128, NR).astype(np.int64)   # half unmatched keys
+    lv = np.arange(NL, dtype=np.int64)
+    rv = np.arange(NR, dtype=np.int64)
+    fn = dist.make_distributed_join(
+        mesh, cap_shuffle=256, cap_out=NL * 8,
+        n_keys=1, n_lpay=1, n_rpay=1, how="right outer",
+        hot_k=4, hot_thresh=64, cap_hot=64, cap_hot_out=NL * 8)
+    out = fn(*_put(mesh, lk, lv, np.ones(NL, np.bool_),
+                   rk, rv, np.ones(NR, np.bool_)))
+    assert not bool(out[-1])
+    D = 8
+    total = 0
+    rvals = []
+    for gi in (0, 5, 10):
+        counts = np.asarray(out[gi + 4])
+        rp = np.asarray(out[gi + 2][0])
+        Lc = rp.shape[0] // D
+        total += int(counts.sum())
+        for d in range(D):
+            for j in range(int(counts[d])):
+                rvals.append(int(rp[d * Lc + j]))
+    inner = sum(int((rk == k).sum()) * int(c)
+                for k, c in zip(*np.unique(lk, return_counts=True)))
+    matched_r = np.isin(rk, lk)
+    want_total = inner + int((~matched_r).sum())
+    assert total == want_total, (total, want_total)
+    # every right row appears at least once; unmatched exactly once
+    cnt = collections.Counter(rvals)
+    for j in range(NR):
+        if not matched_r[j]:
+            assert cnt[int(rv[j])] >= 1
