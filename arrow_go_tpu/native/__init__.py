@@ -315,6 +315,8 @@ def bitpack32(values: np.ndarray, width: int) -> bytes:
 def byte_array_unpack(data: bytes, n: int):
     """Parquet BYTE_ARRAY plain stream -> (offsets[n+1] int64, packed bytes
     np.uint8). Native C walk; python fallback."""
+    if not isinstance(data, (bytes, bytearray)):
+        data = bytes(data)      # ctypes needs a real byte buffer
     lib = _build()
     if lib is not None and n:
         offsets = np.empty(n + 1, dtype=np.int64)

@@ -89,18 +89,37 @@ def compress(codec: int, data: bytes, level: int = None) -> bytes:
     raise ArrowNotImplemented(f"parquet codec {c.name}")
 
 
+_zstd_local = None
+
+
+def _zstd_dctx():
+    # one decompressor per thread (construction per page showed up in
+    # the scan profile; the object is not thread-safe, hence the TLS)
+    global _zstd_local
+    import threading
+    import zstandard
+    if _zstd_local is None:
+        _zstd_local = threading.local()
+    d = getattr(_zstd_local, "d", None)
+    if d is None:
+        d = zstandard.ZstdDecompressor()
+        _zstd_local.d = d
+    return d
+
+
 def decompress(codec: int, data: bytes, uncompressed_size: int) -> bytes:
     c = fmt.Codec(codec)
     if c == fmt.Codec.UNCOMPRESSED:
         return data
+    if not isinstance(data, (bytes, bytearray)):
+        data = bytes(data)      # ctypes codecs need a real byte buffer
     if c == fmt.Codec.SNAPPY:
         return native.snappy_decompress(data)
     if c == fmt.Codec.GZIP:
         return zlib.decompress(data, wbits=47)
     if c == fmt.Codec.ZSTD:
-        import zstandard
-        return zstandard.ZstdDecompressor().decompress(
-            data, max_output_size=uncompressed_size)
+        return _zstd_dctx().decompress(data,
+                                       max_output_size=uncompressed_size)
     if c == fmt.Codec.LZ4_RAW:
         return native.lz4_decompress(data, uncompressed_size)
     if c == fmt.Codec.BROTLI:
