@@ -294,6 +294,13 @@ def _ser(msg) -> bytes:
     return msg.SerializeToString()
 
 
+#: record batches routinely exceed gRPC's 4 MB default message cap; the
+#: reference transports arbitrary batch sizes (pyarrow.flight likewise
+#: configures unlimited message lengths)
+_GRPC_UNLIMITED = (("grpc.max_send_message_length", -1),
+                   ("grpc.max_receive_message_length", -1))
+
+
 class FlightServerBase:
     """Subclass and override handlers (reference flight.BaseFlightServer /
     flightsql BaseServer stub pattern)."""
@@ -454,7 +461,8 @@ class FlightServerBase:
         from concurrent import futures
         self._server = grpc.server(
             futures.ThreadPoolExecutor(max_workers=8),
-            interceptors=self._middleware)
+            interceptors=self._middleware,
+            options=_GRPC_UNLIMITED)
         self._server.add_generic_rpc_handlers((self._handlers(),))
         addr = self._location.replace("grpc://", "").replace("grpc+tcp://", "")
         self.port = self._server.add_insecure_port(addr)
@@ -484,7 +492,8 @@ class FlightClient:
 
     def __init__(self, location: str, middleware: Optional[List] = None):
         addr = location.replace("grpc://", "").replace("grpc+tcp://", "")
-        self._channel = grpc.insecure_channel(addr)
+        self._channel = grpc.insecure_channel(addr,
+                                              options=_GRPC_UNLIMITED)
         if middleware:
             self._channel = grpc.intercept_channel(self._channel, *middleware)
         m = f"/{SERVICE}/"

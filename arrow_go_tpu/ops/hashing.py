@@ -62,16 +62,19 @@ def encode_sorted(values: jax.Array, t: dt.DataType,
     khi = (key >> jnp.uint64(32)).astype(jnp.uint32)
     klo = key.astype(jnp.uint32)
     iota = jnp.arange(P, dtype=jnp.int32)
-    _, shi, slo, sidx, svalid = jax.lax.sort(
-        (flag, khi, klo, iota, valid.astype(jnp.int32)), num_keys=3,
-        is_stable=True)
+    # the flag key clusters invalid rows at the tail, so per-position
+    # validity is just (position < n_valid) — one sort lane saved
+    _, shi, slo, sidx = jax.lax.sort(
+        (flag, khi, klo, iota), num_keys=3, is_stable=True)
+    n_valid = jnp.sum(valid.astype(jnp.int32))
+    svalid = iota < n_valid
     prev_hi = jnp.concatenate([shi[:1], shi[:-1]])
     prev_lo = jnp.concatenate([slo[:1], slo[:-1]])
     start = (shi != prev_hi) | (slo != prev_lo) | (iota == 0)
-    start = start & (svalid == 1)
+    start = start & svalid
     run_id = jnp.cumsum(start.astype(jnp.int32)) - 1
     n_unique = jnp.sum(start.astype(jnp.int32))
-    return SortedEncode(sidx, start, svalid == 1, run_id, n_unique)
+    return SortedEncode(sidx, start, svalid, run_id, n_unique)
 
 
 def encode_codes(values: jax.Array, t: dt.DataType,
@@ -99,14 +102,17 @@ def encode_codes(values: jax.Array, t: dt.DataType,
     klo = key.astype(jnp.uint32)
 
     iota = jnp.arange(P, dtype=jnp.int32)
-    _, shi, slo, sidx, svalid = jax.lax.sort(
-        (flag, khi, klo, iota, valid.astype(jnp.int32)), num_keys=3,
-        is_stable=True)
+    # flag clusters invalid rows at the tail: svalid = pos < n_valid
+    # (one sort lane saved)
+    _, shi, slo, sidx = jax.lax.sort(
+        (flag, khi, klo, iota), num_keys=3, is_stable=True)
+    n_valid = jnp.sum(valid.astype(jnp.int32))
+    svalid = iota < n_valid
     # run starts among valid rows
     prev_hi = jnp.concatenate([shi[:1], shi[:-1]])
     prev_lo = jnp.concatenate([slo[:1], slo[:-1]])
     start = (shi != prev_hi) | (slo != prev_lo) | (iota == 0)
-    start = start & (svalid == 1)
+    start = start & svalid
     n_unique = jnp.sum(start.astype(jnp.int32))
 
     isnull = ~valid & row_mask(P, n)
@@ -118,7 +124,7 @@ def encode_codes(values: jax.Array, t: dt.DataType,
         run_id = jnp.cumsum(start.astype(jnp.int32)) - 1
         codes = jnp.full(P, -1, jnp.int32)
         codes = codes.at[sidx].set(
-            jnp.where(svalid == 1, run_id, -1))
+            jnp.where(svalid, run_id, -1))
         # first occurrence per run: stable (key, iota) sort puts the
         # minimal original index at the run start
         first_index = jnp.full(P, P, jnp.int32).at[
@@ -144,7 +150,7 @@ def encode_codes(values: jax.Array, t: dt.DataType,
                      jnp.uint64(0))
     f_fill = (chunked_cummax(pack)
               & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32)
-    flag2_in = (svalid == 0).astype(jnp.int32)
+    flag2_in = (~svalid).astype(jnp.int32)
     flag2, f2, sidx2 = jax.lax.sort((flag2_in, f_fill, sidx), num_keys=2,
                                     is_stable=True)
     valid2 = flag2 == 0

@@ -63,17 +63,21 @@ def local_join_inner(lkeys, lvalid, rkeys, rvalid, cap_out: int,
     N = PL + PR
     keys_all = jnp.concatenate([rkeys, lkeys])
     valid_all = jnp.concatenate([rvalid, lvalid])
-    side = jnp.concatenate([jnp.zeros(PR, jnp.int32),
-                            jnp.ones(PL, jnp.int32)])
-    orig = jnp.concatenate([jnp.arange(PR, dtype=jnp.int32),
-                            jnp.arange(PL, dtype=jnp.int32)])
+    # side+orig fold into ONE i32 sort lane (side in bit 30): ascending
+    # order = rights before lefts within a key, each side by original
+    # row — identical to the old (side, orig) two-lane stable order
+    side_orig = jnp.concatenate([
+        jnp.arange(PR, dtype=jnp.int32),
+        jnp.arange(PL, dtype=jnp.int32) | jnp.int32(1 << 30)])
     flag = (~valid_all).astype(jnp.int32)
     k_u = jax.lax.bitcast_convert_type(keys_all, jnp.uint64) \
         ^ (jnp.uint64(1) << 63)
     khi = (k_u >> jnp.uint64(32)).astype(jnp.uint32)
     klo = k_u.astype(jnp.uint32)
-    sflag, shi, slo, sside, sorig = jax.lax.sort(
-        (flag, khi, klo, side, orig), num_keys=4, is_stable=True)
+    sflag, shi, slo, sso = jax.lax.sort(
+        (flag, khi, klo, side_orig), num_keys=4, is_stable=True)
+    sside = (sso >> jnp.int32(30)).astype(jnp.int32)
+    sorig = sso & jnp.int32((1 << 30) - 1)
     pos = jnp.arange(N, dtype=jnp.int32)
     # run starts among valid rows (key change in sorted order)
     prev_hi = jnp.concatenate([shi[:1], shi[:-1]])
@@ -169,17 +173,18 @@ def local_join_semi(lkeys, lvalid, rkeys, rvalid, how: str):
     N = PL + PR
     keys_all = jnp.concatenate([rkeys, lkeys])
     valid_all = jnp.concatenate([rvalid, lvalid])
-    side = jnp.concatenate([jnp.zeros(PR, jnp.int32),
-                            jnp.ones(PL, jnp.int32)])
-    orig = jnp.concatenate([jnp.arange(PR, dtype=jnp.int32),
-                            jnp.arange(PL, dtype=jnp.int32)])
+    side_orig = jnp.concatenate([
+        jnp.arange(PR, dtype=jnp.int32),
+        jnp.arange(PL, dtype=jnp.int32) | jnp.int32(1 << 30)])
     flag = (~valid_all).astype(jnp.int32)
     k_u = jax.lax.bitcast_convert_type(keys_all, jnp.uint64) \
         ^ (jnp.uint64(1) << 63)
     khi = (k_u >> jnp.uint64(32)).astype(jnp.uint32)
     klo = k_u.astype(jnp.uint32)
-    sflag, shi, slo, sside, sorig = jax.lax.sort(
-        (flag, khi, klo, side, orig), num_keys=4, is_stable=True)
+    sflag, shi, slo, sso = jax.lax.sort(
+        (flag, khi, klo, side_orig), num_keys=4, is_stable=True)
+    sside = (sso >> jnp.int32(30)).astype(jnp.int32)
+    sorig = sso & jnp.int32((1 << 30) - 1)
     pos = jnp.arange(N, dtype=jnp.int32)
     prev_hi = jnp.concatenate([shi[:1], shi[:-1]])
     prev_lo = jnp.concatenate([slo[:1], slo[:-1]])

@@ -43,8 +43,14 @@ L2_FAST = 257      # sub-ms configs need long chains: the differenced
 REPEATS = 5
 
 
-def build_program(n: int, nh: int):
-    """Returns (jitted program, oracle checks, config table)."""
+def build_program(n: int, nh: int, subset=None):
+    """Returns (jitted program, oracle checks, config table).
+
+    subset: optional iterable of config indices to COMPILE (XLA sizes
+    its arena for every config's buffers even at zero trips, so the
+    --large run splits the 134M-row configs and the 33.5M-row configs
+    into two programs to stay inside 16 GB HBM — the combined residency
+    is what crashed the worker, not any single config)."""
     from arrow_go_tpu.jaxenv import jax, jnp
     from arrow_go_tpu.ops import bitmap, hashing, selection
     from arrow_go_tpu.ops import sort as sort_ops
@@ -68,8 +74,11 @@ def build_program(n: int, nh: int):
     mask_host = (i % 20) != 0                       # 95% valid
     sum_oracle = float((vals_host * mask_host).sum())
 
+    inc = set(subset) if subset is not None else set(range(7))
+    pos = {g: i for i, g in enumerate(sorted(inc))}
+
     def cfg_loop(Ls, idx, body, init):
-        return lax.fori_loop(0, Ls[idx], body, init)
+        return lax.fori_loop(0, Ls[pos[idx]], body, init)
 
     @jax.jit
     def program(bias, Ls, mask0):
@@ -78,41 +87,48 @@ def build_program(n: int, nh: int):
         engine's CACHED validity expansion (DeviceColumn.validity_mask
         memoizes it; passing it as a real input stops XLA rematerializing
         the expansion inside the loop). Returns f64[7] checksums."""
-        iota = jnp.arange(n, dtype=jnp.int32)
         iota_h = jnp.arange(nh, dtype=jnp.int32)
         checks = []
 
-        # 0: masked f64 sum (north star #1) -----------------------------
-        vals = ((iota & 1023) + 1).astype(jnp.float64)
+        if 0 in inc:
+            # 0: masked f64 sum (north star #1) -------------------------
+            iota = jnp.arange(n, dtype=jnp.int32)
+            vals = ((iota & 1023) + 1).astype(jnp.float64)
 
-        def sum_body(_, carry):
-            v, acc = carry
-            v = lax.dynamic_update_slice(v, v[0:1] + bias, (0,))
-            s = reductions.reduce_xla(v, None, n, "sum", mask=mask0)
-            return v, acc + s
-        _, acc0 = cfg_loop(Ls, 0, sum_body, (vals, jnp.float64(0)))
-        checks.append(acc0)
+            def sum_body(_, carry):
+                v, acc = carry
+                v = lax.dynamic_update_slice(v, v[0:1] + bias, (0,))
+                s = reductions.reduce_xla(v, None, n, "sum", mask=mask0)
+                return v, acc + s
+            _, acc0 = cfg_loop(Ls, 0, sum_body, (vals, jnp.float64(0)))
+            checks.append(acc0)
 
-        # 1: filter + take int64 (north star #2) ------------------------
-        fvals = (hashing.hash32(iota) % jnp.uint32(1000)).astype(jnp.int64)
+        if 1 in inc:
+            # 1: filter + take int64 (north star #2) --------------------
+            iota = jnp.arange(n, dtype=jnp.int32)
+            fvals = (hashing.hash32(iota)
+                     % jnp.uint32(1000)).astype(jnp.int64)
 
-        def ft_body(_, carry):
-            v, acc = carry
-            v = lax.dynamic_update_slice(
-                v, v[0:1] + bias.astype(v.dtype), (0,))
-            m = v > 500
-            # payload rides the compaction sort (filter_with_payload):
-            # one fused kernel, no random re-gather (probe4: 16M random
-            # gather ~144ms vs an extra sort operand ~free)
-            (out,), _nulls, cnt = selection.filter_with_payload(
-                m, None, n, (v,))
-            return v, acc + (cnt + out[0] + out[n // 2]).astype(jnp.float64)
-        _, acc1 = cfg_loop(Ls, 1, ft_body, (fvals, jnp.float64(0)))
-        checks.append(acc1)
+            def ft_body(_, carry):
+                v, acc = carry
+                v = lax.dynamic_update_slice(
+                    v, v[0:1] + bias.astype(v.dtype), (0,))
+                m = v > 500
+                # payload rides the compaction sort (filter_with_payload):
+                # one fused kernel, no random re-gather (probe4: 16M
+                # random gather ~144ms vs an extra sort operand ~free)
+                (out,), _nulls, cnt = selection.filter_with_payload(
+                    m, None, n, (v,))
+                return v, acc + (cnt + out[0]
+                                 + out[n // 2]).astype(jnp.float64)
+            _, acc1 = cfg_loop(Ls, 1, ft_body, (fvals, jnp.float64(0)))
+            checks.append(acc1)
 
         # 2/3: hash aggregate low/high cardinality (north star #3) ------
         hv = (hashing.hash32(iota_h) % jnp.uint32(1000)).astype(jnp.int64)
         for ci, card in ((2, 64), (3, 1 << 16)):
+            if ci not in inc:
+                continue
             keys = (hashing.hash32(iota_h + jnp.int32(ci))
                     % jnp.uint32(card)).astype(jnp.int64)
 
@@ -130,69 +146,72 @@ def build_program(n: int, nh: int):
             _, acc = cfg_loop(Ls, ci, agg_body, (keys, jnp.float64(0)))
             checks.append(acc)
 
-        # 6: unique / dictionary_encode core (BASELINE config #3 row:
-        # hashing_test.go) — the first-occurrence encode
-        ukeys = (hashing.hash32(iota_h + jnp.int32(11))
-                 % jnp.uint32(1 << 16)).astype(jnp.int64)
+        if 6 in inc:
+            # 6: unique / dictionary_encode core (BASELINE config #3 row:
+            # hashing_test.go) — the first-occurrence encode
+            ukeys = (hashing.hash32(iota_h + jnp.int32(11))
+                     % jnp.uint32(1 << 16)).astype(jnp.int64)
 
-        def uniq_body(_, carry):
-            k, acc = carry
-            k = lax.dynamic_update_slice(
-                k, k[0:1] + bias.astype(k.dtype), (0,))
-            res = hashing.encode_codes(k, dt.int64, None, nh)
-            return k, acc + (res.n_unique + res.codes[0]
-                             + res.first_index[0]).astype(jnp.float64)
-        _, acc6 = cfg_loop(Ls, 6, uniq_body, (ukeys, jnp.float64(0)))
+            def uniq_body(_, carry):
+                k, acc = carry
+                k = lax.dynamic_update_slice(
+                    k, k[0:1] + bias.astype(k.dtype), (0,))
+                res = hashing.encode_codes(k, dt.int64, None, nh)
+                return k, acc + (res.n_unique + res.codes[0]
+                                 + res.first_index[0]).astype(jnp.float64)
+            _, acc6 = cfg_loop(Ls, 6, uniq_body, (ukeys, jnp.float64(0)))
 
-        # 4: sort on 64-bit keys (north star #4) ------------------------
-        skeys = ((hashing.hash32(iota_h).astype(jnp.int64) << 20)
-                 ^ iota_h.astype(jnp.int64))
+        if 4 in inc:
+            # 4: sort on 64-bit keys (north star #4) --------------------
+            skeys = ((hashing.hash32(iota_h).astype(jnp.int64) << 20)
+                     ^ iota_h.astype(jnp.int64))
 
-        def sort_body(_, carry):
-            k, acc = carry
-            k = lax.dynamic_update_slice(
-                k, k[0:1] + bias.astype(k.dtype), (0,))
-            op = sort_ops.sort_key(k, dt.int64, None, nh)
-            perm = sort_ops.argsort_single(op)
-            return k, acc + (perm[0] + perm[nh // 2] + perm[-1]
-                             ).astype(jnp.float64)
-        _, acc4 = cfg_loop(Ls, 4, sort_body, (skeys, jnp.float64(0)))
-        checks.append(acc4)
+            def sort_body(_, carry):
+                k, acc = carry
+                k = lax.dynamic_update_slice(
+                    k, k[0:1] + bias.astype(k.dtype), (0,))
+                op = sort_ops.sort_key(k, dt.int64, None, nh)
+                perm = sort_ops.argsort_single(op)
+                return k, acc + (perm[0] + perm[nh // 2] + perm[-1]
+                                 ).astype(jnp.float64)
+            _, acc4 = cfg_loop(Ls, 4, sort_body, (skeys, jnp.float64(0)))
+            checks.append(acc4)
 
-        # 5: local hash join (north star #5 single-chip kernel) ---------
-        iota_j = jnp.arange(nj, dtype=jnp.int32)
-        lk = (hashing.hash32(iota_j) % jnp.uint32(nj // 8)).astype(jnp.int64)
-        rk = (hashing.hash32(iota_j + jnp.int32(7))
-              % jnp.uint32(nj // 8)).astype(jnp.int64)[: nj // 4]
-        ones_l = jnp.ones(nj, jnp.bool_)
-        ones_r = jnp.ones(nj // 4, jnp.bool_)
+        if 5 in inc:
+            # 5: local hash join (north star #5 single-chip kernel) -----
+            iota_j = jnp.arange(nj, dtype=jnp.int32)
+            lk = (hashing.hash32(iota_j)
+                  % jnp.uint32(nj // 8)).astype(jnp.int64)
+            rk = (hashing.hash32(iota_j + jnp.int32(7))
+                  % jnp.uint32(nj // 8)).astype(jnp.int64)[: nj // 4]
+            ones_r = jnp.ones(nj // 4, jnp.bool_)
+            ones_c = jnp.ones(CHUNK_J, jnp.bool_)
 
-        ones_c = jnp.ones(CHUNK_J, jnp.bool_)
+            def join_body(_, carry):
+                l, acc = carry
+                l = lax.dynamic_update_slice(
+                    l, l[0:1] + bias.astype(l.dtype), (0,))
 
-        def join_body(_, carry):
-            l, acc = carry
-            l = lax.dynamic_update_slice(
-                l, l[0:1] + bias.astype(l.dtype), (0,))
-
-            def chunk_body(c, acc2):
-                lk_c = lax.dynamic_slice(l, (c * CHUNK_J,), (CHUNK_J,))
-                li, ri, rperm, total, ov = local_join_inner(
-                    lk_c, ones_c, rk, ones_r, cap_join)
-                return acc2 + (total + li[0] + ri[cap_join // 2]
-                               ).astype(jnp.float64)
-            if nj == CHUNK_J:
-                acc_c = chunk_body(0, jnp.float64(0))
-            else:
-                acc_c = lax.fori_loop(0, nj // CHUNK_J, chunk_body,
-                                      jnp.float64(0))
-            return l, acc + acc_c
-        _, acc5 = cfg_loop(Ls, 5, join_body, (lk, jnp.float64(0)))
-        checks.append(acc5)
-        checks.append(acc6)
+                def chunk_body(c, acc2):
+                    lk_c = lax.dynamic_slice(l, (c * CHUNK_J,), (CHUNK_J,))
+                    li, ri, rperm, total, ov = local_join_inner(
+                        lk_c, ones_c, rk, ones_r, cap_join)
+                    return acc2 + (total + li[0] + ri[cap_join // 2]
+                                   ).astype(jnp.float64)
+                if nj == CHUNK_J:
+                    acc_c = chunk_body(0, jnp.float64(0))
+                else:
+                    acc_c = lax.fori_loop(0, nj // CHUNK_J, chunk_body,
+                                          jnp.float64(0))
+                return l, acc + acc_c
+            _, acc5 = cfg_loop(Ls, 5, join_body, (lk, jnp.float64(0)))
+            checks.append(acc5)
+        if 6 in inc:
+            checks.append(acc6)
 
         return jnp.stack(checks)
 
-    configs = [
+    all_configs = [
         # (name, rows, bytes, chain length)
         ("sum_f64_masked", n, n * 8, L2_FAST),
         ("filter_take_i64", n, n * 8 * 2, L2),
@@ -202,6 +221,7 @@ def build_program(n: int, nh: int):
         ("hash_join_local", nj + nj // 4, nj * 8 + nj // 4 * 8, L2),
         ("unique_dict_encode", nh, nh * 8, L2),
     ]
+    configs = [all_configs[g] for g in sorted(inc)]
     return program, sum_oracle, configs
 
 
@@ -231,43 +251,55 @@ def main():
         print(json.dumps(rec), flush=True)
 
     if not ns.skip_device:
-        program, sum_oracle, configs = build_program(n, nh)
-        K = len(configs)
-        bias = jnp.float64(0)
-        zeros = jnp.zeros(K, jnp.int32)
-        mask0 = jnp.asarray((np.arange(n) % 20) != 0)
+        # at --large the 134M-row configs and the 33.5M-row configs
+        # compile as TWO programs: XLA sizes its arena for every
+        # config's buffers, and the combined residency (not any single
+        # config) crashed the 16GB worker in round 3
+        subsets = ([(0, 1), (2, 3, 4, 5, 6)] if ns.large else [None])
+        for subset in subsets:
+            program, sum_oracle, configs = build_program(n, nh,
+                                                         subset=subset)
+            K = len(configs)
+            bias = jnp.float64(0)
+            zeros = jnp.zeros(K, jnp.int32)
+            has_sum = subset is None or 0 in subset
+            mask0 = (jnp.asarray((np.arange(n) % 20) != 0) if has_sum
+                     else jnp.ones(1, jnp.bool_))
 
-        t0 = time.perf_counter()
-        c1 = np.asarray(program(bias, jnp.ones(K, jnp.int32), mask0))  # compile
-        print(json.dumps({"note": "compiled", "s": round(
-            time.perf_counter() - t0, 1)}), flush=True)
-        # exact oracle on the masked sum
-        if c1[0] != sum_oracle:
-            raise SystemExit(f"WRONG sum: {c1[0]} != {sum_oracle}")
-
-        def run(Ls):
             t0 = time.perf_counter()
-            out = np.asarray(program(bias, Ls, mask0))
-            return time.perf_counter() - t0, out
+            c1 = np.asarray(program(bias, jnp.ones(K, jnp.int32),
+                                    mask0))                      # compile
+            print(json.dumps({"note": "compiled", "s": round(
+                time.perf_counter() - t0, 1)}), flush=True)
+            # exact oracle on the masked sum
+            if has_sum and c1[0] != sum_oracle:
+                raise SystemExit(f"WRONG sum: {c1[0]} != {sum_oracle}")
 
-        for i, (name, rows, bytes_, l2) in enumerate(configs):
-            # zero trips for every OTHER config: the timed pair runs only
-            # config i, so heavy configs' variance cannot leak into light
-            # configs' differences
-            base_i = zeros.at[i].set(1)
-            hi_i = zeros.at[i].set(l2)
-            run(base_i); run(hi_i)                     # warm both
-            deltas = []
-            for _ in range(REPEATS):
-                t_b, cb = run(base_i)
-                t_h, ch = run(hi_i)
-                # linear chain scaling check: exact for these integer sums
-                if not np.isclose(ch[i], l2 * cb[i], rtol=0, atol=0.5):
-                    raise SystemExit(
-                        f"chain check failed for {name}: {ch[i]} vs "
-                        f"{l2}*{cb[i]}")
-                deltas.append((t_h - t_b) / (l2 - 1))
-            report(name, max(float(np.median(deltas)), 1e-9), rows, bytes_)
+            def run(Ls, program=program, mask0=mask0):
+                t0 = time.perf_counter()
+                out = np.asarray(program(bias, Ls, mask0))
+                return time.perf_counter() - t0, out
+
+            for i, (name, rows, bytes_, l2) in enumerate(configs):
+                # zero trips for every OTHER config: the timed pair runs
+                # only config i, so heavy configs' variance cannot leak
+                # into light configs' differences
+                base_i = zeros.at[i].set(1)
+                hi_i = zeros.at[i].set(l2)
+                run(base_i); run(hi_i)                 # warm both
+                deltas = []
+                for _ in range(REPEATS):
+                    t_b, cb = run(base_i)
+                    t_h, ch = run(hi_i)
+                    # linear chain scaling: exact for the integer sums
+                    if not np.isclose(ch[i], l2 * cb[i], rtol=0, atol=0.5):
+                        raise SystemExit(
+                            f"chain check failed for {name}: {ch[i]} vs "
+                            f"{l2}*{cb[i]}")
+                    deltas.append((t_h - t_b) / (l2 - 1))
+                report(name, max(float(np.median(deltas)), 1e-9), rows,
+                       bytes_)
+            del program
 
     # host-side parquet scan (reference encoding_benchmarks_test.go) ----
     if ns.skip_host:
