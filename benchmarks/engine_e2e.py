@@ -60,9 +60,16 @@ def run_ours(li_blob, ord_blob, cutoff):
     li = pq.read_table(li_blob)
     orders = pq.read_table(ord_blob)
     t_scan = time.perf_counter() - t0
+    import arrow_go_tpu as agt
+
+    def as_rb(t):
+        return agt.record_batch({nm: t.column(nm).combine()
+                                 for nm in t.schema.names})
+
     # filter: l_sdate > cutoff (compiled expression -> device filter)
     expr = pc.call("greater", [pc.field("l_sdate"), pc.literal(cutoff)])
-    li_b = li.combine_chunks() if hasattr(li, "combine_chunks") else li
+    li_b = as_rb(li)
+    orders = as_rb(orders)
     mask = pc.execute_scalar_expression(expr, li_b)
     li_f = pc.filter(li_b, mask)
     # join on orderkey
@@ -73,12 +80,11 @@ def run_ours(li_blob, ord_blob, cutoff):
         pc.field("l_price"),
         pc.call("subtract", [pc.literal(1.0), pc.field("l_disc")])])
     rev = pc.execute_scalar_expression(rev_expr, joined)
-    import arrow_go_tpu as agt
     jb = agt.record_batch(
         {"o_odate": joined.column("o_odate"), "rev": rev})
     g = pc.group_by(jb, "o_odate", [("rev", "sum"), ("rev", "count")])
     # sort by revenue desc
-    idx = pc.sort_indices(g.column("rev_sum"), descending=True)
+    idx = pc.sort_indices(g.column("rev_sum"), order="descending")
     out = agt.record_batch({nm: pc.take(g.column(nm), idx)
                             for nm in g.schema.names})
     return time.perf_counter() - t0, t_scan, out

@@ -326,6 +326,29 @@ def main():
         assert out.num_rows == nh
         report(name, float(np.median(ts)), nh, len(blob))
 
+    # DEVICE parquet scan: file -> HBM with no host value
+    # materialization (parquet/device_read.py — the engine's best scan
+    # path, absent from the round-3 suite)
+    from arrow_go_tpu.parquet import device_read as devread
+    pf_dev = pq.ParquetFile(blob)
+    nrg = len(pf_dev.metadata.row_groups)
+
+    def scan_device():
+        total = 0
+        for rg in range(nrg):
+            db = devread.read_batch_device(pf_dev, rg)
+            jax.block_until_ready([c.values for c in db.columns])
+            total += db.length
+        return total
+
+    assert scan_device() == nh                     # warm + verify
+    ts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        scan_device()
+        ts.append(time.perf_counter() - t0)
+    report("parquet_scan_device", float(np.median(ts)), nh, len(blob))
+
     # string ingest (round-3: native memo-table factorize) --------------
     n_str = nh
     pool = np.array(["s%08d" % i for i in range(50000)])
