@@ -218,7 +218,12 @@ def build_program(n: int, nh: int, subset=None):
         ("group_by_low_card", nh, nh * 16, L2),
         ("group_by_high_card", nh, nh * 16, L2),
         ("sort_i64", nh, nh * 8, L2),
-        ("hash_join_local", nj + nj // 4, nj * 8 + nj // 4 * 8, L2),
+        # at --large one join trip is ~4.4 s (8 chunks); a 17-trip chain
+        # makes a single 75 s execution, which crashes the worker (an
+        # execution watchdog, judged from probe8's 22 s runs passing) —
+        # shorten the chain, the delta is seconds either way
+        ("hash_join_local", nj + nj // 4, nj * 8 + nj // 4 * 8,
+         L2 if nj <= 1 << 23 else 3),
         ("unique_dict_encode", nh, nh * 8, L2),
     ]
     configs = [all_configs[g] for g in sorted(inc)]
