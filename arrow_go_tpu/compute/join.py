@@ -129,6 +129,26 @@ def _shared_dict_codes(lc, rc):
     return remap(lc), remap(rc)
 
 
+_state_jit = None
+_expand_jit = None
+
+
+def _jit_state():
+    global _state_jit
+    if _state_jit is None:
+        from ..parallel.join import join_sorted_state
+        _state_jit = jax.jit(join_sorted_state, static_argnames=("how",))
+    return _state_jit
+
+
+def _jit_expand():
+    global _expand_jit
+    if _expand_jit is None:
+        from ..parallel.join import join_expand
+        _expand_jit = jax.jit(join_expand, static_argnums=(1,))
+    return _expand_jit
+
+
 #: probe rows per chunk when the probe side streams through the join
 #: core (memory-bounded execution: expansion buffers scale with the
 #: CHUNK, not the table, so a 134M-row probe cannot blow HBM — the
@@ -204,11 +224,14 @@ def hash_join(left, right, keys=None, *, left_keys=None, right_keys=None,
         return _select_left(right, mask & row_mask(PR, rdb.length),
                             rdb.length)
 
-    # inner / left outer / right outer / full outer
+    # inner / left outer / right outer / full outer — TWO jitted phases
+    # sharing the sorted state: phase 1 sorts + counts once (the old
+    # count-then-materialize ran the FULL join twice), the host reads
+    # `total` to size the output bucket, phase 2 expands at that cap
     from ..device.block import pad_length
-    *_, total_dev, _ov = local_join_inner(
-        lcodes, lvalid, rcodes, rvalid, 1, how=join_type)
-    total = int(total_dev)
+    from ..parallel.join import join_expand, join_sorted_state
+    st = _jit_state()(lcodes, lvalid, rcodes, rvalid, how=join_type)
+    total = int(st.total)
     PRr = rdb.padded
     # outer joins also emit NULL-KEY rows of their outer side (they match
     # nothing but stay in the output with a null opposite side)
@@ -220,8 +243,8 @@ def hash_join(left, right, keys=None, *, left_keys=None, right_keys=None,
     n_null_r = int(jnp.sum(null_right.astype(jnp.int32))) if outer_right else 0
     out_n = total + n_null_l + n_null_r
     cap = pad_length(max(out_n, 1))
-    li, ri_rank, rperm, _, _ = local_join_inner(
-        lcodes, lvalid, rcodes, rvalid, cap, how=join_type)
+    li, ri_rank, _ = _jit_expand()(st, cap)
+    rperm = st.rperm
     # the gather-free core returns ri as key-sorted right RANKS; resolve
     # to original right rows once (one out_n gather from a PR-size table)
     ri = jnp.where(ri_rank >= 0,

@@ -9,7 +9,7 @@ join is ONE jitted XLA program.
 """
 from __future__ import annotations
 
-from typing import Tuple
+from typing import NamedTuple, Tuple
 
 import numpy as np
 
@@ -28,37 +28,26 @@ from . import shuffle as shuf
 BIG = np.int64(1) << 62
 
 
-def local_join_inner(lkeys, lvalid, rkeys, rvalid, cap_out: int,
-                     how: str = "inner"):
-    """Traced join on one shard — SORT-MERGE over both sides at once,
-    with a GATHER-FREE pair expansion.
+class JoinState(NamedTuple):
+    """Sorted-domain join state: everything the pair expansion needs,
+    all [N]-shaped (N = PL + PR) — so count-then-materialize callers
+    can fetch `total` after ONE sort+count pass and run the expansion
+    as a second jitted phase without re-sorting (compute/join.py)."""
+    starts_j: jax.Array     # [N] first output slot per position
+    emitting: jax.Array     # [N] bool: position emits >= 1 pair
+    is_left: jax.Array      # [N] bool (valid left row at position)
+    sorig: jax.Array        # [N] original row id at position
+    rank: jax.Array         # [N] right rank (R_incl - 1)
+    counts_pos: jax.Array   # [N] match count per left position
+    R_before: jax.Array     # [N] rights before the position's group
+    total: jax.Array        # scalar int32: pairs to emit
+    rperm: jax.Array        # [PR] right rank -> original right row
 
-    TPU cost model (benchmarks/roofline_probe{4,7}.py, v5e, 4M probe /
-    1M build / 16M pairs): `lax.sort` of the combined sides costs
-    ~29 ms, cumsum/cummax ~2-6 ms, scatter-set/max ~0.1 ms — but ONE
-    random 16M-index gather costs ~144 ms (monotone indices are no
-    cheaper). The round-3 expansion spent ~430 ms of its 609 ms in four
-    such gathers. This version has ZERO gathers:
 
-    - `R_before` (rights before each group) forward-fills from run-start
-      marks with a cummax — the marks are monotone across groups.
-    - each emitting row scatter-SETs ONE slot with its (output base,
-      owner fields) packed into u64 lanes; a chunked u64 cummax
-      forward-fills the runs (pack is monotone because output bases
-      are), and the owner's row id unpacks from the fill directly.
-    - `ri` is returned as the owner's RIGHT RANK in key-sorted order
-      (rank base + slot offset — pure arithmetic); `rperm` maps rank ->
-      original right row. Consumers gather payloads through
-      `take(col, rperm)[ri]` (or `take(rperm, ri)` for row ids) — the
-      same per-column gathers they always paid, none inside the kernel.
-
-    how: 'inner' | 'left outer' | 'right outer' | 'full outer'.
-    Returns (li[cap_out], ri[cap_out], rperm[PR], n_out, overflow):
-    li = original left row ids; ri = right-side KEY-SORTED ranks
-    (-1 = no match / padding); rperm[rank] = original right row.
-    Sides are limited to 2^30 rows per call (rank/id pack in 30 bits).
-    """
-    from ..ops.groupagg import chunked_cummax
+def join_sorted_state(lkeys, lvalid, rkeys, rvalid,
+                      how: str = "inner") -> JoinState:
+    """Phase 1 of the gather-free sort-merge join: ONE combined sort +
+    scan-filled counts (see local_join_inner for the cost model)."""
     PL, PR = lkeys.shape[0], rkeys.shape[0]
     N = PL + PR
     keys_all = jnp.concatenate([rkeys, lkeys])
@@ -119,35 +108,40 @@ def local_join_inner(lkeys, lvalid, rkeys, rvalid, cap_out: int,
         emit_pos = emit_pos + unmatched_right.astype(jnp.int32)
     offsets = jnp.cumsum(emit_pos)
     total = offsets[-1] if N else jnp.asarray(0, jnp.int32)
-    overflow = total > cap_out
 
     # right rank -> original right row id
     rank = R_incl - 1
     rperm = jnp.zeros(max(PR, 1), jnp.int32).at[
         jnp.where(is_right, rank, PR)].set(sorig, mode="drop")
+    return JoinState(offsets - emit_pos, emit_pos > 0, is_left, sorig,
+                     rank, counts_pos, R_before, total, rperm)
 
-    # expansion: each emitting position scatter-SETs its first output
-    # slot (slots are distinct); forward-fill runs via cummax. The owner
-    # fields ride a u64 pack whose high bits are the (monotone) output
-    # base, so ONE chunked u64 cummax fills owner id + flags with no
-    # gather. i32 lanes fill the (monotone) base/rank-base directly.
-    starts_j = offsets - emit_pos
-    emitting = emit_pos > 0
+
+def join_expand(st: JoinState, cap_out: int):
+    """Phase 2: the gather-free pair expansion. Each emitting position
+    scatter-SETs its first output slot (slots are distinct);
+    forward-fill runs via cummax. The owner fields ride a u64 pack
+    whose high bits are the (monotone) output base, so ONE chunked u64
+    cummax fills owner id + flags with no gather; i32 lanes fill the
+    (monotone) base/rank-base directly. The u64 pack is scattered as
+    TWO u32 lanes (64-bit scatters are the slow primitive on v5e:
+    probe6 measured an i64 scatter at ~460 ms/4M updates while u32
+    scatters are ~0.1 ms) and combined AFTER the scatter, where the
+    u64 work is elementwise. Returns (li, ri, overflow)."""
+    from ..ops.groupagg import chunked_cummax
+    starts_j, emitting = st.starts_j, st.emitting
+    overflow = st.total > cap_out
     tgt = jnp.where(emitting, jnp.clip(starts_j, 0, cap_out - 1), cap_out)
     fill_start = jax.lax.cummax(
         jnp.zeros(cap_out, jnp.int32).at[tgt].max(starts_j, mode="drop"))
     fill_rbase = jax.lax.cummax(
         jnp.zeros(cap_out, jnp.int32).at[tgt].max(
-            jnp.where(emitting, R_before, 0), mode="drop"))
-    # pack (u64): [base:32][owner_left:1][matched:1][orig_or_rank:30] —
-    # scattered as TWO u32 lanes (64-bit scatters are the slow primitive
-    # on v5e: probe6 measured an i64 scatter at ~460 ms/4M updates while
-    # u32 scatters are ~0.1 ms) and combined AFTER the scatter, where
-    # the u64 work is elementwise
-    field = jnp.where(is_left, sorig, rank).astype(jnp.uint32)
+            jnp.where(emitting, st.R_before, 0), mode="drop"))
+    # pack (u64): [base:32][owner_left:1][matched:1][orig_or_rank:30]
+    field = jnp.where(st.is_left, st.sorig, st.rank).astype(jnp.uint32)
     lane_hi = starts_j.astype(jnp.uint32)
-    lane_lo = ((is_left.astype(jnp.uint32) << jnp.uint32(31))
-               | ((counts_pos > 0).astype(jnp.uint32) << jnp.uint32(30))
+    lane_lo = ((st.is_left.astype(jnp.uint32) << jnp.uint32(31))
+               | ((st.counts_pos > 0).astype(jnp.uint32) << jnp.uint32(30))
                | field)
     s_hi = jnp.zeros(cap_out, jnp.uint32).at[tgt].set(lane_hi, mode="drop")
     s_lo = jnp.zeros(cap_out, jnp.uint32).at[tgt].set(lane_lo, mode="drop")
@@ -159,11 +153,44 @@ def local_join_inner(lkeys, lvalid, rkeys, rvalid, cap_out: int,
     j = jnp.arange(cap_out, dtype=jnp.int32)
     within = j - fill_start
     r_rank = fill_rbase + within
-    in_range = j < total
+    in_range = j < st.total
     li = jnp.where(in_range & f_left, f_field, -1)
     ri = jnp.where(in_range & f_left & f_match, r_rank,
                    jnp.where(in_range & ~f_left, f_field, -1))
-    return li, ri, rperm, total, overflow
+    return li, ri, overflow
+
+
+def local_join_inner(lkeys, lvalid, rkeys, rvalid, cap_out: int,
+                     how: str = "inner"):
+    """Traced join on one shard — SORT-MERGE over both sides at once,
+    with a GATHER-FREE pair expansion (join_sorted_state + join_expand).
+
+    TPU cost model (benchmarks/roofline_probe{4,7}.py, v5e, 4M probe /
+    1M build / 16M pairs): `lax.sort` of the combined sides costs
+    ~29 ms, cumsum/cummax ~2-6 ms, scatter-set/max ~0.1 ms — but ONE
+    random 16M-index gather costs ~144 ms (monotone indices are no
+    cheaper). The round-3 expansion spent ~430 ms of its 609 ms in four
+    such gathers; this version has ZERO gathers:
+
+    - `R_before` (rights before each group) forward-fills from run-start
+      marks with a cummax — the marks are monotone across groups.
+    - the expansion's owner fields unpack from a chunked-u64-cummax
+      forward fill (see join_expand).
+    - `ri` is returned as the owner's RIGHT RANK in key-sorted order
+      (rank base + slot offset — pure arithmetic); `rperm` maps rank ->
+      original right row. Consumers gather payloads through
+      `take(col, rperm)[ri]` (or `take(rperm, ri)` for row ids) — the
+      same per-column gathers they always paid, none inside the kernel.
+
+    how: 'inner' | 'left outer' | 'right outer' | 'full outer'.
+    Returns (li[cap_out], ri[cap_out], rperm[PR], n_out, overflow):
+    li = original left row ids; ri = right-side KEY-SORTED ranks
+    (-1 = no match / padding); rperm[rank] = original right row.
+    Sides are limited to 2^30 rows per call (rank/id pack in 30 bits).
+    """
+    st = join_sorted_state(lkeys, lvalid, rkeys, rvalid, how)
+    li, ri, overflow = join_expand(st, cap_out)
+    return li, ri, st.rperm, st.total, overflow
 
 
 def local_join_semi(lkeys, lvalid, rkeys, rvalid, how: str):
