@@ -204,7 +204,9 @@ def hash32(values: jax.Array) -> jax.Array:
         if d.kind == "f":
             v = jnp.where(jnp.isnan(values), jnp.array(jnp.nan, d), values)
             v = jnp.where(v == 0, jnp.zeros((), d), v)
-            b = jax.lax.bitcast_convert_type(v, jnp.uint64)
+            # f64 bitcasts do not lower on v5e — arithmetic IEEE bits
+            from .sort import f64_bits
+            b = f64_bits(v)
         else:
             b = jax.lax.bitcast_convert_type(values.astype(
                 jnp.int64 if d.kind == "i" else jnp.uint64), jnp.uint64)

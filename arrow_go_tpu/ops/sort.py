@@ -45,13 +45,72 @@ def _orderable_bits(values: jax.Array, t: dt.DataType) -> jax.Array:
         sign = jnp.array(1 << (d.itemsize * 8 - 1), ud)
         return jax.lax.bitcast_convert_type(values, ud) ^ sign
     # floating: total-order trick. canonicalize NaN to +NaN so it lands at top
-    fbits = {2: jnp.uint16, 4: jnp.uint32, 8: jnp.uint64}[d.itemsize]
     canon = jnp.where(jnp.isnan(values), jnp.array(jnp.nan, d), values)
-    bits = jax.lax.bitcast_convert_type(canon, fbits)
+    if d.itemsize == 8:
+        bits = f64_bits(canon)
+        fbits = jnp.uint64
+    else:
+        fbits = {2: jnp.uint16, 4: jnp.uint32}[d.itemsize]
+        bits = jax.lax.bitcast_convert_type(canon, fbits)
     width = d.itemsize * 8
     sign = jnp.array(1 << (width - 1), fbits)
     neg = (bits & sign) != 0
     return jnp.where(neg, ~bits, bits | sign)
+
+
+def f64_bits(x: jax.Array) -> jax.Array:
+    """IEEE-754 bit pattern of float64 values as uint64.
+
+    On CPU this is one bitcast. NO f64 bitcast lowers on the v5e AOT
+    path ("While rewriting computation to not contain X64 element
+    types ... not implemented" — and frexp/signbit lower through the
+    same bitcast), so on TPU the bits reconstruct ARITHMETICALLY:
+    exponent by binary-search power-of-two scaling (every step is an
+    exact f64 multiply), mantissa by one exact f64->i64 convert.
+    Bit-identical to the bitcast for every non-denormal value
+    (verified against numpy incl. boundaries, +-0, +-inf, NaN); XLA
+    flushes f64 DENORMALS to zero in arithmetic, so on the arithmetic
+    path they collapse to sign-correct ZERO bits — a monotone-
+    consistent degradation (they tie with +-0 instead of ordering
+    within (0, 2^-1022))."""
+    from ..jaxenv import on_tpu
+    if not on_tpu():
+        return jax.lax.bitcast_convert_type(x, jnp.uint64)
+    return _f64_bits_arith(x)
+
+
+def _f64_bits_arith(x: jax.Array) -> jax.Array:
+    t = jnp.abs(x)
+    e = jnp.zeros(x.shape, jnp.int32)
+    for k in (512, 256, 128, 64, 32, 16, 8, 4, 2, 1):
+        hi = t >= jnp.float64(2.0 ** k)
+        t = jnp.where(hi, t * jnp.float64(2.0 ** -k), t)
+        e = e + jnp.where(hi, k, 0)
+    for k in (512, 256, 128, 64, 32, 16, 8, 4, 2, 1):
+        lo = t < jnp.float64(2.0 ** (1 - k))
+        t = jnp.where(lo, t * jnp.float64(2.0 ** k), t)
+        e = e - jnp.where(lo, k, 0)
+    # finite nonzero: t in [1, 2), |x| = t * 2^e exactly
+    mant = (t * jnp.float64(2.0 ** 52)).astype(jnp.int64)  # [2^52, 2^53)
+    be = e + 1023
+    denorm = be < 1
+    shift = jnp.clip(1 - be, 0, 63).astype(jnp.int64)
+    # denormal fraction: mant >> (1 - be) is exact (a real denormal's
+    # normalized mantissa has zeros below the shift)
+    frac = jnp.where(denorm, mant >> shift,
+                     mant & jnp.int64((1 << 52) - 1))
+    bits = (jnp.where(denorm, jnp.int64(0),
+                      jnp.clip(be, 0, 2046).astype(jnp.int64))
+            << jnp.int64(52)) | frac
+    bits = jnp.where(jnp.isinf(x), jnp.int64(0x7FF0000000000000), bits)
+    bits = jnp.where(jnp.isnan(x), jnp.int64(0x7FF8000000000000), bits)
+    bits = jnp.where(t == 0, jnp.int64(0), bits)
+    # sign, incl. -0.0 (x < 0 misses it; 1/-0.0 = -inf recovers it)
+    negzero = (x == 0) & (jnp.float64(1.0) / x < 0)
+    neg = (x < 0) | negzero
+    bits = bits | jnp.where(neg, jnp.int64(-0x8000000000000000),
+                            jnp.int64(0))
+    return jax.lax.bitcast_convert_type(bits, jnp.uint64)
 
 
 def _u64_words(key: jax.Array) -> List[jax.Array]:

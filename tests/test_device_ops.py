@@ -281,3 +281,27 @@ def test_device_list_column_take_filter():
     got2 = list_from_device(out2).to_pylist()
     want2 = [v for v, k in zip(vals, mask) if k]
     assert got2 == want2
+
+
+def test_f64_bits_arithmetic_matches_bitcast(rng):
+    """The bitcast-free f64 IEEE-bits path (required on v5e, where no
+    f64 bitcast lowers) is bit-exact for all non-denormal values and
+    collapses denormals to sign-correct zero (XLA FTZ)."""
+    import jax
+    import jax.numpy as jnp
+    from arrow_go_tpu.ops.sort import _f64_bits_arith
+    tv = np.concatenate([
+        rng.standard_normal(2000) * np.exp(rng.uniform(-300, 300, 2000)),
+        np.array([0.0, -0.0, np.inf, -np.inf, 1.0, -1.0,
+                  np.finfo(np.float64).max, np.finfo(np.float64).min,
+                  np.finfo(np.float64).tiny, -np.finfo(np.float64).tiny,
+                  5e-324, -1e-310, 2 ** -1022, 2 ** -1023, 1.5, 0.5]),
+    ])
+    got = np.asarray(jax.jit(_f64_bits_arith)(jnp.asarray(tv)))
+    want = tv.view(np.uint64)
+    denorm = (np.abs(tv) < np.finfo(np.float64).tiny) & (tv != 0) \
+        & np.isfinite(tv)
+    np.testing.assert_array_equal(got[~denorm], want[~denorm])
+    zbits = np.where(np.signbit(tv), np.uint64(0x8000000000000000),
+                     np.uint64(0))
+    np.testing.assert_array_equal(got[denorm], zbits[denorm])
