@@ -120,6 +120,31 @@ def _trim(col: DeviceColumn, count: int) -> DeviceColumn:
 # selection: filter / take (reference selection.go MetaFunctions)
 # ---------------------------------------------------------------------------
 
+_filter_prog = None
+
+
+def _filter_batch_prog():
+    """ONE jitted program: filter indices + gather of every column."""
+    global _filter_prog
+    if _filter_prog is None:
+        import functools
+
+        @functools.partial(jax.jit, static_argnames=("null_selection",))
+        def raw(mvals, mvalidity, col_vals, col_valids, length, *,
+                null_selection):
+            idx, cnt = selection.filter_indices(mvals, mvalidity, length,
+                                                null_selection)
+            P_out = idx.shape[0]
+            outs, valids = [], []
+            for v, w in zip(col_vals, col_valids):
+                outs.append(selection.gather(v, idx))
+                valids.append(selection.take_validity(w, idx, cnt, P_out))
+            return cnt, tuple(outs), tuple(valids)
+
+        _filter_prog = raw
+    return _filter_prog
+
+
 def _take_device(col: DeviceColumn, idx, count: int) -> DeviceColumn:
     P_out = idx.shape[0]
     vals = selection.gather(col.values, idx)
@@ -202,6 +227,28 @@ def filter_(values, mask, options: Optional[FilterOptions] = None):
     was_table = isinstance(values, Table)
     if was_table:
         values = _combine_table(values)
+    from ..device.block import DeviceBatch
+    if isinstance(values, DeviceBatch):
+        # device-resident pipeline composition: DeviceBatch in ->
+        # DeviceBatch out, values never leave HBM (the engine's
+        # operator-to-operator contract; SURVEY §7 block format) —
+        # selection + every column gather fuse into ONE jitted program
+        # (eagerly this is ~5 dispatches per column: dispatch latency
+        # dominates on the remote-TPU tunnel)
+        db = values
+        mcol = _as_device(mask, pad=db.padded)
+        if mcol.type.id != dt.TypeId.BOOL:
+            raise ArrowNotImplemented("filter mask must be boolean")
+        cnt, out_vals, out_valids = _filter_batch_prog()(
+            mcol.values, mcol.validity,
+            tuple(c.values for c in db.columns),
+            tuple(c.validity for c in db.columns),
+            db.length, null_selection=options.null_selection)
+        count = int(cnt)
+        cols = [_trim(DeviceColumn(v, w, count, c.type, c.dictionary),
+                      count)
+                for v, w, c in zip(out_vals, out_valids, db.columns)]
+        return DeviceBatch(db.schema, cols, count)
     if isinstance(values, RecordBatch):
         if all(_device_selectable(f.type) for f in values.schema.fields):
             db = batch_to_device(values)

@@ -165,6 +165,18 @@ def _segment_agg(groupagg, enc, key_flag, key_hi, key_lo, v, vmask,
     raise ArrowNotImplemented(agg)
 
 
+_slice_jit = None
+
+
+def _slice_prog():
+    global _slice_jit
+    if _slice_jit is None:
+        _slice_jit = jax.jit(
+            lambda a, k: jax.lax.dynamic_slice_in_dim(a, 0, k),
+            static_argnums=(1,))
+    return _slice_jit
+
+
 def group_by(data, keys, aggregations: Sequence[Tuple[str, str]],
              ) -> RecordBatch:
     """GROUP BY `keys` with aggregations [(column, agg_name), ...].
@@ -172,6 +184,7 @@ def group_by(data, keys, aggregations: Sequence[Tuple[str, str]],
     Output columns: key columns (first-occurrence values) followed by
     '<col>_<agg>' result columns.
     """
+    from ..device.block import DeviceBatch
     if isinstance(data, Table):
         data = RecordBatch(data.schema,
                            [data.column(i).combine()
@@ -182,7 +195,8 @@ def group_by(data, keys, aggregations: Sequence[Tuple[str, str]],
         if agg not in _AGGS:
             raise ArrowNotImplemented(f"aggregation {agg!r}")
 
-    db = batch_to_device(data)
+    # DeviceBatch composes device-resident (values already in HBM)
+    db = data if isinstance(data, DeviceBatch) else batch_to_device(data)
     key_cols = [db.column(k) for k in keys]
     agg_cols = [db.column(c) for c, _ in aggregations]
     for (col_name, agg), vcol in zip(aggregations, agg_cols):
@@ -200,16 +214,38 @@ def group_by(data, keys, aggregations: Sequence[Tuple[str, str]],
                         else dt.int32 for c in key_cols),
         agg_names=tuple(agg for _, agg in aggregations))
 
-    # ONE device sync for the whole group_by
-    n_groups, rep_rows, results = jax.device_get(
-        (n_groups_dev, rep_rows_dev, results_dev))
-    n_groups = int(n_groups)
+    # fetch the group COUNT first (a scalar), then slice every result to
+    # the group-bucket size ON DEVICE before fetching: the results are
+    # padded to the row count, and shipping ~P-sized arrays over a
+    # remote-TPU link cost seconds per call (group results are tiny)
+    n_groups = int(jax.device_get(n_groups_dev))
+    from ..device.block import pad_length as _plen
+    kb = _plen(max(n_groups, 1))
+    if kb < rep_rows_dev.shape[0]:
+        sl = _slice_prog()
+        rep_rows_dev = sl(rep_rows_dev, kb)
+        results_dev = tuple(
+            (sl(r, kb), None if v is None else sl(v, kb))
+            for r, v in results_dev)
+    rep_rows, results = jax.device_get((rep_rows_dev, results_dev))
     rep_rows = np.asarray(rep_rows)[:n_groups]
 
     out_cols: List[Array] = []
     names: List[str] = []
     for name in keys:
-        out_cols.append(take_host(data.column(name), rep_rows))
+        if isinstance(data, DeviceBatch):
+            # gather the (few) group-representative key values on device,
+            # then ship only the group-sized result to the host
+            from ..device.block import from_device, pad_length
+            from .functions import _take_device
+            k = max(n_groups, 1)
+            idx = jnp.zeros(pad_length(k), jnp.int32).at[
+                jnp.arange(min(k, len(rep_rows)))].set(
+                jnp.asarray(rep_rows[:k].astype(np.int32)))
+            gathered = _take_device(data.column(name), idx, n_groups)
+            out_cols.append(from_device(gathered).slice(0, n_groups))
+        else:
+            out_cols.append(take_host(data.column(name), rep_rows))
         names.append(name)
     for (col_name, agg), vcol, (res, validity) in zip(aggregations, agg_cols,
                                                       results):

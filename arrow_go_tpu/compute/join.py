@@ -29,35 +29,61 @@ _HOWS = ("inner", "left outer", "right outer", "full outer",
          "left semi", "left anti", "right semi", "right anti")
 
 
+_codes_progs = {}
+
+
 def _key_codes(left: DeviceBatch, right: DeviceBatch,
                left_keys: Sequence[str], right_keys: Sequence[str]):
-    """Shared-space dense codes for both sides (-1 = null/padding)."""
-    PL, PR = left.padded, right.padded
-    combined = None
+    """Shared-space dense codes for both sides (-1 = null/padding).
+    The encode runs as ONE jitted program per key-type signature —
+    eagerly it is ~40 separate dispatches, which dominates wall time
+    on dispatch-latency-bound links (the remote-TPU tunnel)."""
+    lvs, rvs, lms, rms, types = [], [], [], [], []
     for lname, rname in zip(left_keys, right_keys):
         lc, rc = left.column(lname), right.column(rname)
-        if lc.type.id == dt.TypeId.DICTIONARY or rc.type.id == dt.TypeId.DICTIONARY:
+        if lc.type.id == dt.TypeId.DICTIONARY or \
+                rc.type.id == dt.TypeId.DICTIONARY:
             lv, rv = _shared_dict_codes(lc, rc)
+            t = dt.int32
         else:
             if lc.values.dtype != rc.values.dtype:
                 raise ArrowInvalid(
                     f"join key dtype mismatch: {lc.type} vs {rc.type}")
             lv, rv = lc.values, rc.values
-        both = jnp.concatenate([lv, rv])
-        val_both = jnp.concatenate([_valid(lc), _valid(rc)])
-        words = bitmap.pack_mask(val_both)
-        res = hashing.encode_codes(both, lc.type if lc.type.id != dt.TypeId.DICTIONARY else dt.int32,
-                                   words, both.shape[0], order="key")
-        codes = res.codes
-        card = res.n_unique.astype(jnp.int64) + 1
-        part = jnp.where(codes >= 0, codes.astype(jnp.int64), -1)
-        if combined is None:
-            combined = part
-        else:
-            combined = jnp.where((combined >= 0) & (part >= 0),
-                                 combined * card + part, -1)
-    lcodes, rcodes = combined[:PL], combined[PL:]
-    return lcodes, rcodes
+            t = lc.type
+        lvs.append(lv)
+        rvs.append(rv)
+        lms.append(_valid(lc))
+        rms.append(_valid(rc))
+        types.append(t)
+
+    sig = tuple(str(t) for t in types)
+    prog = _codes_progs.get(sig)
+    if prog is None:
+        key_types = tuple(types)
+
+        def raw(lvs_, rvs_, lms_, rms_):
+            PL = lvs_[0].shape[0]
+            combined = None
+            for lv_, rv_, lm_, rm_, t_ in zip(lvs_, rvs_, lms_, rms_,
+                                              key_types):
+                both = jnp.concatenate([lv_, rv_])
+                words = bitmap.pack_mask(jnp.concatenate([lm_, rm_]))
+                res = hashing.encode_codes(both, t_, words,
+                                           both.shape[0], order="key")
+                card = res.n_unique.astype(jnp.int64) + 1
+                part = jnp.where(res.codes >= 0,
+                                 res.codes.astype(jnp.int64), -1)
+                if combined is None:
+                    combined = part
+                else:
+                    combined = jnp.where((combined >= 0) & (part >= 0),
+                                         combined * card + part, -1)
+            return combined[:PL], combined[PL:]
+
+        prog = jax.jit(raw)
+        _codes_progs[sig] = prog
+    return prog(tuple(lvs), tuple(rvs), tuple(lms), tuple(rms))
 
 
 def _valid(c):
@@ -169,9 +195,36 @@ def hash_join(left, right, keys=None, *, left_keys=None, right_keys=None,
     When the probe (left) side exceeds `probe_chunk` rows (default 8M)
     and the join type decomposes over probe rows, the probe streams
     through the build side chunk by chunk: device memory is bounded by
-    the chunk's expansion buffers instead of the full pair count."""
+    the chunk's expansion buffers instead of the full pair count.
+
+    DeviceBatch inputs compose device-resident: the joined columns stay
+    in HBM and a DeviceBatch returns (inner/outer types; pass the
+    result straight to filter/group_by/expressions — values never leave
+    the device between operators)."""
     if join_type not in _HOWS:
         raise ArrowNotImplemented(f"join type {join_type!r}")
+    from ..device.block import DeviceBatch
+    device_io = isinstance(left, DeviceBatch) or isinstance(right,
+                                                            DeviceBatch)
+    if device_io:
+        if join_type not in ("inner", "left outer", "right outer",
+                             "full outer"):
+            raise ArrowNotImplemented(
+                "device-batch join supports inner/outer types")
+        if keys is not None:
+            if isinstance(keys, str):
+                keys = [keys]
+            left_keys = right_keys = list(keys)
+        if isinstance(left_keys, str):
+            left_keys = [left_keys]
+        if isinstance(right_keys, str):
+            right_keys = [right_keys]
+        ldb = (left if isinstance(left, DeviceBatch)
+               else batch_to_device(_as_batch(left)))
+        rdb = (right if isinstance(right, DeviceBatch)
+               else batch_to_device(_as_batch(right)))
+        return _join_device(ldb, rdb, left_keys, right_keys, join_type,
+                            left_suffix, right_suffix, device_out=True)
     left = _as_batch(left)
     right = _as_batch(right)
     chunk = probe_chunk or PROBE_CHUNK_DEFAULT
@@ -207,7 +260,7 @@ def hash_join(left, right, keys=None, *, left_keys=None, right_keys=None,
     # probe4: searchsorted costs ~430ms/16M queries on v5e, the merged
     # sort ~50ms). Count-then-materialize: one cheap cap=1 pass sizes
     # the output, then the real expansion runs at the padded capacity.
-    from ..parallel.join import local_join_inner, local_join_semi
+    from ..parallel.join import local_join_semi
     if join_type in ("left semi", "left anti"):
         verdict = local_join_semi(lcodes, lvalid, rcodes, rvalid, join_type)
         mask = verdict if join_type == "left semi" else \
@@ -224,12 +277,27 @@ def hash_join(left, right, keys=None, *, left_keys=None, right_keys=None,
         return _select_left(right, mask & row_mask(PR, rdb.length),
                             rdb.length)
 
-    # inner / left outer / right outer / full outer — TWO jitted phases
-    # sharing the sorted state: phase 1 sorts + counts once (the old
-    # count-then-materialize ran the FULL join twice), the host reads
-    # `total` to size the output bucket, phase 2 expands at that cap
+    return _join_device(ldb, rdb, left_keys, right_keys, join_type,
+                        left_suffix, right_suffix, device_out=False,
+                        host_left=left, host_right=right,
+                        codes=(lcodes, rcodes))
+
+
+def _join_device(ldb, rdb, left_keys, right_keys, join_type,
+                 left_suffix, right_suffix, device_out,
+                 host_left=None, host_right=None, codes=None):
+    """Inner/outer join core over DeviceBatches — TWO jitted phases
+    sharing the sorted state: phase 1 sorts + counts once (the old
+    count-then-materialize ran the FULL join twice), the host reads
+    `total` to size the output bucket, phase 2 expands at that cap."""
     from ..device.block import pad_length
-    from ..parallel.join import join_expand, join_sorted_state
+    if codes is None:
+        lcodes, rcodes = _key_codes(ldb, rdb, left_keys, right_keys)
+    else:
+        lcodes, rcodes = codes
+    PL, PR = ldb.padded, rdb.padded
+    lvalid = row_mask(PL, ldb.length) & (lcodes >= 0)
+    rvalid = row_mask(PR, rdb.length) & (rcodes >= 0)
     st = _jit_state()(lcodes, lvalid, rcodes, rvalid, how=join_type)
     total = int(st.total)
     PRr = rdb.padded
@@ -259,14 +327,17 @@ def hash_join(left, right, keys=None, *, left_keys=None, right_keys=None,
                            )[0].astype(jnp.int32)
         ri = jax.lax.dynamic_update_slice(ri, rows[:n_null_r],
                                           (total + n_null_l,))
-    return _emit_join_output(left, right, ldb, rdb, li, ri, out_n,
-                             left_keys, right_keys, join_type,
-                             left_suffix, right_suffix)
+    return _emit_join_output(
+        ldb if host_left is None else host_left,
+        rdb if host_right is None else host_right,
+        ldb, rdb, li, ri, out_n, left_keys, right_keys,
+        join_type, left_suffix, right_suffix, device_out=device_out)
 
 
 def _emit_join_output(left, right, ldb, rdb, li, ri, out_n,
                       left_keys, right_keys, join_type,
-                      left_suffix, right_suffix) -> RecordBatch:
+                      left_suffix, right_suffix,
+                      device_out: bool = False) -> RecordBatch:
     """Gather output columns through the device pair indices. Device
     columns gather on device; HostColumn passthroughs (nested types)
     gather via the vectorized host kernels."""
@@ -309,6 +380,13 @@ def _emit_join_output(left, right, ldb, rdb, li, ri, out_n,
         out_cols.append(out_col(rdb, right, i, ri, "r"))
         names.append(nm)
         fields.append(f.with_name(nm))
+    if device_out:
+        # device-resident composition: columns stay in HBM
+        if not all(isinstance(c, DeviceColumn) for c in out_cols):
+            raise ArrowNotImplemented(
+                "device-batch join output requires device-resident "
+                "columns (nested columns ride host batches)")
+        return DeviceBatch(dt.Schema(fields), list(out_cols), out_n)
     # assemble: device columns ride one DeviceBatch -> host batch
     host_cols = []
     for f, c in zip(fields, out_cols):
