@@ -151,8 +151,9 @@ def _segment_agg(groupagg, enc, key_flag, key_hi, key_lo, v, vmask,
 
     if agg == "product":
         # rare agg: scatter path via per-row run ids scattered back
-        codes = jnp.full(P, -1, jnp.int32).at[enc.sidx].set(
-            jnp.where(enc.svalid, enc.run_id, -1))
+        _, codes = jax.lax.sort(
+            (enc.sidx, jnp.where(enc.svalid, enc.run_id, -1)),
+            num_keys=1, is_stable=True)
         slot = jnp.where(vmask & (codes >= 0), codes, P)
         acc_dt = jnp.int64 if v.dtype.kind in "bi" else v.dtype
         s = jnp.ones(P + 1, acc_dt).at[slot].multiply(

@@ -111,8 +111,11 @@ def join_sorted_state(lkeys, lvalid, rkeys, rvalid,
 
     # right rank -> original right row id
     rank = R_incl - 1
-    rperm = jnp.zeros(max(PR, 1), jnp.int32).at[
-        jnp.where(is_right, rank, PR)].set(sorig, mode="drop")
+    # rights in key-sorted order ARE rank order: ONE compaction sort
+    # (~7 ms) replaces the rank scatter (~25 ms, probe9)
+    rperm = jax.lax.sort(
+        ((~is_right).astype(jnp.int32), sorig), num_keys=1,
+        is_stable=True)[1][:max(PR, 1)]
     return JoinState(offsets - emit_pos, emit_pos > 0, is_left, sorig,
                      rank, counts_pos, R_before, total, rperm)
 
@@ -132,21 +135,28 @@ def join_expand(st: JoinState, cap_out: int):
     starts_j, emitting = st.starts_j, st.emitting
     overflow = st.total > cap_out
     tgt = jnp.where(emitting, jnp.clip(starts_j, 0, cap_out - 1), cap_out)
-    fill_start = jax.lax.cummax(
-        jnp.zeros(cap_out, jnp.int32).at[tgt].max(starts_j, mode="drop"))
-    fill_rbase = jax.lax.cummax(
-        jnp.zeros(cap_out, jnp.int32).at[tgt].max(
-            jnp.where(emitting, st.R_before, 0), mode="drop"))
-    # pack (u64): [base:32][owner_left:1][matched:1][orig_or_rank:30]
+    # TWO u64 pack fills carry everything (probe9: each scatter of N
+    # updates costs ~25 ms at 4-5M, so the lane scatters merge into ONE
+    # 2-D row scatter and the old separate fill_start scatter+cummax is
+    # gone — the pack's high 32 bits ARE the owner's starts_j):
+    #   pack A (u64): [base:32][owner_left:1][matched:1][orig_or_rank:30]
+    #   pack B (u64): [base:32][R_before:32]
     field = jnp.where(st.is_left, st.sorig, st.rank).astype(jnp.uint32)
     lane_hi = starts_j.astype(jnp.uint32)
-    lane_lo = ((st.is_left.astype(jnp.uint32) << jnp.uint32(31))
-               | ((st.counts_pos > 0).astype(jnp.uint32) << jnp.uint32(30))
-               | field)
+    lane_a = ((st.is_left.astype(jnp.uint32) << jnp.uint32(31))
+              | ((st.counts_pos > 0).astype(jnp.uint32) << jnp.uint32(30))
+              | field)
+    lane_b = jnp.where(emitting, st.R_before, 0).astype(jnp.uint32)
+    # three 1-D scatters: a single [N,3] row scatter lowers to the
+    # SERIAL path on v5e (measured 5x worse than 3 separate 1-D sets)
     s_hi = jnp.zeros(cap_out, jnp.uint32).at[tgt].set(lane_hi, mode="drop")
-    s_lo = jnp.zeros(cap_out, jnp.uint32).at[tgt].set(lane_lo, mode="drop")
-    fillp = chunked_cummax((s_hi.astype(jnp.uint64) << jnp.uint64(32))
-                           | s_lo.astype(jnp.uint64))
+    s_a = jnp.zeros(cap_out, jnp.uint32).at[tgt].set(lane_a, mode="drop")
+    s_b = jnp.zeros(cap_out, jnp.uint32).at[tgt].set(lane_b, mode="drop")
+    hi64 = s_hi.astype(jnp.uint64) << jnp.uint64(32)
+    fillp = chunked_cummax(hi64 | s_a.astype(jnp.uint64))
+    fillb = chunked_cummax(hi64 | s_b.astype(jnp.uint64))
+    fill_start = (fillp >> jnp.uint64(32)).astype(jnp.int32)
+    fill_rbase = (fillb & jnp.uint64(0xFFFFFFFF)).astype(jnp.int32)
     f_left = ((fillp >> jnp.uint64(31)) & jnp.uint64(1)) != 0
     f_match = ((fillp >> jnp.uint64(30)) & jnp.uint64(1)) != 0
     f_field = (fillp & jnp.uint64((1 << 30) - 1)).astype(jnp.int32)
@@ -224,8 +234,13 @@ def local_join_semi(lkeys, lvalid, rkeys, rvalid, how: str):
     R_before = jnp.maximum(jax.lax.cummax(
         jnp.where(start, R_incl - is_right.astype(jnp.int32), -1)), 0)
     matched = is_left & ((R_incl - R_before) > 0)
-    out = jnp.zeros(PL, jnp.bool_).at[
-        jnp.where(is_left, sorig, PL)].set(matched, mode="drop")
+    # ALL left-side rows (incl. invalid ones, whose matched is False)
+    # sorted by original row id = the verdict in original row order:
+    # one sort replaces the scatter (~7 ms vs ~25 ms, probe9)
+    out = jax.lax.sort(
+        ((1 - sside).astype(jnp.int32), sorig,
+         matched.astype(jnp.int32)), num_keys=2,
+        is_stable=True)[2][:PL] > 0
     if how == "left anti":
         return ~out & lvalid
     return out & lvalid
