@@ -58,8 +58,42 @@ def _group_program(key_vals, key_valids, agg_vals, agg_valids, length,
     from ..ops.sort import _orderable_bits
     combined = _combined_key_traced(key_vals, key_valids, key_types,
                                     length)
-    enc = hashing.encode_sorted(combined, dt.int64, None, length)
     P = combined.shape[0]
+    row_ok = row_mask(P, length)
+
+    # every sum-family agg's (casted) values and validity ride the
+    # encode sort as PAYLOAD lanes: a random take(col, sidx) gather
+    # costs ~300 ms at 33.5M rows on v5e while an extra sort lane is
+    # ~15-20% of the sort (probe9)
+    payloads = []
+    plan = []      # per agg: (vmask, value_payload_idx, mask_payload_idx)
+    for vals, valids, agg in zip(agg_vals, agg_valids, agg_names):
+        if valids is None:
+            vmask = row_ok
+        else:
+            vmask = bitmap.expand_words(valids, P) & row_ok
+        vi = mi = None
+        if agg in ("sum", "count", "mean"):
+            acc_dt = (jnp.int64 if vals.dtype.kind in "bi"
+                      else jnp.uint64 if vals.dtype.kind == "u"
+                      else vals.dtype)
+            vi = len(payloads)
+            payloads.append(vals.astype(acc_dt))
+            mi = len(payloads)
+            payloads.append(vmask)
+        elif agg == "any":
+            mi = len(payloads)
+            payloads.append(vmask & vals.astype(jnp.bool_))
+        elif agg == "all":
+            mi = len(payloads)
+            payloads.append(vmask & ~vals.astype(jnp.bool_))
+        elif agg in ("min", "max", "first", "last"):
+            mi = len(payloads)       # only the valid-count needs it
+            payloads.append(vmask)
+        plan.append((vmask, vi, mi))
+
+    enc, spay = hashing.encode_sorted_with(combined, dt.int64, None,
+                                           length, tuple(payloads))
     n_groups = enc.n_unique
 
     # first/last occurrence per run (key order)
@@ -74,7 +108,6 @@ def _group_program(key_vals, key_valids, agg_vals, agg_valids, length,
     def reorder(by_run):
         return jnp.take(by_run, jnp.clip(order, 0, P - 1))
 
-    row_ok = row_mask(P, length)
     iota64 = jnp.arange(P, dtype=jnp.int64)
 
     # shared key lanes for the min/max family (original row order)
@@ -84,39 +117,44 @@ def _group_program(key_vals, key_valids, agg_vals, agg_valids, length,
     key_lo = kbits.astype(jnp.uint32)
 
     results = []
-    for vals, valids, agg in zip(agg_vals, agg_valids, agg_names):
-        if valids is None:
-            vmask = row_ok
-        else:
-            vmask = bitmap.expand_words(valids, P) & row_ok
+    for (vals, valids, agg), (vmask, vi, mi) in zip(
+            zip(agg_vals, agg_valids, agg_names), plan):
+        vs = None if vi is None else spay[vi]
+        ms = None if mi is None else spay[mi]
         r, v = _segment_agg(groupagg, enc, key_flag, key_hi, key_lo,
-                            vals, vmask, iota64, agg)
+                            vals, vmask, iota64, agg,
+                            values_sorted=vs, mask_sorted=ms)
         results.append((reorder(r), None if v is None else reorder(v)))
     return n_groups, rep_rows, tuple(results)
 
 
 def _segment_agg(groupagg, enc, key_flag, key_hi, key_lo, v, vmask,
-                 iota64, agg: str):
-    """Per-run aggregation (key order). Returns (by_run[P], valid[P]|None)."""
+                 iota64, agg: str, values_sorted=None, mask_sorted=None):
+    """Per-run aggregation (key order). Returns (by_run[P], valid[P]|None).
+    values_sorted/mask_sorted are payload lanes carried through the
+    encode sort (no re-gather)."""
     from ..ops.sort import _orderable_bits as orderable
     P = v.shape[0]
+    zeros64 = jnp.zeros(P, jnp.int64)
 
     if agg in ("sum", "count", "count_all", "mean", "any", "all"):
         if agg == "count_all":
             s, c = groupagg.segment_sum_count(
-                enc, jnp.zeros(P, jnp.int64), None)
+                enc, zeros64, None, values_sorted=zeros64)
             return c, None
         if agg == "any":
             s, c = groupagg.segment_sum_count(
-                enc, v.astype(jnp.int64), vmask & v.astype(jnp.bool_))
+                enc, zeros64, None, values_sorted=zeros64,
+                valid_sorted=mask_sorted)
             return c > 0, None
         if agg == "all":
             s, c = groupagg.segment_sum_count(
-                enc, v.astype(jnp.int64), vmask & ~v.astype(jnp.bool_))
+                enc, zeros64, None, values_sorted=zeros64,
+                valid_sorted=mask_sorted)
             return c == 0, None
-        acc_dt = (jnp.int64 if v.dtype.kind in "bi"
-                  else jnp.uint64 if v.dtype.kind == "u" else v.dtype)
-        s, c = groupagg.segment_sum_count(enc, v.astype(acc_dt), vmask)
+        s, c = groupagg.segment_sum_count(
+            enc, v, None, values_sorted=values_sorted,
+            valid_sorted=mask_sorted)
         if agg == "count":
             return c, None
         if agg == "mean":
@@ -133,8 +171,9 @@ def _segment_agg(groupagg, enc, key_flag, key_hi, key_lo, v, vmask,
                          vt).astype(jnp.uint64)
         out = groupagg.segment_min_max(key_flag, key_hi, key_lo, vv, vkey,
                                        vmask, agg)
-        _, c = groupagg.segment_sum_count(enc, jnp.zeros(P, jnp.int64),
-                                          vmask)
+        _, c = groupagg.segment_sum_count(enc, zeros64, None,
+                                          values_sorted=zeros64,
+                                          valid_sorted=mask_sorted)
         if was_bool:
             out = out.astype(jnp.bool_)
         return out, c > 0
@@ -145,8 +184,9 @@ def _segment_agg(groupagg, enc, key_flag, key_hi, key_lo, v, vmask,
             key_flag, key_hi, key_lo, iota64.astype(jnp.int32),
             ikey, vmask, "min" if agg == "first" else "max")
         vals_out = jnp.take(v, jnp.clip(sel, 0, P - 1))
-        _, c = groupagg.segment_sum_count(enc, jnp.zeros(P, jnp.int64),
-                                          vmask)
+        _, c = groupagg.segment_sum_count(enc, zeros64, None,
+                                          values_sorted=zeros64,
+                                          valid_sorted=mask_sorted)
         return vals_out, c > 0
 
     if agg == "product":

@@ -90,13 +90,22 @@ def compact_runs(flag_keep: jax.Array, payloads) -> tuple:
 
 
 def segment_sum_count(enc: SortedEncode, values: jax.Array,
-                      valid_rows: Optional[jax.Array]):
+                      valid_rows: Optional[jax.Array],
+                      values_sorted: Optional[jax.Array] = None,
+                      valid_sorted: Optional[jax.Array] = None):
     """(sums_by_run[P], counts_by_run[P]): per-run sum and valid count,
-    indexed by run id (slots >= n_unique are padding)."""
+    indexed by run id (slots >= n_unique are padding).
+
+    Pass values_sorted/valid_sorted (payloads carried through the
+    encode sort — hashing.encode_sorted_with) to skip the random
+    `take(col, sidx)` gathers, which dominate at large row counts."""
     P = values.shape[0]
-    vs = jnp.take(values, enc.sidx)
+    vs = (values_sorted if values_sorted is not None
+          else jnp.take(values, enc.sidx))
     ok = enc.svalid
-    if valid_rows is not None:
+    if valid_sorted is not None:
+        ok = ok & valid_sorted
+    elif valid_rows is not None:
         ok = ok & jnp.take(valid_rows, enc.sidx)
     x = jnp.where(ok, vs, jnp.zeros((), vs.dtype))
     cs = chunked_cumsum(x)

@@ -118,8 +118,24 @@ def _segment_group(keys: Tuple[jax.Array, ...], valid: jax.Array,
     L = keys[0].shape[0]
     combined = _combined_local_key(keys, valid)
     rows_ok = valid & (combined >= 0)
-    enc = hashing.encode_sorted(combined, dt.int64,
-                                bitmap.pack_mask(rows_ok), L)
+    # sum/count values + masks ride the encode sort as payload lanes
+    # (random take(col, sidx) re-gathers dominate at scale — probe9)
+    payloads = []
+    plan = []
+    for v, agg, vmask in specs:
+        vi = mi = None
+        if agg in ("sum", "count"):
+            acc_dt = (jnp.int64 if v.dtype.kind in "bi"
+                      else jnp.uint64 if v.dtype.kind == "u" else v.dtype)
+            vi = len(payloads)
+            payloads.append(v.astype(acc_dt))
+            if vmask is not None:
+                mi = len(payloads)
+                payloads.append(vmask)
+        plan.append((vi, mi))
+    enc, spay = hashing.encode_sorted_with(
+        combined, dt.int64, bitmap.pack_mask(rows_ok), L,
+        tuple(payloads))
     (first_by_run,) = groupagg.compact_runs(enc.start, (enc.sidx,))
     gkeys = tuple(jnp.take(k, jnp.clip(first_by_run, 0, L - 1))
                   for k in keys)
@@ -129,11 +145,11 @@ def _segment_group(keys: Tuple[jax.Array, ...], valid: jax.Array,
     key_hi = (kbits >> jnp.uint64(32)).astype(jnp.uint32)
     key_lo = kbits.astype(jnp.uint32)
     parts = []
-    for v, agg, vmask in specs:
+    for (v, agg, vmask), (vi, mi) in zip(specs, plan):
         if agg in ("sum", "count"):
-            acc_dt = (jnp.int64 if v.dtype.kind in "bi"
-                      else jnp.uint64 if v.dtype.kind == "u" else v.dtype)
-            s, c = groupagg.segment_sum_count(enc, v.astype(acc_dt), vmask)
+            s, c = groupagg.segment_sum_count(
+                enc, v, None, values_sorted=spay[vi],
+                valid_sorted=None if mi is None else spay[mi])
             parts.append(c if agg == "count" else s)
         elif agg in ("min", "max"):
             vkey = _orderable_bits(v, _dt_of(v)).astype(jnp.uint64)

@@ -137,10 +137,14 @@ def build_program(n: int, nh: int, subset=None):
                 k = lax.dynamic_update_slice(
                     k, k[0:1] + bias.astype(k.dtype), (0,))
                 # segment aggregation (scatter-free — ops/groupagg.py;
-                # an i64 scatter-add here costs ~460ms, probe6)
+                # an i64 scatter-add here costs ~460ms, probe6); values
+                # ride the encode sort as a payload lane instead of a
+                # random re-gather (probe9: gathers dominate at scale)
                 from arrow_go_tpu.ops import groupagg
-                enc = hashing.encode_sorted(k, dt.int64, None, nh)
-                s, c = groupagg.segment_sum_count(enc, hv, None)
+                enc, (hv_s,) = hashing.encode_sorted_with(
+                    k, dt.int64, None, nh, (hv,))
+                s, c = groupagg.segment_sum_count(enc, hv, None,
+                                                  values_sorted=hv_s)
                 return k, acc + (enc.n_unique + s[0] + c[0] + s[nh // 2]
                                  ).astype(jnp.float64)
             _, acc = cfg_loop(Ls, ci, agg_body, (keys, jnp.float64(0)))
