@@ -48,8 +48,12 @@ def write_parquet_ours(tbl_dict, rows_per_group):
     from arrow_go_tpu import parquet as pq
     t = agt.table({k: agt.from_numpy(v) for k, v in tbl_dict.items()})
     buf = io.BytesIO()
+    # large pages: the device scan pays per-PAGE dispatch latency
+    # through the remote tunnel, so fewer/bigger pages are the right
+    # layout for it (both readers consume the same file)
     pq.write_table(t, buf, compression="snappy",
-                   row_group_size=rows_per_group)
+                   row_group_size=rows_per_group,
+                   data_page_size=8 << 20)
     return buf.getvalue()
 
 
