@@ -236,6 +236,10 @@ def filter_(values, mask, options: Optional[FilterOptions] = None):
         # (eagerly this is ~5 dispatches per column: dispatch latency
         # dominates on the remote-TPU tunnel)
         db = values
+        if not all(isinstance(c, DeviceColumn) for c in db.columns):
+            raise ArrowNotImplemented(
+                "device-batch filter requires device-resident columns "
+                "(nested columns ride host RecordBatches)")
         mcol = _as_device(mask, pad=db.padded)
         if mcol.type.id != dt.TypeId.BOOL:
             raise ArrowNotImplemented("filter mask must be boolean")
