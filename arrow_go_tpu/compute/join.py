@@ -299,16 +299,20 @@ def _join_device(ldb, rdb, left_keys, right_keys, join_type,
     lvalid = row_mask(PL, ldb.length) & (lcodes >= 0)
     rvalid = row_mask(PR, rdb.length) & (rcodes >= 0)
     st = _jit_state()(lcodes, lvalid, rcodes, rvalid, how=join_type)
-    total = int(st.total)
     PRr = rdb.padded
     # outer joins also emit NULL-KEY rows of their outer side (they match
-    # nothing but stay in the output with a null opposite side)
+    # nothing but stay in the output with a null opposite side). ONE
+    # device_get fetches total + both null counts (each int() is a full
+    # round trip on dispatch-latency-bound links)
     outer_left = join_type in ("left outer", "full outer")
     outer_right = join_type in ("right outer", "full outer")
     null_left = row_mask(PL, ldb.length) & ~(lcodes >= 0)
     null_right = row_mask(PR, rdb.length) & ~(rcodes >= 0)
-    n_null_l = int(jnp.sum(null_left.astype(jnp.int32))) if outer_left else 0
-    n_null_r = int(jnp.sum(null_right.astype(jnp.int32))) if outer_right else 0
+    total, n_null_l, n_null_r = (
+        int(x) for x in jax.device_get((
+            st.total,
+            jnp.sum(null_left.astype(jnp.int32)) if outer_left else 0,
+            jnp.sum(null_right.astype(jnp.int32)) if outer_right else 0)))
     out_n = total + n_null_l + n_null_r
     cap = pad_length(max(out_n, 1))
     li, ri_rank, _ = _jit_expand()(st, cap)

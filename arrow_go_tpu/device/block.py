@@ -411,25 +411,8 @@ def _factorize_binary(arr: Array):
 
 def _concat_segments(data: np.ndarray, seg_starts: np.ndarray,
                      seg_lens: np.ndarray) -> np.ndarray:
-    """Concatenate byte segments of `data` into one contiguous buffer
-    (row-chunked: the int64 per-byte index temporaries are 8-16x the
-    payload)."""
-    from ..utils.rowhash import _row_chunks
-    total = int(seg_lens.sum())
-    out = np.empty(total, np.uint8)
-    ends = np.cumsum(seg_lens)
-    base = ends - seg_lens
-    for a, b in _row_chunks(seg_lens, 1 << 26):
-        clens = seg_lens[a:b]
-        tot = int(clens.sum())
-        if not tot:
-            continue
-        cbase = np.cumsum(clens) - clens
-        rep = np.repeat(np.arange(b - a, dtype=np.int64), clens)
-        off = np.arange(tot, dtype=np.int64) - cbase[rep]
-        out[int(base[a]):int(base[a]) + tot] = \
-            data[seg_starts[a:b][rep] + off]
-    return out
+    from ..utils.rowhash import gather_segments
+    return gather_segments(data, seg_starts, seg_lens)
 
 
 def _make_binary_like(t, offs: np.ndarray, data_cat: np.ndarray) -> Array:

@@ -442,24 +442,29 @@ def make_distributed_join(mesh: Mesh, cap_shuffle: int, cap_out: int,
             flat = jnp.clip(dest_l, 0, D - 1) * cap_shuffle + \
                 jnp.clip(slot, 0, cap_shuffle - 1)
             verdict = jnp.take(back, flat) & lv
+            sem_ov = lov | rov
             if hot_k:
                 # probe-hot left rows never entered the exchange: their
                 # verdict comes from the broadcast build side
-                hverd = _hot_semi(lkeys, lhot, rkeys, rpays, rhot, how)
+                hverd, hovf = _hot_semi(lkeys, lhot, rkeys, rpays, rhot,
+                                        how)
                 verdict = jnp.where(lhot, hverd, verdict)
                 # build-hot (salted) left rows broadcast; each shard
                 # matches them against ITS received build rows and the
                 # flags union via pmax back to the origin shard
-                hkl, _hp0, hrows_l, lpos, _bo = _broadcast_hot(
+                hkl, _hp0, hrows_l, lpos, bovf = _broadcast_hot(
                     lkeys, lhotB, cap_hot, n_keys)
                 bverd = _hot_semi_salted(lhotB, lpos, hkl, hrows_l,
                                          srk, rrows, how)
                 verdict = jnp.where(lhotB, bverd, verdict)
+                # a hot row beyond cap_hot never broadcast: its verdict
+                # would be silently wrong — surface the overflow
+                sem_ov = sem_ov | hovf | bovf
             if how == "left anti":
                 # null-key left rows match nothing -> they belong in the
                 # anti output (SQL semantics, = compute.hash_join)
                 verdict = verdict | lnull
-            ov = jax.lax.pmax((lov | rov).astype(jnp.int32), SHARD_AXIS)
+            ov = jax.lax.pmax(sem_ov.astype(jnp.int32), SHARD_AXIS)
             return verdict, ov.astype(jnp.bool_)
 
         li, ri, rperm, n_out, jov = _local_pairs(lcodes, lrows, rcodes,
@@ -471,6 +476,15 @@ def make_distributed_join(mesh: Mesh, cap_shuffle: int, cap_out: int,
         srp_ranked = tuple(
             jnp.take(c, jnp.clip(rperm, 0, c.shape[0] - 1)) for c in srp)
         out_rp = gather_cols(srp_ranked, ri)
+        if how in ("right outer", "full outer"):
+            # unmatched-RIGHT rows (li=-1, ri=rank) must carry their KEY
+            # from the right side — a zero-filled left gather loses it
+            srk_ranked = tuple(
+                jnp.take(c, jnp.clip(rperm, 0, c.shape[0] - 1))
+                for c in srk)
+            rkeys_out = gather_cols(srk_ranked, ri)
+            out_keys = tuple(jnp.where(li >= 0, a, b)
+                             for a, b in zip(out_keys, rkeys_out))
         rmatch = jnp.where(li >= 0, ri >= 0, False)
         overflow = lov | rov | jov
 
@@ -617,14 +631,15 @@ def make_distributed_join(mesh: Mesh, cap_shuffle: int, cap_out: int,
         return tuple(new), base + n_add, (base + n_add) > cap_buf
 
     def _hot_semi(lkeys, lhot, rkeys, rpays, rhot, how_):
-        hk, hp, hrows, _pos, _ovf = _broadcast_hot(
+        hk, hp, hrows, _pos, hovf = _broadcast_hot(
             rkeys + rpays, rhot, cap_hot, n_keys)
         bothh = tuple(jnp.concatenate([a, b]) for a, b in zip(lkeys, hk))
         bvh = jnp.concatenate([lhot, hrows])
         resh = _local_codes(bothh, bvh)
         Lh = lkeys[0].shape[0]
-        return _local_pairs(resh.codes[:Lh], lhot, resh.codes[Lh:], hrows,
-                            1, how_)
+        verdict = _local_pairs(resh.codes[:Lh], lhot, resh.codes[Lh:],
+                               hrows, 1, how_)
+        return verdict, hovf
 
     def _hot_semi_salted(lhotB, lpos, hkeys_l, hrows_l, srk, rrows, how_):
         """Semi/anti verdict for broadcast PROBE rows (build side salted
@@ -696,9 +711,10 @@ def make_distributed_sort_multi(mesh: Mesh, cap: int, n_keys: int,
         # the tail as sentinel-max): a mostly-padding shard must not skew
         # splitters toward the sentinel and concentrate real rows on the
         # last shard
-        nval = jnp.sum(valid.astype(jnp.int32))
-        pos = (jnp.arange(n_samples, dtype=jnp.int32)
-               * jnp.maximum(nval, 1)) // jnp.int32(n_samples)
+        nval = jnp.sum(valid.astype(jnp.int64))
+        # int64 positions: arange(i32) * nval wraps at ~34M rows/shard
+        pos = (jnp.arange(n_samples, dtype=jnp.int64)
+               * jnp.maximum(nval, 1)) // jnp.int64(n_samples)
         sample = jnp.take(sk, jnp.clip(pos, 0, L - 1))
         # an all-padding shard contributes only sentinels (harmless: they
         # sort to the top quantiles and drop out of the splitter cut)

@@ -429,9 +429,14 @@ class ParquetFile:
             first_page = False
             comp_size = hdr.compressed_page_size
             _ensure(pos + comp_size)
-            # zero-copy page window (bytes() here copied every page's
-            # payload once before decompression)
-            page_raw = memoryview(raw)[pos: pos + comp_size]
+            # zero-copy page window when the chunk was slurped in one
+            # read (bytes); the buffered-stream bytearray must COPY —
+            # a live memoryview export blocks the next _ensure resize
+            # ("BufferError: Existing exports of data")
+            if self.properties.buffered_stream:
+                page_raw = bytes(raw[pos: pos + comp_size])
+            else:
+                page_raw = memoryview(raw)[pos: pos + comp_size]
             pos += comp_size
             ptype = fmt.PageType(hdr.type)
             if ctx is not None:

@@ -93,9 +93,16 @@ def _hash_rows(data: np.ndarray, starts: np.ndarray, lens: np.ndarray,
     return out
 
 
-def _rows_equal(data: np.ndarray, starts_a: np.ndarray,
-                starts_b: np.ndarray, lens: np.ndarray) -> bool:
-    """Chunked exact compare of same-length row pairs."""
+def gather_segments(data: np.ndarray, starts: np.ndarray,
+                    lens: np.ndarray) -> np.ndarray:
+    """Concatenate byte segments of `data` into one contiguous buffer
+    (row-chunked: the int64 per-byte index temporaries are 8-16x the
+    payload). The shared primitive under hashing, verification, view
+    flattening and dictionary building."""
+    lens = lens.astype(np.int64, copy=False)
+    total = int(lens.sum())
+    out = np.empty(total, np.uint8)
+    base = np.cumsum(lens) - lens
     for a, b in _row_chunks(lens, _CHUNK_BYTES):
         clens = lens[a:b]
         tot = int(clens.sum())
@@ -104,10 +111,16 @@ def _rows_equal(data: np.ndarray, starts_a: np.ndarray,
         cbase = np.cumsum(clens) - clens
         rowrep = np.repeat(np.arange(b - a, dtype=np.int64), clens)
         off = np.arange(tot, dtype=np.int64) - cbase[rowrep]
-        if not np.array_equal(data[starts_a[a:b][rowrep] + off],
-                              data[starts_b[a:b][rowrep] + off]):
-            return False
-    return True
+        lo = int(base[a])
+        out[lo:lo + tot] = data[starts[a:b][rowrep] + off]
+    return out
+
+
+def _rows_equal(data: np.ndarray, starts_a: np.ndarray,
+                starts_b: np.ndarray, lens: np.ndarray) -> bool:
+    """Chunked exact compare of same-length row pairs."""
+    return np.array_equal(gather_segments(data, starts_a, lens),
+                          gather_segments(data, starts_b, lens))
 
 
 def factorize_segments(data: np.ndarray, starts: np.ndarray,
@@ -155,8 +168,11 @@ def flatten_view_bytes(arr) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     rows gather from their variadic buffers, grouped per buffer)."""
     d = arr.data
     n = d.length
+    if n == 0:
+        return (np.zeros(0, np.uint8), np.zeros(0, np.int64),
+                np.zeros(0, np.int64))
     raw = np.asarray(d.buffers[1].data[d.offset * 16:(d.offset + n) * 16])
-    views = raw.reshape(max(n, 1), 16)[:n]
+    views = raw.reshape(n, 16)
     iv = views.view(np.int32).reshape(max(n, 1), 4)[:n]
     lens = iv[:, 0].astype(np.int64)
     ends = np.cumsum(lens)

@@ -515,3 +515,32 @@ def test_join_right_outer_with_hot_k(mesh, rng):
     for j in range(NR):
         if not matched_r[j]:
             assert cnt[int(rv[j])] >= 1
+
+
+def test_join_right_outer_unmatched_keys_distributed(mesh, rng):
+    """Unmatched-RIGHT rows must carry their KEY value (review r4: the
+    exchanged path zero-filled keys when li = -1)."""
+    NL, NR = 256, 128
+    lk = rng.integers(0, 64, NL).astype(np.int64)
+    rk = rng.integers(32, 96, NR).astype(np.int64)
+    lv = np.arange(NL, dtype=np.int64)
+    rv = np.arange(NR, dtype=np.int64)
+    fn = dist.make_distributed_join(mesh, cap_shuffle=NL, cap_out=NL * 8,
+                                    n_keys=1, n_lpay=1, n_rpay=1,
+                                    how="right outer")
+    ok, olp, orp, rmatch, n_out, ov = fn(*_put(
+        mesh, lk, lv, np.ones(NL, np.bool_),
+        rk, rv, np.ones(NR, np.bool_)))
+    assert not bool(ov)
+    D = 8
+    Lc = np.asarray(ok[0]).shape[0] // D
+    no = np.asarray(n_out)
+    k, r_ = np.asarray(ok[0]), np.asarray(orp[0])
+    got = {}
+    for d in range(D):
+        for j in range(int(no[d])):
+            i = d * Lc + j
+            got.setdefault(int(r_[i]), set()).add(int(k[i]))
+    for j in range(NR):
+        assert int(rk[j]) in got[int(rv[j])], \
+            f"right row {j} lost its key (got {got[int(rv[j])]})"

@@ -496,3 +496,21 @@ def test_parallel_column_reads_match_serial():
     par2 = pq.ParquetFile(buf.getvalue()).read_table(columns=["s", "st"])
     assert par2.to_pydict() == {"s": t.column("s").to_pylist(),
                                 "st": t.column("st").to_pylist()}
+
+
+def test_buffered_stream_large_chunk(rng):
+    """Buffered-stream mode must page through chunks larger than the
+    initial read window (a live memoryview over the stream buffer
+    blocked its resize: BufferError)."""
+    import io
+    import arrow_go_tpu as agt
+    from arrow_go_tpu import parquet as pq
+    n = 200_000
+    t = agt.table({"a": agt.from_numpy(rng.integers(0, 1 << 40, n))})
+    buf = io.BytesIO()
+    pq.write_table(t, buf, compression="none")
+    props = pq.ReaderProperties(buffered_stream=True, buffer_size=8192)
+    out = pq.ParquetFile(buf.getvalue(), properties=props).read_table()
+    assert out.num_rows == n
+    np.testing.assert_array_equal(out.column("a").combine().to_numpy(),
+                                  t.column("a").combine().to_numpy())

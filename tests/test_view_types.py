@@ -221,3 +221,23 @@ def test_shared_dict_codes_vectorized():
                        want.column("lv").to_pylist(),
                        want.column("rv").to_pylist()))
     assert got == wrows
+
+
+def test_string_view_join_empty_side():
+    """An empty string-view key column must not crash the shared-dict
+    factorize (review r4: reshape of a 0-byte view buffer)."""
+    import numpy as np
+    import arrow_go_tpu as agt
+    from arrow_go_tpu import dtypes as dt
+    from arrow_go_tpu.array.builders import make_builder
+    from arrow_go_tpu.compute import hash_join
+    b = make_builder(dt.string_view)
+    for v in ["aa", "bb", "cc"]:
+        b.append(v)
+    lt = agt.record_batch({"k": b.finish(),
+                           "lv": agt.from_numpy(np.arange(3))})
+    rb = make_builder(dt.string_view)
+    rt = agt.record_batch({"k": rb.finish(),
+                           "rv": agt.from_numpy(np.zeros(0, np.int64))})
+    out = hash_join(lt, rt, "k")
+    assert out.num_rows == 0
