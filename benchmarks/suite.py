@@ -335,6 +335,82 @@ def main():
         assert out.num_rows == nh
         report(name, float(np.median(ts)), nh, len(blob))
 
+    # host csv / avro decode (reference arrow/csv/reader.go:108,
+    # arrow/avro/reader.go:87 — round-5 vectorized tiers; VERDICT r4 #4)
+    ncsv = max(nh // 8, 1 << 16)
+    ints = rng.integers(-10**9, 10**9, ncsv)
+    floats = rng.standard_normal(ncsv)
+    csv_rows = [
+        ("" if j % 97 == 0 else str(ints[j])) + "," + repr(floats[j])
+        + ",item_%d,%s" % (j % 5000, "true" if j % 2 else "false")
+        for j in range(ncsv)]
+    csv_blob = ("i,f,s,b\n" + "\n".join(csv_rows) + "\n").encode()
+    from arrow_go_tpu.formats.csv import read_csv
+    ts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        ct = read_csv(csv_blob)
+        ts.append(time.perf_counter() - t0)
+    assert ct.num_rows == ncsv
+    report("csv_read", float(np.median(ts)), ncsv, len(csv_blob))
+    try:
+        import pyarrow.csv as _pacsv
+        t0 = time.perf_counter()
+        _pacsv.read_csv(_io.BytesIO(csv_blob))
+        report("csv_read_pyarrow", time.perf_counter() - t0, ncsv,
+               len(csv_blob))
+    except ImportError:
+        pass
+
+    import struct as _struct
+
+    def _zig(v):
+        u = (v << 1) ^ (v >> 63)
+        out = bytearray()
+        while u >= 0x80:
+            out.append((u & 0x7F) | 0x80)
+            u >>= 7
+        out.append(u)
+        return bytes(out)
+
+    avro_schema = {"type": "record", "name": "r", "fields": [
+        {"name": "id", "type": "long"},
+        {"name": "name", "type": ["null", "string"]},
+        {"name": "score", "type": "double"},
+        {"name": "flag", "type": "boolean"}]}
+    navro = max(nh // 16, 1 << 15)
+    parts = []
+    for j in range(navro):
+        b = bytearray(_zig(int(ints[j % ncsv])))
+        if j % 7 == 0:
+            b += _zig(0)
+        else:
+            sv = b"name_%d" % (j % 10000)
+            b += _zig(1) + _zig(len(sv)) + sv
+        b += _struct.pack("<d", j * 0.25)
+        b += b"\x01" if j % 2 else b"\x00"
+        parts.append(bytes(b))
+    ocf = bytearray(b"Obj\x01")
+    meta = {"avro.schema": json.dumps(avro_schema).encode(),
+            "avro.codec": b"null"}
+    ocf += _zig(len(meta))
+    for k, v in meta.items():
+        ocf += _zig(len(k)) + k.encode() + _zig(len(v)) + v
+    ocf += _zig(0) + b"S" * 16
+    for s0 in range(0, navro, 65536):
+        blk = parts[s0:s0 + 65536]
+        payload = b"".join(blk)
+        ocf += _zig(len(blk)) + _zig(len(payload)) + payload + b"S" * 16
+    ocf = bytes(ocf)
+    from arrow_go_tpu.formats.avro import read_avro
+    ts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        at = read_avro(ocf)
+        ts.append(time.perf_counter() - t0)
+    assert at.num_rows == navro
+    report("avro_read", float(np.median(ts)), navro, len(ocf))
+
     # DEVICE parquet scan: file -> HBM with no host value
     # materialization (parquet/device_read.py — the engine's best scan
     # path, absent from the round-3 suite)

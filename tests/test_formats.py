@@ -257,3 +257,77 @@ def test_avro_chunked_reader():
     assert [b.num_rows for b in batches] == [10]
     # read_all unaffected
     assert OCFReader(data, chunk_size=3).read_all().num_rows == 10
+
+
+FLAT_AVRO_SCHEMA = {
+    "type": "record", "name": "flat",
+    "fields": [
+        {"name": "id", "type": "long"},
+        {"name": "name", "type": ["null", "string"]},
+        {"name": "score", "type": "double"},
+        {"name": "ok", "type": "boolean"},
+        {"name": "opt", "type": ["null", "long"]},
+        {"name": "col", "type": {"type": "enum", "name": "c",
+                                 "symbols": ["red", "green", "blue"]}},
+        {"name": "day", "type": {"type": "int", "logicalType": "date"}},
+    ],
+}
+
+
+def _enc_flat(i):
+    name = None if i % 5 == 0 else f"n{i}"
+    opt = None if i % 3 == 0 else i * 7
+    out = bytearray(_zigzag(i))
+    out += (_zigzag(0) if name is None
+            else _zigzag(1) + _avro_bytes(name.encode()))
+    out += struct.pack("<d", i * 0.5)
+    out += b"\x01" if i % 2 else b"\x00"
+    out += _zigzag(0) if opt is None else _zigzag(1) + _zigzag(opt)
+    out += _zigzag(i % 3)
+    out += _zigzag(i % 1000)
+    return bytes(out)
+
+
+def test_avro_flat_fast_path_parity():
+    """The vectorized flat-schema decoder must match the recursive one."""
+    from arrow_go_tpu.formats.avro import OCFReader
+    recs = [_enc_flat(i) for i in range(777)]
+    data = _make_ocf(FLAT_AVRO_SCHEMA, recs)
+    fast = OCFReader(data)
+    assert fast._plan is not None, "flat schema must take the fast path"
+    t_fast = fast.read_all()
+    slow = OCFReader(data)
+    slow._plan = None
+    t_slow = slow.read_all()
+    assert t_fast.to_pydict() == t_slow.to_pydict()
+    d = t_fast.to_pydict()
+    assert d["id"][:3] == [0, 1, 2]
+    assert d["name"][0] is None and d["name"][1] == "n1"
+    assert d["opt"][0] is None and d["opt"][1] == 7
+    assert d["col"][:4] == ["red", "green", "blue", "red"]
+    assert d["day"][1] == 1      # date32 lists as raw day offsets here
+
+
+def test_avro_flat_fast_chunked():
+    from arrow_go_tpu.formats.avro import OCFReader
+    recs = [_enc_flat(i) for i in range(100)]
+    # two blocks of 50
+    import json as _j
+    out = bytearray(b"Obj\x01")
+    meta = {"avro.schema": _j.dumps(FLAT_AVRO_SCHEMA).encode(),
+            "avro.codec": b"null"}
+    out += _zigzag(len(meta))
+    for k, v in meta.items():
+        out += _avro_bytes(k.encode()) + _avro_bytes(v)
+    out += _zigzag(0) + b"S" * 16
+    for half in (recs[:50], recs[50:]):
+        payload = b"".join(half)
+        out += _zigzag(len(half)) + _zigzag(len(payload)) + payload + b"S" * 16
+    r = OCFReader(bytes(out), chunk_size=30)
+    sizes = []
+    rows = []
+    for b in r:
+        sizes.append(b.num_rows)
+        rows.extend(b.columns[0].to_pylist())
+    assert sizes == [30, 30, 30, 10]
+    assert rows == list(range(100))
