@@ -190,6 +190,7 @@ def _encode_column_chunk(
     encodings_used = [int(fmt.Encoding.RLE)]
     dict_page_bytes = None
     is_dict = False
+    dict_fell_back = False
     vt = values_arr.type
     if explicit_enc is not None and explicit_enc != fmt.Encoding.PLAIN:
         use_dictionary = False
@@ -209,6 +210,7 @@ def _encode_column_chunk(
             # dictionary grew past the page-size limit: fall back to plain
             # (reference column_writer.go FallbackToPlainEncoding)
             is_dict = False
+            dict_fell_back = True
             dict_page_bytes = None
             values_arr = make_array(values_arr.data).decode() \
                 if values_arr.type.id == dt.TypeId.DICTIONARY else values_arr
@@ -238,11 +240,18 @@ def _encode_column_chunk(
     bloom = None
     if make_bloom and desc.physical_type != fmt.Type.BOOLEAN:
         try:
-            from .bloom import build_bloom_filter
+            from .bloom import build_bloom_filter, build_bloom_filter_adaptive
             src = phys_for_stats if not isinstance(phys_for_stats, np.ndarray) \
                 else phys_for_stats.tolist()
-            bloom = build_bloom_filter(src, desc.physical_type,
-                                       fpp=props.bloom_filter_fpp)
+            if dict_fell_back:
+                # dictionary fallback = the dict page's exact NDV is
+                # gone; size the filter adaptively from the stream
+                # (reference adaptive_bloom_filter.go:65)
+                bloom = build_bloom_filter_adaptive(
+                    src, desc.physical_type, fpp=props.bloom_filter_fpp)
+            else:
+                bloom = build_bloom_filter(src, desc.physical_type,
+                                           fpp=props.bloom_filter_fpp)
         except NotImplementedError:
             bloom = None
 

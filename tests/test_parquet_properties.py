@@ -151,3 +151,61 @@ def test_v2_pages_with_encryption():
     dec = pq.FileDecryptionProperties(footer_key=key)
     got = pq.read_table(blob, decryption=dec)
     assert got.to_pydict() == t.to_pydict()
+
+
+def test_adaptive_bloom_filter_sizes_to_ndv():
+    """Candidate-set builder (reference adaptive_bloom_filter.go:65):
+    low-NDV streams finalize to a small filter, high-NDV to a larger
+    one; sizes stay within ~1.1x of the directly-sized filter."""
+    from arrow_go_tpu.parquet.bloom import (AdaptiveBloomFilter,
+                                            BYTES_PER_BLOCK,
+                                            optimal_num_bytes,
+                                            _hash_value)
+    from arrow_go_tpu.parquet import format as fmt
+
+    def run(ndv):
+        ab = AdaptiveBloomFilter(max_bytes=1 << 20, fpp=0.01)
+        hs = [_hash_value(i, fmt.Type.INT64) for i in range(ndv)]
+        ab.insert_bulk(hs)
+        bf = ab.finalize()
+        for h in hs:
+            assert bf.check_hash(h)
+        return bf.num_blocks * BYTES_PER_BLOCK
+
+    small, big = run(100), run(20000)
+    assert small < big
+    # within the pow2-rounded envelope of the optimal direct sizing
+    assert small <= 2 * max(optimal_num_bytes(500, 0.01), 32)
+    assert big >= optimal_num_bytes(10000, 0.01) // 2
+    # false-positive sanity on the small filter
+    import random
+    rng = random.Random(7)
+    fp = sum(AdaptiveBloomFilter().finalize().check_hash(rng.getrandbits(64))
+             for _ in range(100))
+    assert fp == 0
+
+
+def test_writer_dict_fallback_uses_adaptive_bloom():
+    """Dictionary-fallback columns still get a usable bloom filter and
+    the reader prunes with it."""
+    import io
+    import numpy as np
+    import arrow_go_tpu as agt
+    from arrow_go_tpu import parquet as pq
+
+    n = 3000
+    vals = ["v" * 200 + str(i) for i in range(n)]   # dict page > 1KB limit
+    t = agt.table({"s": agt.array(vals, dt.string)})
+    buf = io.BytesIO()
+    pq.write_table(t, buf, row_group_size=n, properties=pq.WriterProperties(
+        write_bloom_filters=True, dictionary_pagesize_limit=1024))
+    pf = pq.ParquetFile(buf.getvalue())
+    # dictionary fell back: data pages are PLAIN
+    md = pf.metadata
+    assert pf.read_table().num_rows == n
+    # bloom pruning: a present value keeps the row group, an absent one
+    # prunes it
+    kept = pf.read_table(filters=[("s", "==", vals[5])])
+    assert kept.num_rows == n
+    pruned = pf.read_table(filters=[("s", "==", "absent-value")])
+    assert pruned.num_rows == 0

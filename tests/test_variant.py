@@ -153,3 +153,74 @@ def test_variant_parquet_pyarrow_reads_storage():
     rows = pt.column("v").to_pylist()
     decoded = [var.decode(r["metadata"], r["value"]) for r in rows]
     assert decoded == values
+
+
+# -- shredding (reference arrow/extensions/variant.go:66,99,127) ------------
+
+def test_shredded_variant_type_shape():
+    from arrow_go_tpu import extensions as ext
+    st = ext.shredded_variant_type(
+        dt.struct({"latitude": dt.float64, "longitude": dt.float32}))
+    names = [f.name for f in st.storage_type.fields()]
+    assert names == ["metadata", "value", "typed_value"]
+    tv = st.storage_type.fields()[2]
+    assert tv.nullable
+    lat = tv.type.fields()[0]
+    assert not lat.nullable
+    assert [f.name for f in lat.type.fields()] == ["value", "typed_value"]
+    assert lat.type.fields()[1].type == dt.float64
+    assert st.shredded and st.shred_type == dt.struct(
+        {"latitude": dt.float64, "longitude": dt.float32})
+
+
+def test_shred_unshred_lossless():
+    from arrow_go_tpu import extensions as ext
+    from arrow_go_tpu.array.builders import make_builder
+    objs = [
+        {"latitude": 1.5, "longitude": -2.25, "tag": "x"},
+        {"latitude": 3.0},
+        {"latitude": "oops", "longitude": 4.5},
+        [1, 2, 3],
+        None,
+    ]
+    vb = make_builder(ext.VariantType().storage_type)
+    for o in objs:
+        m, v = var.encode(o)
+        vb.append({"metadata": m, "value": v})
+    sh = ext.shred_variant(
+        vb.finish(), dt.struct({"latitude": dt.float64,
+                                "longitude": dt.float64}))
+    rows = sh.storage.to_pylist()
+    assert rows[0]["typed_value"]["latitude"]["typed_value"] == 1.5
+    assert rows[0]["value"] is not None          # residual holds "tag"
+    assert rows[1]["typed_value"]["longitude"] == {"value": None,
+                                                   "typed_value": None}
+    assert rows[2]["typed_value"]["latitude"]["typed_value"] is None
+    assert rows[3]["typed_value"] is None and rows[3]["value"] is not None
+    back = ext.unshred_variant(sh)
+    got = [None if r is None else var.decode(r["metadata"], r["value"])
+           for r in back.storage.to_pylist()]
+    assert got == objs
+
+
+def test_shredded_list_and_parquet_roundtrip():
+    import io
+    from arrow_go_tpu import extensions as ext, parquet as pq
+    from arrow_go_tpu.array.builders import make_builder
+    from arrow_go_tpu.array.record import RecordBatch, Table
+    objs = [[1, 2], ["a", 3], None, [None], {"k": 1}]
+    vb = make_builder(ext.VariantType().storage_type)
+    for o in objs:
+        m, v = var.encode(o)
+        vb.append({"metadata": m, "value": v})
+    sh = ext.shred_variant(vb.finish(), dt.list_(dt.int64))
+    t = Table.from_batches([RecordBatch(
+        dt.Schema([dt.Field("v", sh.type, True)]), [sh], len(sh))])
+    buf = io.BytesIO()
+    pq.write_table(t, buf)
+    bc = pq.ParquetFile(buf.getvalue()).read_table().to_batches()[0].column(0)
+    assert isinstance(bc.type, ext.VariantType) and bc.type.shredded
+    un = ext.unshred_variant(bc)
+    got = [None if r is None else var.decode(r["metadata"], r["value"])
+           for r in un.storage.to_pylist()]
+    assert got == objs
