@@ -169,15 +169,17 @@ class Result:
 def batches_to_flight_data(schema: dt.Schema, batches,
                            descriptor: Optional[fp.FlightDescriptor] = None
                            ) -> Iterator[fp.FlightData]:
+    from .wire import RawFlightData
     mapper = ipc.DictMapper()
     mapper.assign(schema)
     # FlightData.data_header carries the RAW Message flatbuffer (no
-    # stream framing -- the gRPC message is the frame)
-    first = fp.FlightData(
-        data_header=ipc_core.build_schema_message(schema, mapper.field_to_id))
-    if descriptor is not None:
-        first.flight_descriptor.CopyFrom(descriptor)
-    yield first
+    # stream framing -- the gRPC message is the frame). Bodies stay as
+    # unjoined buffer parts; the wire codec writes them once into the
+    # outgoing frame (flight/wire.py).
+    yield RawFlightData(
+        data_header=ipc_core.build_schema_message(schema,
+                                                  mapper.field_to_id),
+        flight_descriptor=descriptor)
     sent_dicts: Dict[int, Any] = {}
     for rb in batches:
         dicts: Dict[int, Any] = {}
@@ -187,13 +189,15 @@ def batches_to_flight_data(schema: dt.Schema, batches,
             prev = sent_dicts.get(did)
             if prev is not None and ipc._same_dict(prev, ddata):
                 continue
-            meta, body = ipc_core.build_record_batch_message(
+            meta, parts, blen = ipc_core.build_record_batch_parts(
                 [ddata], ddata.length, dictionary_id=did)
-            yield fp.FlightData(data_header=meta, data_body=body)
+            yield RawFlightData(data_header=meta, body_parts=parts,
+                                body_len=blen)
             sent_dicts[did] = ddata
-        meta, body = ipc_core.build_record_batch_message(
+        meta, parts, blen = ipc_core.build_record_batch_parts(
             [c.data for c in rb.columns], rb.num_rows)
-        yield fp.FlightData(data_header=meta, data_body=body)
+        yield RawFlightData(data_header=meta, body_parts=parts,
+                            body_len=blen)
 
 
 class FlightDataReader:
@@ -294,6 +298,14 @@ def _ser(msg) -> bytes:
     return msg.SerializeToString()
 
 
+# data-plane codec: hand-framed FlightData with single-copy bodies on
+# send and memoryview bodies on receive (flight/wire.py; reference
+# record_batch_writer.go:97 / record_batch_reader.go:40-70)
+from .wire import (RawFlightData,                             # noqa: E402
+                   parse_flight_data as _parse_fd,
+                   serialize_flight_data as _ser_fd)
+
+
 #: record batches routinely exceed gRPC's 4 MB default message cap; the
 #: reference transports arbitrary batch sizes (pyarrow.flight likewise
 #: configures unlimited message lengths)
@@ -386,7 +398,8 @@ class FlightServerBase:
                 schema, batches = out.schema, out.to_batches()
             else:
                 schema, batches = out
-            return batches_to_flight_data(schema, batches)
+            from .wire import pipeline_frames
+            return pipeline_frames(batches_to_flight_data(schema, batches))
 
         def do_put(req_iter, ctx):
             reader = FlightDataReader(req_iter)
@@ -445,11 +458,11 @@ class FlightServerBase:
             "GetSchema": grpc.unary_unary_rpc_method_handler(
                 get_schema, fp.FlightDescriptor.FromString, _ser),
             "DoGet": grpc.unary_stream_rpc_method_handler(
-                do_get, fp.Ticket.FromString, _ser),
+                do_get, fp.Ticket.FromString, _ser_fd),
             "DoPut": grpc.stream_stream_rpc_method_handler(
-                do_put, fp.FlightData.FromString, _ser),
+                do_put, _parse_fd, _ser),
             "DoExchange": grpc.stream_stream_rpc_method_handler(
-                do_exchange, fp.FlightData.FromString, _ser),
+                do_exchange, _parse_fd, _ser_fd),
             "DoAction": grpc.unary_stream_rpc_method_handler(
                 do_action, fp.Action.FromString, _ser),
             "ListActions": grpc.unary_stream_rpc_method_handler(
@@ -506,11 +519,11 @@ class FlightClient:
         self._list_flights = self._channel.unary_stream(
             m + "ListFlights", _ser, fp.FlightInfo.FromString)
         self._do_get = self._channel.unary_stream(
-            m + "DoGet", _ser, fp.FlightData.FromString)
+            m + "DoGet", _ser, _parse_fd)
         self._do_put = self._channel.stream_stream(
-            m + "DoPut", _ser, fp.PutResult.FromString)
+            m + "DoPut", _ser_fd, fp.PutResult.FromString)
         self._do_exchange = self._channel.stream_stream(
-            m + "DoExchange", _ser, fp.FlightData.FromString)
+            m + "DoExchange", _ser_fd, _parse_fd)
         self._do_action = self._channel.unary_stream(
             m + "DoAction", _ser, fp.Result.FromString)
         self._list_actions = self._channel.unary_stream(
@@ -556,7 +569,9 @@ class FlightClient:
 
     def do_put(self, descriptor: FlightDescriptor, schema: dt.Schema,
                batches) -> List[bytes]:
-        data = batches_to_flight_data(schema, batches, descriptor.proto)
+        from .wire import pipeline_frames
+        data = pipeline_frames(
+            batches_to_flight_data(schema, batches, descriptor.proto))
         return [r.app_metadata for r in self._do_put(data)]
 
     def do_exchange(self, descriptor: FlightDescriptor, schema: dt.Schema,

@@ -112,9 +112,9 @@ def collect_body(data: ArrayData, nodes: List[FieldNode],
     if tid == dt.TypeId.NULL:
         return
     if tid in (dt.TypeId.SPARSE_UNION, dt.TypeId.DENSE_UNION):
-        buffers.append(data.buffers[0].data[:data.length].tobytes())
+        buffers.append(data.buffers[0].data[:data.length])
         if tid == dt.TypeId.DENSE_UNION:
-            buffers.append(data.buffers[1].data[: data.length * 4].tobytes())
+            buffers.append(data.buffers[1].data[: data.length * 4])
         for c in data.children:
             collect_body(c, nodes, buffers, variadic)
         return
@@ -127,45 +127,45 @@ def collect_body(data: ArrayData, nodes: List[FieldNode],
 
     if tid == dt.TypeId.BOOL:
         buffers.append(
-            data.buffers[1].data[: bitutil.bytes_for_bits(data.length)].tobytes())
+            data.buffers[1].data[: bitutil.bytes_for_bits(data.length)])
         return
     if t.np_dtype is not None and tid != dt.TypeId.DICTIONARY:
         w = t.np_dtype.itemsize
-        buffers.append(data.buffers[1].data[: data.length * w].tobytes())
+        buffers.append(data.buffers[1].data[: data.length * w])
         return
     if t.is_decimal or tid == dt.TypeId.FIXED_SIZE_BINARY:
         w = t.byte_width
-        buffers.append(data.buffers[1].data[: data.length * w].tobytes())
+        buffers.append(data.buffers[1].data[: data.length * w])
         return
     if tid == dt.TypeId.DICTIONARY:
         w = t.index_type.np_dtype.itemsize
-        buffers.append(data.buffers[1].data[: data.length * w].tobytes())
+        buffers.append(data.buffers[1].data[: data.length * w])
         return
     if tid in (dt.TypeId.BINARY_VIEW, dt.TypeId.STRING_VIEW):
-        buffers.append(data.buffers[1].data[: data.length * 16].tobytes())
+        buffers.append(data.buffers[1].data[: data.length * 16])
         data_bufs = data.buffers[2:]
         for db in data_bufs:
-            buffers.append(db.data.tobytes())
+            buffers.append(db.data)
         if variadic is not None:
             variadic.append(len(data_bufs))
         return
     if tid in (dt.TypeId.LIST_VIEW, dt.TypeId.LARGE_LIST_VIEW):
         ow = t.offset_dtype.itemsize
-        buffers.append(data.buffers[1].data[: data.length * ow].tobytes())
-        buffers.append(data.buffers[2].data[: data.length * ow].tobytes())
+        buffers.append(data.buffers[1].data[: data.length * ow])
+        buffers.append(data.buffers[2].data[: data.length * ow])
         collect_body(data.children[0], nodes, buffers, variadic)
         return
     if t.is_binary_like:
         ow = t.offset_dtype.itemsize
         offsets = data.buffers[1].data[: (data.length + 1) * ow]
-        buffers.append(offsets.tobytes())
+        buffers.append(offsets)
         off_vals = offsets.view(t.offset_dtype)
         end = int(off_vals[-1]) if data.length >= 0 and len(off_vals) else 0
-        buffers.append(data.buffers[2].data[:end].tobytes())
+        buffers.append(data.buffers[2].data[:end])
         return
     if tid in (dt.TypeId.LIST, dt.TypeId.LARGE_LIST, dt.TypeId.MAP):
         ow = t.offset_dtype.itemsize
-        buffers.append(data.buffers[1].data[: (data.length + 1) * ow].tobytes())
+        buffers.append(data.buffers[1].data[: (data.length + 1) * ow])
         collect_body(data.children[0], nodes, buffers, variadic)
         return
     if tid in (dt.TypeId.FIXED_SIZE_LIST, dt.TypeId.STRUCT):
@@ -178,6 +178,8 @@ def collect_body(data: ArrayData, nodes: List[FieldNode],
 def _compress_one(compression: str, buf: bytes) -> bytes:
     """One body buffer -> int64-length-prefixed frame (raw when compression
     does not shrink it, per the IPC BodyCompression contract)."""
+    if not isinstance(buf, bytes):
+        buf = bytes(buf)        # collect_body now yields zero-copy views
     if compression == "zstd":
         import zstandard
         comp = zstandard.ZstdCompressor().compress(buf)
@@ -195,8 +197,23 @@ def build_record_batch_message(
         dictionary_id: Optional[int] = None, is_delta: bool = False,
         compress_concurrency: int = 0,
 ) -> Tuple[bytes, bytes]:
-    """Returns (metadata_flatbuffer, body_bytes). When dictionary_id is set,
-    wraps the RecordBatch in a DictionaryBatch header.
+    """Returns (metadata_flatbuffer, body_bytes)."""
+    msg, parts, _ = build_record_batch_parts(
+        columns, num_rows, compression, dictionary_id, is_delta,
+        compress_concurrency)
+    return msg, b"".join(parts)
+
+
+def build_record_batch_parts(
+        columns: List[ArrayData], num_rows: int,
+        compression: Optional[str] = None,
+        dictionary_id: Optional[int] = None, is_delta: bool = False,
+        compress_concurrency: int = 0,
+) -> Tuple[bytes, List[bytes], int]:
+    """Returns (metadata_flatbuffer, body buffer parts, body length) —
+    the unjoined form the Flight wire codec writes directly into its
+    frame. When dictionary_id is set, wraps the RecordBatch in a
+    DictionaryBatch header.
 
     compress_concurrency > 1 compresses body buffers on a thread pool (the
     zstd/lz4 C codecs release the GIL) — reference WithCompressConcurrency,
@@ -219,15 +236,21 @@ def build_record_batch_message(
     elif compression is not None:
         raise NotImplementedError(f"compression {compression}")
 
-    # lay out buffers with alignment
+    # lay out buffers with alignment. `parts` keeps the buffers as
+    # separate views so the Flight wire codec can write them straight
+    # into the outgoing gRPC frame without an intermediate join
+    # (flight/wire.py; reference record_batch_writer.go:97)
     buf_meta = []
-    body = bytearray()
+    parts: List[bytes] = []
+    off = 0
     for bufb in raw:
-        off = len(body)
-        body.extend(bufb)
-        body.extend(b"\0" * (_pad_to(len(bufb)) - len(bufb)))
+        parts.append(bufb)
+        pad = _pad_to(len(bufb)) - len(bufb)
+        if pad:
+            parts.append(b"\0" * pad)
         buf_meta.append((off, len(bufb)))
-    body_bytes = bytes(body)
+        off += len(bufb) + pad
+    body_len = off
 
     b = flatbuffers.Builder(1024)
     # Buffer structs vector (reverse order)
@@ -279,8 +302,8 @@ def build_record_batch_message(
         rb_off = b.EndObject()
         header_type = md.MSG_DICTIONARY_BATCH
 
-    msg = _finish_message(b, header_type, rb_off, len(body_bytes))
-    return msg, body_bytes
+    msg = _finish_message(b, header_type, rb_off, body_len)
+    return msg, parts, body_len
 
 
 def _finish_message(b: flatbuffers.Builder, header_type: int,
