@@ -404,16 +404,24 @@ class FileReader:
         return len(self._blocks)
 
     def _read_at(self, off: int, mlen: int, blen: int):
-        self.src.seek(off)
-        raw = self.src.read(mlen)
+        if getattr(self, "_mmap", None) is not None:
+            # mapped file: message + body are VIEWS of the map — column
+            # buffers alias the page cache, nothing is materialized
+            # until touched (reference file_reader.go:222-228 mmap path)
+            mv = memoryview(self._mmap)
+            raw = mv[off: off + mlen]
+            body = mv[off + mlen: off + mlen + blen]
+        else:
+            self.src.seek(off)
+            raw = self.src.read(mlen)
+            body = self.src.read(blen)
         (w,) = struct.unpack_from("<I", raw, 0)
         if w == core.CONTINUATION:
             (size,) = struct.unpack_from("<i", raw, 4)
-            meta = raw[8: 8 + size]
+            meta = bytes(raw[8: 8 + size])
         else:
             (size,) = struct.unpack_from("<i", raw, 0)
-            meta = raw[4: 4 + size]
-        body = self.src.read(blen)
+            meta = bytes(raw[4: 4 + size])
         return FbReader.root(meta), body
 
     def _ensure_dictionaries(self):

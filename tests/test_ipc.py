@@ -295,3 +295,33 @@ def test_concurrent_body_decompression():
         got = ipc.open_stream(sbuf.getvalue(),
                               decompress_concurrency=4).read_all()
         assert got.to_pydict() == t.to_pydict()
+
+
+def test_file_reader_mmap_zero_copy(tmp_path):
+    """use_mmap=True: record-batch bodies are views of the mapped file
+    (reference ipc/file_reader.go:222-228), bit-identical to the
+    buffered read."""
+    import numpy as np
+    import arrow_go_tpu as agt
+    from arrow_go_tpu.ipc import open_file, FileWriter
+
+    rng = np.random.default_rng(5)
+    rb = agt.record_batch({
+        "a": agt.from_numpy(rng.standard_normal(10000)),
+        "s": agt.array([f"v{i % 11}" for i in range(10000)]),
+    })
+    path = str(tmp_path / "m.arrow")
+    with open(path, "wb") as f:
+        w = FileWriter(f, rb.schema)
+        w.write(rb)
+        w.close()
+    r_m = open_file(path, use_mmap=True)
+    r_b = open_file(path)
+    tm = r_m.read_all()
+    tb = r_b.read_all()
+    assert tm.to_pydict() == tb.to_pydict()
+    # the mmap path must hand out views of the map, not copies
+    meta, body = r_m._read_at(*r_m._blocks[0])
+    assert isinstance(body, memoryview)
+    a0 = tm.to_batches()[0].column(0).to_numpy()
+    assert a0.base is not None      # aliases the map, not an owned copy
