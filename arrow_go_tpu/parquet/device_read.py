@@ -68,6 +68,163 @@ def _iter_pages(pf, chunk):
         yield hdr, body
 
 
+def _split_page(hdr, body, desc, codec):
+    """Header control-plane split of one data page ->
+    (nv, def_stream, vals_raw, encoding)."""
+    ptype = fmt.PageType(hdr.type)
+    if ptype == fmt.PageType.DATA_PAGE:
+        dph = hdr.data_page_header
+        nv = dph.num_values or 0
+        payload = comp.decompress(codec, body, hdr.uncompressed_page_size)
+        off = 0
+        def_stream = None
+        if desc.max_def_level > 0:
+            (ln,) = struct.unpack_from("<I", payload, 0)
+            def_stream = payload[4:4 + ln]
+            off = 4 + ln
+        return nv, def_stream, payload[off:], fmt.Encoding(dph.encoding or 0)
+    dph = hdr.data_page_header_v2
+    nv = dph.num_values or 0
+    rl = dph.repetition_levels_byte_length or 0
+    dl = dph.definition_levels_byte_length or 0
+    def_stream = body[rl:rl + dl] if desc.max_def_level > 0 else None
+    vals_raw = body[rl + dl:]
+    if dph.is_compressed is not False and codec:
+        vals_raw = comp.decompress(
+            codec, vals_raw, (hdr.uncompressed_page_size or 0) - rl - dl)
+    return nv, def_stream, vals_raw, fmt.Encoding(dph.encoding or 0)
+
+
+def _cat_rle_tables(tables, nvs):
+    """Concatenate per-page parse_rle_segments tables into ONE table over
+    the whole column chunk: output indices shift by the running value
+    count, packed-group bit offsets by the running word count (each
+    page's word stream is word-aligned, so offsets stay exact)."""
+    sts, irs, pays, words = [], [], [], []
+    out_off = 0
+    word_off = 0
+    for (s, i, p, w), nv in zip(tables, nvs):
+        sts.append(s.astype(np.int64) + out_off)
+        irs.append(i)
+        pays.append(np.where(i == 1, p.astype(np.int64),
+                             p.astype(np.int64) + word_off * 32))
+        words.append(w)
+        out_off += nv
+        word_off += len(w)
+    return (np.concatenate(sts).astype(np.int32),
+            np.concatenate(irs),
+            np.concatenate(pays),
+            np.concatenate(words))
+
+
+def _count_ones_rle(table, nv: int) -> int:
+    """Host count of 1-bits in a parsed bit-width-1 RLE/packed stream
+    (per-page present count — control-plane only)."""
+    st, ir, pay, words = table
+    bits = np.unpackbits(words.view(np.uint8), bitorder="little")
+    total = 0
+    for s in range(len(st)):
+        start = int(st[s])
+        end = int(st[s + 1]) if s + 1 < len(st) else nv
+        end = min(end, nv)
+        cnt = max(end - start, 0)
+        if ir[s] == 1:
+            total += cnt * int(pay[s] & 1)
+        else:
+            b0 = int(pay[s])
+            total += int(bits[b0:b0 + cnt].sum())
+    return total
+
+
+def _fused_chunk_read(data_pages, desc, codec, dict_dev, np_dtype,
+                      codes_only):
+    """ALL data pages of a column chunk as ONE device transfer + ONE
+    decode program (VERDICT r4 #3 — the per-page dispatch path pays a
+    tunnel round trip per page per column; reference
+    parquet/pqarrow/file_reader.go:362-404 reads a chunk at a time).
+    Returns (values, present) or None when a page needs the per-page
+    tier (mixed encodings, BSS/DELTA/BOOLEAN, varying dict widths)."""
+    if codec and len(data_pages) > 1:
+        # page decompression on a thread pool (codecs release the GIL) —
+        # overlaps with device transfers already in flight
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(min(4, len(data_pages))) as pool:
+            splits = list(pool.map(
+                lambda pb: _split_page(pb[0], pb[1], desc, codec),
+                data_pages))
+    else:
+        splits = [_split_page(h, b, desc, codec) for h, b in data_pages]
+    if not splits:
+        return None
+    encs = {s[3] for s in splits}
+    dict_encs = {fmt.Encoding.RLE_DICTIONARY, fmt.Encoding.PLAIN_DICTIONARY}
+    phys = desc.physical_type
+    if encs == {fmt.Encoding.PLAIN} and phys != fmt.Type.BOOLEAN \
+            and not codes_only:
+        kind = "plain"
+    elif encs <= dict_encs:
+        widths = {s[2][0] for s in splits}
+        if len(widths) != 1:
+            return None
+        kind = "dict"
+        width = splits[0][2][0]
+    else:
+        return None
+
+    nvs = [s[0] for s in splits]
+    total_nv = sum(nvs)
+
+    present = None
+    def_tables = None
+    if desc.max_def_level > 0:
+        def_tables = [dd.parse_rle_segments(s[1], nv, 1)
+                      for s, nv in zip(splits, nvs)]
+        st, ir, pay, words = _cat_rle_tables(def_tables, nvs)
+        defs = dd.rle_hybrid_decode_jit(st, ir, pay, words, 1, total_nv)
+        present = defs == 1
+
+    if kind == "plain":
+        k = np.dtype(np_dtype).itemsize
+        parts = []
+        n_present_total = 0
+        for nv, _ds, vals_raw, _e in splits:
+            npre = min(len(vals_raw) // k, nv)
+            parts.append(vals_raw[: npre * k])
+            n_present_total += npre
+        big = parts[0] if len(parts) == 1 else b"".join(parts)
+        raw_dev = jnp.asarray(np.frombuffer(big, np.uint8))
+        dense = dd.plain_decode_device(raw_dev, np_dtype, n_present_total)
+        dense = jnp.pad(dense, (0, total_nv - n_present_total))
+    else:
+        # the code stream holds only PRESENT values: pages concatenate
+        # at their present counts (host-counted from the def tables),
+        # not at nv strides
+        if def_tables is None:
+            npres = nvs
+        else:
+            npres = [_count_ones_rle(tb, nv)
+                     for tb, nv in zip(def_tables, nvs)]
+        code_tables = [dd.parse_rle_segments(vals_raw[1:], np_, width)
+                       for (nv, _ds, vals_raw, _e), np_ in
+                       zip(splits, npres)]
+        total_present = sum(npres)
+        st, ir, pay, words = _cat_rle_tables(code_tables, npres)
+        codes = dd.rle_hybrid_decode_jit(st, ir, pay, words, width,
+                                         total_present)
+        codes = jnp.pad(codes, (0, total_nv - total_present))
+        if codes_only:
+            dense = codes.astype(jnp.int32)
+        else:
+            if dict_dev is None:
+                raise ArrowInvalid("dictionary page missing")
+            dense = dd.dict_decode_device(codes, dict_dev)
+
+    if present is None:
+        return dense, jnp.ones(total_nv, jnp.bool_)
+    pos = jnp.clip(jnp.cumsum(present.astype(jnp.int32)) - 1, 0)
+    return dense[pos], present
+
+
 def _decode_data_page(hdr, body, desc, codec, dict_dev, np_dtype,
                       codes_only: bool = False):
     """One data page -> (row_values[nv] on device, present_mask[nv] bool).
@@ -194,7 +351,7 @@ def read_column_device(pf, rg_i: int, column: str,
     codec = chunk.meta_data.codec or 0
     dict_dev = None
     dict_host_vals = None
-    parts, masks = [], []
+    data_pages = []
     for hdr, body in _iter_pages(pf, chunk):
         ptype = fmt.PageType(hdr.type)
         if ptype == fmt.PageType.DICTIONARY_PAGE:
@@ -209,13 +366,21 @@ def read_column_device(pf, rg_i: int, column: str,
             continue
         if ptype not in (fmt.PageType.DATA_PAGE, fmt.PageType.DATA_PAGE_V2):
             raise ArrowNotImplemented(f"page type {ptype}")
-        vals, present = _decode_data_page(hdr, body, desc, codec, dict_dev,
-                                          np_dtype, codes_only)
-        parts.append(vals)
-        masks.append(present)
+        data_pages.append((hdr, body))
 
-    values = jnp.concatenate(parts) if parts else jnp.zeros(0, np_dtype)
-    mask = jnp.concatenate(masks) if masks else jnp.zeros(0, jnp.bool_)
+    fused = _fused_chunk_read(data_pages, desc, codec, dict_dev, np_dtype,
+                              codes_only)
+    if fused is not None:
+        values, mask = fused
+    else:
+        parts, masks = [], []
+        for hdr, body in data_pages:
+            vals, present = _decode_data_page(hdr, body, desc, codec,
+                                              dict_dev, np_dtype, codes_only)
+            parts.append(vals)
+            masks.append(present)
+        values = jnp.concatenate(parts) if parts else jnp.zeros(0, np_dtype)
+        mask = jnp.concatenate(masks) if masks else jnp.zeros(0, jnp.bool_)
     n = int(values.shape[0])
     P = pad if pad is not None else pad_length(n)
     values = jnp.pad(values, (0, P - n))
