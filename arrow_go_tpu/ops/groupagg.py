@@ -81,12 +81,12 @@ def _is_last(start: jax.Array) -> jax.Array:
 
 
 def compact_runs(flag_keep: jax.Array, payloads) -> tuple:
-    """Move rows where flag_keep to the front (stable): ONE sort whose
-    key is ~keep; entries [0, n_keep) of each payload are the per-run
-    results in key order."""
-    operands = ((~flag_keep).astype(jnp.int32),) + tuple(payloads)
-    res = jax.lax.sort(operands, num_keys=1, is_stable=True)
-    return res[1:]
+    """Move rows where flag_keep to the front (stable): entries
+    [0, n_keep) of each payload are the per-run results in key order.
+    Blocked per-block sort + Pallas stitch on TPU (3.4x the full-height
+    compaction sort at 4M — roofline_probe10), global sort elsewhere."""
+    from .compaction import compact_flagged
+    return compact_flagged(flag_keep != 0, payloads)
 
 
 def segment_sum_count(enc: SortedEncode, values: jax.Array,
@@ -109,14 +109,18 @@ def segment_sum_count(enc: SortedEncode, values: jax.Array,
         ok = ok & jnp.take(valid_rows, enc.sidx)
     x = jnp.where(ok, vs, jnp.zeros((), vs.dtype))
     cs = chunked_cumsum(x)
-    cnt = chunked_cumsum(ok.astype(jnp.int64))
+    # the count scan stays 32-bit: row counts fit i32, the i32 cumsum
+    # compiles plain at any size, and it is one stitch lane instead of
+    # two through the boundary compaction
+    cnt = jnp.cumsum(ok.astype(jnp.int32), dtype=jnp.int32)
     last = _is_last(enc.start)
     # per-run total = prefix at last - prefix at (start - 1); compute via
     # prefix differences on the compacted boundary values
     sums_at_last, cnts_at_last = compact_runs(last, (cs, cnt))
     prev_sum = jnp.concatenate([jnp.zeros(1, cs.dtype), sums_at_last[:-1]])
     prev_cnt = jnp.concatenate([jnp.zeros(1, cnt.dtype), cnts_at_last[:-1]])
-    return sums_at_last - prev_sum, cnts_at_last - prev_cnt
+    return (sums_at_last - prev_sum,
+            (cnts_at_last - prev_cnt).astype(jnp.int64))
 
 
 def segment_min_max(key_flag: jax.Array, key_hi: jax.Array,

@@ -67,20 +67,30 @@ def encode_sorted_with(values: jax.Array, t: dt.DataType,
     lane is ~15-20% of the sort). Returns (SortedEncode, sorted
     payload tuple)."""
     P = values.shape[0]
+    all_valid = (validity is None and isinstance(n, int) and n >= P)
     valid = row_mask(P, n)
     if validity is not None:
         valid = valid & bitmap.expand_words(validity, P)
     key = _orderable_bits(values, t).astype(jnp.uint64)
-    flag = (~valid).astype(jnp.int32)
     khi = (key >> jnp.uint64(32)).astype(jnp.uint32)
     klo = key.astype(jnp.uint32)
     iota = jnp.arange(P, dtype=jnp.int32)
-    # the flag key clusters invalid rows at the tail, so per-position
-    # validity is just (position < n_valid) — one sort lane saved
-    out = jax.lax.sort((flag, khi, klo, iota) + tuple(payloads),
-                       num_keys=3, is_stable=True)
-    _, shi, slo, sidx = out[:4]
-    spayloads = tuple(out[4:])
+    if all_valid:
+        # statically null-free and unpadded: the invalid-cluster flag
+        # lane is identically zero — drop it (~20% of the sort)
+        out = jax.lax.sort((khi, klo, iota) + tuple(payloads),
+                           num_keys=2, is_stable=True)
+        shi, slo, sidx = out[:3]
+        spayloads = tuple(out[3:])
+    else:
+        # the flag key clusters invalid rows at the tail, so
+        # per-position validity is just (position < n_valid) — one sort
+        # lane saved
+        flag = (~valid).astype(jnp.int32)
+        out = jax.lax.sort((flag, khi, klo, iota) + tuple(payloads),
+                           num_keys=3, is_stable=True)
+        _, shi, slo, sidx = out[:4]
+        spayloads = tuple(out[4:])
     n_valid = jnp.sum(valid.astype(jnp.int32))
     svalid = iota < n_valid
     prev_hi = jnp.concatenate([shi[:1], shi[:-1]])
@@ -105,6 +115,7 @@ def encode_codes(values: jax.Array, t: dt.DataType,
     ~2x cheaper on TPU (benchmarks/roofline_probe4.py: searchsorted and
     scatter dominate; sort/cumsum are cheap)."""
     P = values.shape[0]
+    all_valid = (validity is None and isinstance(n, int) and n >= P)
     valid = row_mask(P, n)
     if validity is not None:
         valid = valid & bitmap.expand_words(validity, P)
@@ -112,15 +123,20 @@ def encode_codes(values: jax.Array, t: dt.DataType,
     key = _orderable_bits(values, t).astype(jnp.uint64)
     # invalid rows cluster at the end via a separate flag key; 64-bit keys
     # sort as two u32 lanes (TPU-native compares, no u64 emulation)
-    flag = (~valid).astype(jnp.int32)
     khi = (key >> jnp.uint64(32)).astype(jnp.uint32)
     klo = key.astype(jnp.uint32)
 
     iota = jnp.arange(P, dtype=jnp.int32)
-    # flag clusters invalid rows at the tail: svalid = pos < n_valid
-    # (one sort lane saved)
-    _, shi, slo, sidx = jax.lax.sort(
-        (flag, khi, klo, iota), num_keys=3, is_stable=True)
+    if all_valid:
+        # statically null-free and unpadded: drop the all-zero flag lane
+        shi, slo, sidx = jax.lax.sort(
+            (khi, klo, iota), num_keys=2, is_stable=True)
+    else:
+        # flag clusters invalid rows at the tail: svalid = pos < n_valid
+        # (one sort lane saved)
+        flag = (~valid).astype(jnp.int32)
+        _, shi, slo, sidx = jax.lax.sort(
+            (flag, khi, klo, iota), num_keys=3, is_stable=True)
     n_valid = jnp.sum(valid.astype(jnp.int32))
     svalid = iota < n_valid
     # run starts among valid rows
@@ -169,10 +185,15 @@ def encode_codes(values: jax.Array, t: dt.DataType,
                      jnp.uint64(0))
     f_fill = (chunked_cummax(pack)
               & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32)
-    flag2_in = (~svalid).astype(jnp.int32)
-    flag2, f2, sidx2 = jax.lax.sort((flag2_in, f_fill, sidx), num_keys=2,
-                                    is_stable=True)
-    valid2 = flag2 == 0
+    if all_valid:
+        f2, sidx2 = jax.lax.sort((f_fill, sidx), num_keys=1,
+                                 is_stable=True)
+        valid2 = jnp.ones(P, jnp.bool_)
+    else:
+        flag2_in = (~svalid).astype(jnp.int32)
+        flag2, f2, sidx2 = jax.lax.sort((flag2_in, f_fill, sidx),
+                                        num_keys=2, is_stable=True)
+        valid2 = flag2 == 0
     prev_f = jnp.concatenate([~f2[:1], f2[:-1]])     # differs at pos 0
     start2 = (f2 != prev_f) & valid2
     code2 = jnp.cumsum(start2.astype(jnp.int32)) - 1

@@ -51,12 +51,11 @@ def filter_indices(mask: jax.Array, mask_validity: Optional[jax.Array], n,
     count = jnp.sum(sel.astype(INT_IDX))
     src = jnp.arange(P, dtype=INT_IDX)
     src = jnp.where(is_null_slot, -1, src)
-    # compaction via ONE stable sort on the selection flag: selected rows
-    # (flag 0) float to the front in original order — the dense index
-    # vector directly. XLA scatter on TPU is serial (113ms/16M) vs the
-    # sort network's 50ms (probe4).
-    flag = (~sel).astype(INT_IDX)
-    _, out = jax.lax.sort((flag, src), num_keys=1, is_stable=True)
+    # stable front-compaction (blocked per-block sort + Pallas stitch on
+    # TPU — 3.7x the old full-height sort, roofline_probe10; XLA scatter
+    # stays out: serial, 113ms/16M, probe4)
+    from .compaction import compact_flagged
+    (out,) = compact_flagged(sel, (src,))
     return out, count
 
 
@@ -82,11 +81,14 @@ def filter_with_payload(mask: jax.Array, mask_validity: Optional[jax.Array],
         sel = m
         is_null_slot = jnp.zeros_like(sel)
     count = jnp.sum(sel.astype(INT_IDX))
-    flag = (~sel).astype(INT_IDX)
-    operands = (flag, is_null_slot.astype(INT_IDX)) + tuple(cols)
-    res = jax.lax.sort(operands, num_keys=1, is_stable=True)
-    out_null = res[1] == 1
-    return tuple(res[2:]), out_null, count
+    from .compaction import compact_flagged
+    if null_selection == "emit_null":
+        res = compact_flagged(sel, (is_null_slot.astype(INT_IDX),)
+                              + tuple(cols))
+        return tuple(res[1:]), res[0] == 1, count
+    # drop-nulls: the null-row lane is identically zero — skip it
+    res = compact_flagged(sel, tuple(cols))
+    return res, jnp.zeros(P, jnp.bool_), count
 
 
 def gather(values: jax.Array, indices: jax.Array) -> jax.Array:

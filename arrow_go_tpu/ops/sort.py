@@ -113,6 +113,51 @@ def _f64_bits_arith(x: jax.Array) -> jax.Array:
     return jax.lax.bitcast_convert_type(bits, jnp.uint64)
 
 
+def f64_from_bits(bits: jax.Array) -> jax.Array:
+    """Inverse of f64_bits: uint64 IEEE-754 patterns -> float64 values.
+
+    CPU: one bitcast. TPU (no f64 bitcast on v5e): arithmetic
+    reconstruction — mantissa via one exact i64->f64 convert, exponent
+    via binary power-of-two scaling applied largest-step-first (partial
+    exponent sums never overshoot the final exponent, so every
+    intermediate stays in range and every step is an exact multiply).
+    Denormal patterns reconstruct to sign-correct zero — the same
+    documented flush as f64_bits (PARITY.md known deviations)."""
+    from ..jaxenv import on_tpu
+    if not on_tpu():
+        return jax.lax.bitcast_convert_type(bits, jnp.float64)
+    be = ((bits >> jnp.uint64(52)) & jnp.uint64(0x7FF)).astype(jnp.int32)
+    frac = (bits & jnp.uint64((1 << 52) - 1)).astype(jnp.int64)
+    neg = (bits >> jnp.uint64(63)) != 0
+    mant = (frac | jnp.int64(1 << 52)).astype(jnp.float64)  # [2^52, 2^53)
+    e2 = be - 1075                                  # value = mant * 2^e2
+    mag = jnp.abs(e2)
+    t = mant
+    # v5e f64 is a float32-pair emulation: scale CONSTANTS outside
+    # [2^-126, 2^127] flush to 0 / inf on device, so steps are capped at
+    # 2^+-64 — peel 64s first (largest-step-first keeps every
+    # intermediate between mant and the final value), then bits.
+    # Patterns whose values the device cannot represent at all
+    # (|x| >= 2^128 or < ~2^-126) reconstruct to the same inf/0 the
+    # device storage itself produces for them.
+    r = mag
+    for _ in range(16):
+        hit = r >= 64
+        t = (t * jnp.where(hit & (e2 > 0), jnp.float64(2.0) ** 64, 1.0)
+               * jnp.where(hit & (e2 < 0), jnp.float64(2.0) ** -64, 1.0))
+        r = r - jnp.where(hit, 64, 0)
+    for k in (32, 16, 8, 4, 2, 1):
+        hit = (r & k) != 0
+        up = jnp.where(hit & (e2 > 0), jnp.float64(2.0) ** k, 1.0)
+        dn = jnp.where(hit & (e2 < 0), jnp.float64(2.0) ** -k, 1.0)
+        t = t * up * dn
+    t = jnp.where(be == 0, jnp.float64(0), t)               # denorm flush
+    inf = jnp.float64(jnp.inf)
+    t = jnp.where(be == 2047, jnp.where(frac == 0, inf, jnp.float64(jnp.nan)),
+                  t)
+    return jnp.where(neg, -t, t)
+
+
 def _u64_words(key: jax.Array) -> List[jax.Array]:
     """u64 -> [hi32, lo32]."""
     return [(key >> jnp.uint64(32)).astype(jnp.uint32),
