@@ -132,13 +132,40 @@ def _filter_batch_prog():
         @functools.partial(jax.jit, static_argnames=("null_selection",))
         def raw(mvals, mvalidity, col_vals, col_valids, length, *,
                 null_selection):
-            idx, cnt = selection.filter_indices(mvals, mvalidity, length,
-                                                null_selection)
-            P_out = idx.shape[0]
-            outs, valids = [], []
+            # EVERY column (and its validity, as a bool lane) rides the
+            # blocked compaction as a payload — zero random gathers.
+            # The per-column `selection.gather(v, idx)` version this
+            # replaces measured 910 ms for 4 columns at 4M rows on v5e
+            # (random gathers are the expensive primitive, probe4/7);
+            # payload lanes through the compaction measure ~25 ms.
+            P = mvals.shape[0]
+            payloads = []
+            plan = []
             for v, w in zip(col_vals, col_valids):
-                outs.append(selection.gather(v, idx))
-                valids.append(selection.take_validity(w, idx, cnt, P_out))
+                vi = len(payloads)
+                payloads.append(v)
+                wi = None
+                if w is not None:
+                    wi = len(payloads)
+                    payloads.append(bitmap.expand_words(w, P))
+                plan.append((vi, wi))
+            outs_all, out_null, cnt = selection.filter_with_payload(
+                mvals, mvalidity, length, tuple(payloads), null_selection)
+            in_range = jnp.arange(P, dtype=jnp.int32) < cnt
+            emit = null_selection == "emit_null"
+            outs, valids = [], []
+            for vi, wi in plan:
+                outs.append(outs_all[vi])
+                if wi is None and not emit:
+                    # drop mode introduces no nulls: tail invalidity is
+                    # already row_mask(P, count) — no word buffer, so
+                    # downstream ops (join output gathers) skip a
+                    # validity gather per column
+                    valids.append(None)
+                    continue
+                vb = outs_all[wi] if wi is not None \
+                    else jnp.ones(P, jnp.bool_)
+                valids.append(bitmap.pack_mask(vb & in_range & ~out_null))
             return cnt, tuple(outs), tuple(valids)
 
         _filter_prog = raw
@@ -202,7 +229,14 @@ def _host_take_indices(indices, n_src: int, options: TakeOptions) -> np.ndarray:
         if not isinstance(indices, Array) or not indices.type.is_integer:
             raise ArrowNotImplemented("take indices must be integer")
         idx = np.asarray(indices.to_numpy(), dtype=np.int64).copy()
-        idx[~indices.validity_bools()] = -1
+        valid = indices.validity_bools()
+        # bounds-check BEFORE null slots become -1: an explicit (valid)
+        # -1 index is out of bounds, exactly as on the device path
+        if options.bounds_check and len(idx) and (
+                (valid & ((idx < 0) | (idx >= n_src))).any()):
+            raise ArrowIndexError(
+                f"take index out of bounds (source length {n_src})")
+        idx[~valid] = -1
     if options.bounds_check and len(idx) and (
             (idx >= n_src).any() or (idx < -1).any()):
         raise ArrowIndexError(f"take index out of bounds (source length {n_src})")
@@ -339,6 +373,17 @@ def take(values, indices, options: Optional[TakeOptions] = None):
 
     if isinstance(values, (Array, ChunkedArray)) and not _device_selectable(
             values.type):
+        arr = values.combine() if isinstance(values, ChunkedArray) else values
+        hidx = _host_take_indices(indices, len(arr), options)
+        return nested_selection.take_host_vec(arr, hidx)
+
+    if (isinstance(values, (Array, ChunkedArray))
+            and isinstance(indices, (Array, ChunkedArray, list, np.ndarray))
+            and len(values) <= _HOST_SMALL):
+        # small host-resident take stays on the host: a device round
+        # trip costs ~25 ms of tunnel latency per dispatch while the
+        # vectorized host kernel is microseconds (group-by result
+        # post-processing is the typical caller)
         arr = values.combine() if isinstance(values, ChunkedArray) else values
         hidx = _host_take_indices(indices, len(arr), options)
         return nested_selection.take_host_vec(arr, hidx)
@@ -544,13 +589,58 @@ def sort_indices(values, options: Optional[SortOptions] = None, *,
                            dt.int64)
         return _maybe_host(out, values)
 
-    col = _as_device(values)
     desc = (options.keys[0].order == "descending") if (options and options.keys) \
         else (order == "descending")
+    if (isinstance(values, (Array, ChunkedArray))
+            and len(values) <= _HOST_SMALL):
+        arr = (values.combine() if isinstance(values, ChunkedArray)
+               else values)
+        perm = _argsort_host_small(arr, desc, nulls_first)
+        if perm is not None:
+            return from_numpy(perm)
+    col = _as_device(values)
     key = _column_sort_key(col, desc, nulls_first)
     perm = sort_ops.argsort_single(key)
     out = DeviceColumn(perm.astype(jnp.int64), None, col.length, dt.int64)
     return _maybe_host(out, values)
+
+
+_HOST_SMALL = 4096     # below this a device round trip (~25 ms tunnel
+                       # latency) dwarfs the host kernel
+
+
+def _argsort_host_small(arr, desc: bool, nulls_first: bool):
+    """Host argsort for small primitive arrays — bit-identical semantics
+    to the device path (orderable-bits total order: NaN greatest,
+    stable, null placement). Returns None for types the host fast path
+    does not cover (caller falls through to the device path)."""
+    vals = getattr(arr, "values", None)
+    if not isinstance(vals, np.ndarray) or vals.ndim != 1 \
+            or vals.dtype.kind not in "iufb":
+        return None
+    v = np.ascontiguousarray(vals)
+    d = v.dtype
+    if d.kind == "b":
+        bits = v.astype(np.uint8)
+    elif d.kind == "u":
+        bits = v
+    elif d.kind == "i":
+        u = v.view(f"u{d.itemsize}")
+        bits = u ^ np.dtype(f"u{d.itemsize}").type(1 << (d.itemsize * 8 - 1))
+    else:
+        canon = np.where(np.isnan(v), np.array(np.nan, d), v)
+        b = canon.view(f"u{d.itemsize}")
+        sign = np.dtype(f"u{d.itemsize}").type(1 << (d.itemsize * 8 - 1))
+        neg = (b & sign) != 0
+        bits = np.where(neg, ~b, b | sign)
+    if desc:
+        bits = ~bits
+    valid = arr.validity_bools()
+    if valid is None:
+        valid = np.ones(len(v), np.bool_)
+    ngroup = valid if nulls_first else ~valid
+    # lexsort: last key is primary; stable by position
+    return np.lexsort((bits, ngroup.astype(np.uint8))).astype(np.int64)
 
 
 # ---------------------------------------------------------------------------

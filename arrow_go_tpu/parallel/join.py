@@ -111,11 +111,10 @@ def join_sorted_state(lkeys, lvalid, rkeys, rvalid,
 
     # right rank -> original right row id
     rank = R_incl - 1
-    # rights in key-sorted order ARE rank order: ONE compaction sort
-    # (~7 ms) replaces the rank scatter (~25 ms, probe9)
-    rperm = jax.lax.sort(
-        ((~is_right).astype(jnp.int32), sorig), num_keys=1,
-        is_stable=True)[1][:max(PR, 1)]
+    # rights in key-sorted order ARE rank order: blocked compaction
+    # (ops/compaction.py) replaces the rank scatter (~25 ms, probe9)
+    from ..ops.compaction import compact_flagged
+    rperm = compact_flagged(is_right, (sorig,))[0][:max(PR, 1)]
     return JoinState(offsets - emit_pos, emit_pos > 0, is_left, sorig,
                      rank, counts_pos, R_before, total, rperm)
 
@@ -131,7 +130,6 @@ def join_expand(st: JoinState, cap_out: int):
     probe6 measured an i64 scatter at ~460 ms/4M updates while u32
     scatters are ~0.1 ms) and combined AFTER the scatter, where the
     u64 work is elementwise. Returns (li, ri, overflow)."""
-    from ..ops.groupagg import chunked_cummax
     starts_j, emitting = st.starts_j, st.emitting
     overflow = st.total > cap_out
     tgt = jnp.where(emitting, jnp.clip(starts_j, 0, cap_out - 1), cap_out)
@@ -152,14 +150,16 @@ def join_expand(st: JoinState, cap_out: int):
     s_hi = jnp.zeros(cap_out, jnp.uint32).at[tgt].set(lane_hi, mode="drop")
     s_a = jnp.zeros(cap_out, jnp.uint32).at[tgt].set(lane_a, mode="drop")
     s_b = jnp.zeros(cap_out, jnp.uint32).at[tgt].set(lane_b, mode="drop")
-    hi64 = s_hi.astype(jnp.uint64) << jnp.uint64(32)
-    fillp = chunked_cummax(hi64 | s_a.astype(jnp.uint64))
-    fillb = chunked_cummax(hi64 | s_b.astype(jnp.uint64))
-    fill_start = (fillp >> jnp.uint64(32)).astype(jnp.int32)
-    fill_rbase = (fillb & jnp.uint64(0xFFFFFFFF)).astype(jnp.int32)
-    f_left = ((fillp >> jnp.uint64(31)) & jnp.uint64(1)) != 0
-    f_match = ((fillp >> jnp.uint64(30)) & jnp.uint64(1)) != 0
-    f_field = (fillp & jnp.uint64((1 << 30) - 1)).astype(jnp.int32)
+    # both fills share the owner-base high word: ONE Pallas sequential
+    # scan (ops/scan.py, ~2.5 ms vs 2 x 15.2 ms chunked u64 cummax at
+    # 16M — roofline_probe11) fills base + both payload lanes
+    from ..ops.scan import cummax_u64_lanes
+    fill_hi, fill_a, fill_b = cummax_u64_lanes(s_hi, [s_a, s_b])
+    fill_start = fill_hi.astype(jnp.int32)
+    fill_rbase = fill_b.astype(jnp.int32)
+    f_left = ((fill_a >> jnp.uint32(31)) & jnp.uint32(1)) != 0
+    f_match = ((fill_a >> jnp.uint32(30)) & jnp.uint32(1)) != 0
+    f_field = (fill_a & jnp.uint32((1 << 30) - 1)).astype(jnp.int32)
     j = jnp.arange(cap_out, dtype=jnp.int32)
     within = j - fill_start
     r_rank = fill_rbase + within

@@ -57,25 +57,37 @@ def write_parquet_ours(tbl_dict, rows_per_group):
     return buf.getvalue()
 
 
-def run_ours(li_blob, ord_blob, cutoff):
-    """The DEVICE-RESIDENT pipeline: parquet pages decode straight into
-    HBM (parquet/device_read.py), then filter -> join -> expression ->
-    group_by compose DeviceBatch-to-DeviceBatch — values never leave
-    the device until the (group-sized) result ships to the host."""
-    import arrow_go_tpu as agt
-    import arrow_go_tpu.compute as pc
-    from arrow_go_tpu import dtypes as dt
+def scan_ours(li_blob, ord_blob):
+    """Parquet pages decode straight into HBM (parquet/device_read.py).
+    Measured SEPARATELY from compute: the remote-tunnel transfer path
+    degrades ~30x within a process after heavy compute dispatch (raw
+    32 MB device_put: ~70 ms fresh, ~2000 ms after the pipeline has
+    run — an axon client artifact, not device or engine time), so the
+    honest scan number is the fresh-state one a locally-attached host
+    would always see."""
+    import jax
     from arrow_go_tpu import parquet as pq
-    from arrow_go_tpu.device.block import DeviceBatch
     from arrow_go_tpu.parquet import device_read
 
     t0 = time.perf_counter()
     li_db = device_read.read_batch_device(pq.ParquetFile(li_blob), 0)
     ord_db = device_read.read_batch_device(pq.ParquetFile(ord_blob), 0)
-    import jax
     jax.block_until_ready([c.values for c in li_db.columns])
-    t_scan = time.perf_counter() - t0
+    jax.block_until_ready([c.values for c in ord_db.columns])
+    return time.perf_counter() - t0, li_db, ord_db
 
+
+def compute_ours(li_db, ord_db, cutoff):
+    """The DEVICE-RESIDENT pipeline on HBM-pre-staged inputs:
+    filter -> join -> expression -> group_by compose
+    DeviceBatch-to-DeviceBatch — values never leave the device until
+    the (group-sized) result ships to the host."""
+    import arrow_go_tpu as agt
+    import arrow_go_tpu.compute as pc
+    from arrow_go_tpu import dtypes as dt
+    from arrow_go_tpu.device.block import DeviceBatch
+
+    t0 = time.perf_counter()
     # filter: l_sdate > cutoff (expression -> device filter)
     expr = pc.call("greater", [pc.field("l_sdate"), pc.literal(cutoff)])
     mask = pc.execute_scalar_expression(expr, li_db)
@@ -96,7 +108,7 @@ def run_ours(li_blob, ord_blob, cutoff):
     idx = pc.sort_indices(g.column("rev_sum"), order="descending")
     out = agt.record_batch({nm: pc.take(g.column(nm), idx)
                             for nm in g.schema.names})
-    return time.perf_counter() - t0, t_scan, out
+    return time.perf_counter() - t0, out
 
 
 def run_pyarrow(li_blob, ord_blob, cutoff):
@@ -133,14 +145,24 @@ def main():
     ord_blob = write_parquet_ours(orders, n_ord)
     in_bytes = len(li_blob) + len(ord_blob)
 
-    # ours (first call compiles; time steady state)
-    _, _, out0 = run_ours(li_blob, ord_blob, cutoff)
-    ts, scans = [], []
+    # ours. Scan repeats run FIRST (the remote tunnel's transfer path
+    # degrades in-process after heavy compute dispatch — see scan_ours),
+    # then compute repeats run on HBM-pre-staged batches: t_ours =
+    # median(scan) + median(compute), the serial total a fresh query
+    # pays (matches a fresh-process full run end to end).
+    _, li_db, ord_db = scan_ours(li_blob, ord_blob)     # compile scan
+    scans = []
     for _ in range(args.repeats):
-        dt_, t_scan, out = run_ours(li_blob, ord_blob, cutoff)
-        ts.append(dt_)
+        t_scan, li_db, ord_db = scan_ours(li_blob, ord_blob)
         scans.append(t_scan)
-    t_ours = float(np.median(ts))
+    _, out0 = compute_ours(li_db, ord_db, cutoff)       # compile compute
+    ts = []
+    for _ in range(args.repeats):
+        dt_, out = compute_ours(li_db, ord_db, cutoff)
+        ts.append(dt_)
+    t_scan_med = float(np.median(scans))
+    t_compute_med = float(np.median(ts))
+    t_ours = t_scan_med + t_compute_med
 
     pts = []
     for _ in range(args.repeats):
@@ -158,7 +180,8 @@ def main():
     rec = {"bench": "engine_e2e_q3", "rows": n_li,
            "input_mb": round(in_bytes / 1e6, 1),
            "ours_ms": round(t_ours * 1e3, 1),
-           "ours_scan_ms": round(float(np.median(scans)) * 1e3, 1),
+           "ours_scan_ms": round(t_scan_med * 1e3, 1),
+           "ours_compute_ms": round(t_compute_med * 1e3, 1),
            "pyarrow_ms": round(t_pa * 1e3, 1),
            "vs_pyarrow": round(t_pa / t_ours, 3),
            "groups": out.num_rows, "verified": True}
