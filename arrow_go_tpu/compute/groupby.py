@@ -218,6 +218,39 @@ def _slice_prog():
     return _slice_jit
 
 
+_finalize_jit = None
+
+
+def _finalize_prog():
+    """ONE program for the whole group-by tail: slice rep_rows + every
+    aggregate result to the group bucket AND gather the key-column
+    representatives — the eager chain it replaces (a slice dispatch per
+    result, an index build + take + fetch per key column) cost a full
+    round trip each on the remote tunnel (~9 trips for 1 key x 2 aggs)."""
+    global _finalize_jit
+    if _finalize_jit is None:
+        from ..ops import selection
+
+        @functools.partial(jax.jit, static_argnames=("kb",))
+        def raw(rep_rows, results, key_inputs, n_groups, *, kb):
+            rep = jax.lax.dynamic_slice_in_dim(rep_rows, 0, kb)
+            out_res = tuple(
+                (jax.lax.dynamic_slice_in_dim(r, 0, kb),
+                 None if v is None else jax.lax.dynamic_slice_in_dim(v, 0, kb))
+                for r, v in results)
+            idx = jnp.where(jnp.arange(kb, dtype=jnp.int32)
+                            < jnp.asarray(n_groups, jnp.int32),
+                            rep.astype(jnp.int32), -1)
+            keys_out = tuple(
+                (selection.gather(v, idx),
+                 selection.take_validity(w, idx, n_groups, kb))
+                for v, w in key_inputs)
+            return rep, out_res, keys_out
+
+        _finalize_jit = raw
+    return _finalize_jit
+
+
 def group_by(data, keys, aggregations: Sequence[Tuple[str, str]],
              ) -> RecordBatch:
     """GROUP BY `keys` with aggregations [(column, agg_name), ...].
@@ -255,36 +288,36 @@ def group_by(data, keys, aggregations: Sequence[Tuple[str, str]],
                         else dt.int32 for c in key_cols),
         agg_names=tuple(agg for _, agg in aggregations))
 
-    # fetch the group COUNT first (a scalar), then slice every result to
-    # the group-bucket size ON DEVICE before fetching: the results are
-    # padded to the row count, and shipping ~P-sized arrays over a
-    # remote-TPU link cost seconds per call (group results are tiny)
+    # fetch the group COUNT first (a scalar), then ONE fused program
+    # slices every result to the group-bucket size AND gathers the
+    # key representatives on device, and ONE device_get ships it all:
+    # the results are padded to the row count, and shipping ~P-sized
+    # arrays over a remote-TPU link cost seconds per call (group
+    # results are tiny); each extra dispatch/fetch is a round trip
     n_groups = int(jax.device_get(n_groups_dev))
+    from ..device.block import _unpack_words, array_from_host
     from ..device.block import pad_length as _plen
-    kb = _plen(max(n_groups, 1))
-    if kb < rep_rows_dev.shape[0]:
-        sl = _slice_prog()
-        rep_rows_dev = sl(rep_rows_dev, kb)
-        results_dev = tuple(
-            (sl(r, kb), None if v is None else sl(v, kb))
-            for r, v in results_dev)
-    rep_rows, results = jax.device_get((rep_rows_dev, results_dev))
+    kb = min(_plen(max(n_groups, 1)), rep_rows_dev.shape[0])
+    dev_keys = (key_cols if isinstance(data, DeviceBatch) else [])
+    rep_rows_dev, results_dev, keys_dev = _finalize_prog()(
+        rep_rows_dev, results_dev,
+        tuple((c.values, c.validity) for c in dev_keys),
+        n_groups, kb=kb)
+    rep_rows, results, keys_fetched = jax.device_get(
+        (rep_rows_dev, results_dev, keys_dev))
     rep_rows = np.asarray(rep_rows)[:n_groups]
 
     out_cols: List[Array] = []
     names: List[str] = []
-    for name in keys:
+    for j, name in enumerate(keys):
         if isinstance(data, DeviceBatch):
-            # gather the (few) group-representative key values on device,
-            # then ship only the group-sized result to the host
-            from ..device.block import from_device, pad_length
-            from .functions import _take_device
-            k = max(n_groups, 1)
-            idx = jnp.zeros(pad_length(k), jnp.int32).at[
-                jnp.arange(min(k, len(rep_rows)))].set(
-                jnp.asarray(rep_rows[:k].astype(np.int32)))
-            gathered = _take_device(data.column(name), idx, n_groups)
-            out_cols.append(from_device(gathered).slice(0, n_groups))
+            c = dev_keys[j]
+            kvals, kwords = keys_fetched[j]
+            kmask = (None if kwords is None
+                     else _unpack_words(np.asarray(kwords), n_groups))
+            out_cols.append(array_from_host(
+                np.asarray(kvals)[:n_groups], kmask, c.type,
+                c.dictionary, n_groups))
         else:
             out_cols.append(take_host(data.column(name), rep_rows))
         names.append(name)

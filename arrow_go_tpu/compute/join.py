@@ -317,25 +317,34 @@ def _join_device(ldb, rdb, left_keys, right_keys, join_type,
     cap = pad_length(max(out_n, 1))
     li, ri_rank, _ = _jit_expand()(st, cap)
     rperm = st.rperm
-    # the gather-free core returns ri as key-sorted right RANKS; resolve
-    # to original right rows once (one out_n gather from a PR-size table)
-    ri = jnp.where(ri_rank >= 0,
-                   jnp.take(rperm, jnp.clip(ri_rank, 0, max(PRr - 1, 0))),
-                   -1)
-    if n_null_l:
-        rows = jnp.nonzero(null_left, size=PL, fill_value=-1
-                           )[0].astype(jnp.int32)
-        li = jax.lax.dynamic_update_slice(li, rows[:n_null_l], (total,))
-    if n_null_r:
-        rows = jnp.nonzero(null_right, size=PR, fill_value=-1
-                           )[0].astype(jnp.int32)
-        ri = jax.lax.dynamic_update_slice(ri, rows[:n_null_r],
-                                          (total + n_null_l,))
+    # the gather-free core returns ri as key-sorted right RANKS. The
+    # hot (no null-key outer rows) path defers rank->row resolution
+    # into the fused output-gather program — the eager where/take here
+    # cost an extra dispatch round trip per join on the remote tunnel.
+    if n_null_l or n_null_r:
+        ri = jnp.where(ri_rank >= 0,
+                       jnp.take(rperm, jnp.clip(ri_rank, 0,
+                                                max(PRr - 1, 0))),
+                       -1)
+        if n_null_l:
+            rows = jnp.nonzero(null_left, size=PL, fill_value=-1
+                               )[0].astype(jnp.int32)
+            li = jax.lax.dynamic_update_slice(li, rows[:n_null_l],
+                                              (total,))
+        if n_null_r:
+            rows = jnp.nonzero(null_right, size=PR, fill_value=-1
+                               )[0].astype(jnp.int32)
+            ri = jax.lax.dynamic_update_slice(ri, rows[:n_null_r],
+                                              (total + n_null_l,))
+        rperm = None
+    else:
+        ri = ri_rank
     return _emit_join_output(
         ldb if host_left is None else host_left,
         rdb if host_right is None else host_right,
         ldb, rdb, li, ri, out_n, left_keys, right_keys,
-        join_type, left_suffix, right_suffix, device_out=device_out)
+        join_type, left_suffix, right_suffix, device_out=device_out,
+        rperm=rperm)
 
 
 _gather_prog = None
@@ -352,7 +361,15 @@ def _jit_gather_prog():
         from ..ops import selection
 
         @functools.partial(jax.jit, static_argnames=("trim_to",))
-        def raw(li, ri, l_inputs, r_inputs, out_n, *, trim_to):
+        def raw(li, ri, rperm, l_inputs, r_inputs, out_n, *, trim_to):
+            if rperm is not None:
+                # ri arrives as key-sorted right RANKS: resolve to
+                # original right rows here, inside the one program
+                ri = jnp.where(
+                    ri >= 0,
+                    jnp.take(rperm,
+                             jnp.clip(ri, 0, max(rperm.shape[0] - 1, 0))),
+                    -1)
             def one(idx, v, w):
                 P_out = idx.shape[0]
                 g = selection.gather(v, idx)[:trim_to]
@@ -369,7 +386,7 @@ def _jit_gather_prog():
 def _emit_join_output(left, right, ldb, rdb, li, ri, out_n,
                       left_keys, right_keys, join_type,
                       left_suffix, right_suffix,
-                      device_out: bool = False) -> RecordBatch:
+                      device_out: bool = False, rperm=None) -> RecordBatch:
     """Gather output columns through the device pair indices. Device
     columns gather on device (all fused into one program); HostColumn
     passthroughs (nested types) gather via the vectorized host kernels."""
@@ -389,7 +406,7 @@ def _emit_join_output(left, right, ldb, rdb, li, ri, out_n,
         if not isinstance(c, HostColumn):
             dev_specs["r"].append(i)
     outs_l, outs_r = _jit_gather_prog()(
-        li, ri,
+        li, ri, rperm,
         tuple((ldb.columns[i].values, ldb.columns[i].validity)
               for i in dev_specs["l"]),
         tuple((rdb.columns[i].values, rdb.columns[i].validity)
@@ -415,7 +432,15 @@ def _emit_join_output(left, right, ldb, rdb, li, ri, out_n,
                 hidx = li_host
             else:
                 if ri_host is None:
-                    ri_host = np.asarray(jax.device_get(ri))[:out_n].astype(np.int64)
+                    rr = np.asarray(jax.device_get(ri))[:out_n]
+                    if rperm is not None:
+                        # ri holds key-sorted ranks on the hot path —
+                        # resolve on the host for HostColumn gathers
+                        rp = np.asarray(jax.device_get(rperm))
+                        rr = np.where(
+                            rr >= 0,
+                            rp[np.clip(rr, 0, max(len(rp) - 1, 0))], -1)
+                    ri_host = rr.astype(np.int64)
                 hidx = ri_host
             return take_host_vec(batch.columns[i], hidx)
         return dev_results[(idx_host_name, i)]

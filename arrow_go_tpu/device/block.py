@@ -527,6 +527,19 @@ def from_device(col: DeviceColumn) -> Array:
     vals = np.asarray(jax.device_get(col.values))[:n]
     mask = (None if col.validity is None
             else _unpack_words(np.asarray(jax.device_get(col.validity)), n))
+    return array_from_host(vals, mask, t, col.dictionary, n)
+
+
+def array_from_host(vals: np.ndarray, mask, t: dt.DataType, dictionary,
+                    n: int) -> Array:
+    """Host tail of `from_device`: build an Array from already-fetched
+    numpy values (sliced to n) + an unpacked bool mask. Split out so
+    fused programs can device_get MANY columns in one transfer and
+    convert each here (each separate device_get is a full round trip
+    on dispatch-latency-bound links)."""
+    if t.id == dt.TypeId.NULL:
+        from ..array.arrays import nulls
+        return nulls(n, t)
     if t.id == dt.TypeId.DICTIONARY:
         from ..array.arrays import ArrayData
         from ..memory.buffer import Buffer
@@ -536,7 +549,7 @@ def from_device(col: DeviceColumn) -> Array:
         if mask is not None and not mask.all():
             vb = Buffer(bitutil.pack_bits(mask))
         return make_array(ArrayData(t, n, [vb, Buffer.wrap(codes)],
-                                    dictionary=col.dictionary.data,
+                                    dictionary=dictionary.data,
                                     null_count=nc))
     if t.id in (dt.TypeId.DECIMAL32, dt.TypeId.DECIMAL64):
         from ..array.arrays import ArrayData
