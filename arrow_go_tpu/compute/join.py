@@ -189,8 +189,13 @@ _CHUNKABLE = ("inner", "left outer", "left semi", "left anti")
 def hash_join(left, right, keys=None, *, left_keys=None, right_keys=None,
               join_type: str = "inner",
               left_suffix: str = "", right_suffix: str = "_right",
-              probe_chunk: Optional[int] = None) -> RecordBatch:
+              probe_chunk: Optional[int] = None,
+              output_columns: Optional[Sequence[str]] = None) -> RecordBatch:
     """Join two record batches / tables.
+
+    `output_columns` projects the join output: only the named columns
+    (pre- or post-suffix names both match) are materialized — each
+    dropped column saves an out_n-row gather in the emission program.
 
     When the probe (left) side exceeds `probe_chunk` rows (default 8M)
     and the join type decomposes over probe rows, the probe streams
@@ -224,7 +229,8 @@ def hash_join(left, right, keys=None, *, left_keys=None, right_keys=None,
         rdb = (right if isinstance(right, DeviceBatch)
                else batch_to_device(_as_batch(right)))
         return _join_device(ldb, rdb, left_keys, right_keys, join_type,
-                            left_suffix, right_suffix, device_out=True)
+                            left_suffix, right_suffix, device_out=True,
+                            output_columns=output_columns)
     left = _as_batch(left)
     right = _as_batch(right)
     chunk = probe_chunk or PROBE_CHUNK_DEFAULT
@@ -236,7 +242,8 @@ def hash_join(left, right, keys=None, *, left_keys=None, right_keys=None,
                 left.slice(lo, min(chunk, left.num_rows - lo)), right,
                 keys, left_keys=left_keys, right_keys=right_keys,
                 join_type=join_type, left_suffix=left_suffix,
-                right_suffix=right_suffix, probe_chunk=chunk))
+                right_suffix=right_suffix, probe_chunk=chunk,
+                output_columns=output_columns))
         cols = [concat_arrays([p.columns[i] for p in parts])
                 for i in range(parts[0].num_columns)]
         return RecordBatch.from_arrays(cols, list(parts[0].schema.names))
@@ -265,8 +272,9 @@ def hash_join(left, right, keys=None, *, left_keys=None, right_keys=None,
         verdict = local_join_semi(lcodes, lvalid, rcodes, rvalid, join_type)
         mask = verdict if join_type == "left semi" else \
             (verdict | ~(lcodes >= 0)) & row_mask(PL, ldb.length)
-        return _select_left(left, mask & row_mask(PL, ldb.length),
-                            ldb.length)
+        return _project(_select_left(
+            left, mask & row_mask(PL, ldb.length), ldb.length),
+            output_columns)
     if join_type in ("right semi", "right anti"):
         how_swapped = ("left semi" if join_type == "right semi"
                        else "left anti")
@@ -274,18 +282,21 @@ def hash_join(left, right, keys=None, *, left_keys=None, right_keys=None,
                                   how_swapped)
         mask = verdict if join_type == "right semi" else \
             (verdict | ~(rcodes >= 0)) & row_mask(PR, rdb.length)
-        return _select_left(right, mask & row_mask(PR, rdb.length),
-                            rdb.length)
+        return _project(_select_left(
+            right, mask & row_mask(PR, rdb.length), rdb.length),
+            output_columns)
 
     return _join_device(ldb, rdb, left_keys, right_keys, join_type,
                         left_suffix, right_suffix, device_out=False,
                         host_left=left, host_right=right,
-                        codes=(lcodes, rcodes))
+                        codes=(lcodes, rcodes),
+                        output_columns=output_columns)
 
 
 def _join_device(ldb, rdb, left_keys, right_keys, join_type,
                  left_suffix, right_suffix, device_out,
-                 host_left=None, host_right=None, codes=None):
+                 host_left=None, host_right=None, codes=None,
+                 output_columns=None):
     """Inner/outer join core over DeviceBatches — TWO jitted phases
     sharing the sorted state: phase 1 sorts + counts once (the old
     count-then-materialize ran the FULL join twice), the host reads
@@ -344,7 +355,7 @@ def _join_device(ldb, rdb, left_keys, right_keys, join_type,
         rdb if host_right is None else host_right,
         ldb, rdb, li, ri, out_n, left_keys, right_keys,
         join_type, left_suffix, right_suffix, device_out=device_out,
-        rperm=rperm)
+        rperm=rperm, output_columns=output_columns)
 
 
 _gather_prog = None
@@ -386,7 +397,8 @@ def _jit_gather_prog():
 def _emit_join_output(left, right, ldb, rdb, li, ri, out_n,
                       left_keys, right_keys, join_type,
                       left_suffix, right_suffix,
-                      device_out: bool = False, rperm=None) -> RecordBatch:
+                      device_out: bool = False, rperm=None,
+                      output_columns=None) -> RecordBatch:
     """Gather output columns through the device pair indices. Device
     columns gather on device (all fused into one program); HostColumn
     passthroughs (nested types) gather via the vectorized host kernels."""
@@ -396,14 +408,29 @@ def _emit_join_output(left, right, ldb, rdb, li, ri, out_n,
 
     li_host = ri_host = None
     trim_to = min(pad_length(max(out_n, 1)), li.shape[0])
+    want = None if output_columns is None else set(output_columns)
+    # suffix decisions use the FULL (unprojected) left name set so a
+    # column's output name does not depend on what else was projected
+    full_left = {f.name + left_suffix for f in left.schema.fields}
 
-    # batch all device-column gathers into one program call
+    def _right_name(f):
+        return f.name + (right_suffix
+                         if (f.name + left_suffix) in full_left else "")
+
+    def _want_l(f):
+        return want is None or (f.name + left_suffix) in want
+
+    def _want_r(f):
+        return want is None or _right_name(f) in want
+
+    # batch all device-column gathers into one program call (projected
+    # columns only — each dropped column saves an out_n-row gather)
     dev_specs = {"l": [], "r": []}   # side -> [(db, i)]
     for i, c in enumerate(ldb.columns):
-        if not isinstance(c, HostColumn):
+        if not isinstance(c, HostColumn) and _want_l(ldb.schema.fields[i]):
             dev_specs["l"].append(i)
     for i, c in enumerate(rdb.columns):
-        if not isinstance(c, HostColumn):
+        if not isinstance(c, HostColumn) and _want_r(rdb.schema.fields[i]):
             dev_specs["r"].append(i)
     outs_l, outs_r = _jit_gather_prog()(
         li, ri, rperm,
@@ -450,6 +477,8 @@ def _emit_join_output(left, right, ldb, rdb, li, ri, out_n,
     names: List[str] = []
     rkey_set = set(right_keys)
     for i, f in enumerate(left.schema.fields):
+        if not _want_l(f):
+            continue
         out_cols.append(out_col(ldb, left, i, li, "l"))
         names.append(f.name + left_suffix)
         fields.append(f.with_name(names[-1]))
@@ -457,8 +486,9 @@ def _emit_join_output(left, right, ldb, rdb, li, ri, out_n,
         if f.name in rkey_set and join_type == "inner" and \
                 f.name in set(left_keys):
             continue
-        nm = f.name + (right_suffix if (f.name + left_suffix) in names
-                       else "")
+        if not _want_r(f):
+            continue
+        nm = _right_name(f)
         out_cols.append(out_col(rdb, right, i, ri, "r"))
         names.append(nm)
         fields.append(f.with_name(nm))
@@ -478,6 +508,15 @@ def _emit_join_output(left, right, ldb, rdb, li, ri, out_n,
         else:
             host_cols.append(c)
     return RecordBatch.from_arrays(host_cols, names)
+
+
+def _project(batch: RecordBatch, cols) -> RecordBatch:
+    if cols is None:
+        return batch
+    want = set(cols)
+    keep = [i for i, f in enumerate(batch.schema.fields) if f.name in want]
+    return RecordBatch(dt.Schema([batch.schema.fields[i] for i in keep]),
+                       [batch.columns[i] for i in keep], batch.num_rows)
 
 
 def _select_left(batch: RecordBatch, mask, n) -> RecordBatch:

@@ -88,13 +88,22 @@ def compute_ours(li_db, ord_db, cutoff):
     from arrow_go_tpu.device.block import DeviceBatch
 
     t0 = time.perf_counter()
-    # filter: l_sdate > cutoff (expression -> device filter)
+    # filter: l_sdate > cutoff (expression -> device filter). The
+    # filtered batch is projected first: l_sdate is consumed by the
+    # mask and never read again, so it does not ride the compaction.
     expr = pc.call("greater", [pc.field("l_sdate"), pc.literal(cutoff)])
     mask = pc.execute_scalar_expression(expr, li_db)
-    li_f = pc.filter(li_db, mask)
-    # join on orderkey (DeviceBatch in -> DeviceBatch out)
+    keep = ["l_okey", "l_price", "l_disc"]
+    li_proj = DeviceBatch(
+        dt.Schema([f for f in li_db.schema.fields if f.name in keep]),
+        [li_db.column(n) for n in keep], li_db.length)
+    li_f = pc.filter(li_proj, mask)
+    # join on orderkey (DeviceBatch in -> DeviceBatch out); projection
+    # pushdown: only the columns the rest of the query touches are
+    # gathered (each dropped column is an out_n-row gather saved)
     joined = pc.hash_join(li_f, ord_db, left_keys=["l_okey"],
-                          right_keys=["o_okey"])
+                          right_keys=["o_okey"],
+                          output_columns=["l_price", "l_disc", "o_odate"])
     # revenue = price * (1 - disc) via expression over the joined batch
     rev_expr = pc.call("multiply", [
         pc.field("l_price"),

@@ -289,3 +289,43 @@ def test_hash_join_right_full_outer_null_keys_vs_pyarrow():
         wa = sorted(map(tuple, zip(*[want.column(c).to_pylist()
                                      for c in cols])), key=str)
         assert ga == wa, (how, ga, wa)
+
+
+def test_join_output_columns_projection():
+    lt = agt.table({"k": agt.array([1, 2, 2, 3], dt.int64),
+                    "v": agt.array([10, 20, 30, 40], dt.int64),
+                    "u": agt.array([1.0, 2.0, 3.0, 4.0], dt.float64)})
+    rt = agt.table({"k": agt.array([2, 3, 9], dt.int64),
+                    "w": agt.array([5, 6, 8], dt.int64)})
+    got = pc.hash_join(lt, rt, "k", join_type="inner",
+                       output_columns=["v", "w"])
+    assert got.schema.names == ["v", "w"]
+    rows = sorted(zip(got.column("v").to_pylist(),
+                      got.column("w").to_pylist()))
+    assert rows == [(20, 5), (30, 5), (40, 6)]
+    # outer joins and semi/anti project too
+    got = pc.hash_join(lt, rt, "k", join_type="left outer",
+                       output_columns=["k", "w"])
+    assert got.schema.names == ["k", "w"]
+    assert sorted(zip(got.column("k").to_pylist(),
+                      got.column("w").to_pylist()),
+                  key=str) == [(1, None), (2, 5), (2, 5), (3, 6)]
+    got = pc.hash_join(lt, rt, "k", join_type="left semi",
+                       output_columns=["u"])
+    assert got.schema.names == ["u"]
+    assert sorted(got.column("u").to_pylist()) == [2.0, 3.0, 4.0]
+
+
+def test_join_output_columns_device_batch():
+    from arrow_go_tpu.device.block import batch_from_device, batch_to_device
+    lb = agt.record_batch({"k": agt.array([1, 2, 2, 3], dt.int64),
+                           "v": agt.array([10, 20, 30, 40], dt.int64)})
+    rb = agt.record_batch({"k": agt.array([2, 3, 9], dt.int64),
+                           "w": agt.array([5, 6, 8], dt.int64)})
+    db = pc.hash_join(batch_to_device(lb), batch_to_device(rb), "k",
+                      output_columns=["v", "w"])
+    out = batch_from_device(db)
+    assert out.schema.names == ["v", "w"]
+    assert sorted(zip(out.column("v").to_pylist(),
+                      out.column("w").to_pylist())) == \
+        [(20, 5), (30, 5), (40, 6)]
